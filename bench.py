@@ -1,0 +1,55 @@
+"""Benchmark harness: times every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on one warm local[$SPARK_GRAFT_CPUS]
+session and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Timing methodology: per query, build the plan and run a count-style
+action that fully executes it (collect on small results); one warm-up
+run of the flagship query first so JVM/codegen warm-up isn't charged
+to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from simpleetlpipeline_spark.plans import catalog
+    from simpleetlpipeline_spark.session import get_spark
+
+    spark = get_spark("simpleetl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: JVM JIT, codegen, parquet footer caches.
+    catalog.QUERIES["top_products"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in catalog.QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Readers / writers (SURVEY.md §2.1 S1-S4, S8).
+
+Reference equivalents: pd.read_csv (main.py:377-400), df.to_csv
+(main.py:246-261), df.to_sql batched append (main.py:501-558),
+pd.read_sql_query (main.py:648 etc.).
+
+Spark disposition: CSV and Parquet readers always take an explicit
+schema (no inferSchema pass over 100 TB); the relational sink is an
+append-mode parquet write — Spark writes one file per partition, so
+the reference's 1000-row insert batching (main.py:26,518-530) is
+subsumed by partitioning. All sinks keep data distributed; nothing
+funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from simpleetlpipeline_spark.schemas import TESTDATA_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class EmptySourceError(ValueError):
+    """Raised when a source exists but holds no rows.
+
+    Mirrors reference extract_data's empty-file guard
+    (main.py:390-395) without a count() action on the happy path —
+    callers that need the guard pay one isEmpty() probe (cheap: it
+    stops at the first non-empty partition).
+    """
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType,
+             check_empty: bool = False) -> DataFrame:
+    """CSV scan with declared schema (S1; reference main.py:377-400)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Source file not found: {path}")
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    if check_empty and df.isEmpty():
+        raise EmptySourceError(f"Source file is empty: {path}")
+    return df
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (S2; reference main.py:246-261)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver testdata table.
+
+    Schemas are known (TESTDATA.md); parquet carries them, so no
+    explicit schema arg is needed — Catalyst still gets pushdown and
+    pruning from the parquet footer statistics.
+
+    The events table stores TIMESTAMP(NANOS), which Spark reads as
+    epoch-nanos LONG under spark.sql.legacy.parquet.nanosAsLong
+    (set in session conf); truncate to microseconds exactly as
+    DuckDB/Arrow do so both engines see identical instants.
+    """
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: list[str] | None = None) -> dict[str, DataFrame]:
+    """Register testdata tables as temp views for spark.sql access.
+
+    The reference's SQL entry point hands raw SQL to SQLite
+    (main.py:648 etc.); here the same strings (modulo dialect) go to
+    spark.sql over these views and Catalyst does the parse → analyze
+    → optimize → physical-plan work SQLite did.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables or list(TESTDATA_SCHEMAS):
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def append_table(df: DataFrame, table_path: str) -> None:
+    """Relational-table append sink (S3; reference main.py:501-558).
+
+    Parquet append; each task writes its partition as one file —
+    the distributed analog of the reference's 1000-row batched
+    executemany. For JDBC parity a caller would instead use
+    .format('jdbc').option('batchsize', 1000).
+    """
+    df.write.mode("append").parquet(table_path)

@@ -1,0 +1,22 @@
+"""Master query registry assembled from all catalogs.
+
+__spark_entry__.py re-exports this. Every oracle-checked operator
+appears in QUERIES with a matching ORACLE_SQL entry; genuinely
+non-SQL-expressible operators (LSH-approximate dedup, stateful
+streaming) appear in QUERIES only (driver records a rows-only
+check).
+"""
+
+from __future__ import annotations
+
+from simpleetlpipeline_spark.plans import analytics
+
+QUERIES = dict(analytics.QUERIES)
+ORACLE_SQL = dict(analytics.ORACLE_SQL)
+
+
+def register(queries: dict, oracle: dict | None = None) -> None:
+    """Extension catalogs call this at import time."""
+    QUERIES.update(queries)
+    if oracle:
+        ORACLE_SQL.update(oracle)

@@ -1,0 +1,109 @@
+"""Local replica of the driver's t2 DuckDB-oracle correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB over the same parquet, then compares
+row count, column names, and order-insensitive values (sorted by
+column name, rows sorted, doubles compared to 1e-9 after the
+queries' own rounding). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def key(v):
+        if v is None:
+            return (0, "")
+        if isinstance(v, float):
+            return (1, round(v, 9))
+        return (2, str(v))
+
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda r: tuple(key(v) for v in r))
+
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return str(a) == str(b)
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from simpleetlpipeline_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if sql is None:
+            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            res = con.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            ns, nd = normalize(srows, scols), normalize(drows, dcols)
+            for i, (rs, rd) in enumerate(zip(ns, nd)):
+                if len(rs) != len(rd) or not all(values_equal(a, b) for a, b in zip(rs, rd)):
+                    problems.append(f"row {i}: spark={rs} duck={rd}")
+                    if len(problems) > 3:
+                        break
+        if problems:
+            print(f"FAIL {name}:")
+            for p in problems[:5]:
+                print(f"     {p}")
+            failed.append(name)
+        else:
+            print(f"PASS {name} ({len(srows)} rows)")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
