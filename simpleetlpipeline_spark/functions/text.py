@@ -1,0 +1,214 @@
+"""Text-analysis operators over the documents table.
+
+All hot-path expressions are built-in column functions (split /
+regexp / higher-order array functions) — JVM-side, codegen-friendly,
+no Python UDFs — so they vectorize identically at sf0.001 and 100 TB.
+
+Operators (north-star inventory):
+- tokenization + token counting (whitespace and BPE-ish regex)
+- document statistics / quality scoring (length, stopword ratio,
+  alpha ratio)
+- language ID (stopword-marker n-gram heuristic)
+- document fingerprinting (md5 content hash + 64-bit simhash over
+  tokens via xxhash64)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+# Small fixed stopword list shared with the SQL oracles — keep in
+# sync with _STOPWORDS_SQL below.
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+_STOPWORDS_SQL = "('the','a','an','of','and','to','in','is','on','for')"
+
+# Language-marker stopwords for the n-gram-free heuristic language
+# ID: hit counts per language, argmax with alphabetical tiebreak.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+# BPE-ish token regex: word pieces, numbers, or single non-space
+# symbols — a cheap standalone approximation of byte-pair pretokenization.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics + quality score.
+
+    Quality heuristic (deterministic, SQL-expressible): length factor
+    min(1, n_tokens/50) times (1 - stopword_ratio), truncated to 4dp.
+    One narrow projection over the scan — no shuffle at any scale.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    stop_ratio = F.floor(stop_hits / n_tokens * 10000) / 10000
+    quality = (
+        F.floor(
+            F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+            * (1 - stop_hits / n_tokens) * 10000
+        ) / 10000
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.floor(chars_no_ws.cast("double") / n_tokens * 100) / 100)
+        .alias("avg_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish regex pretokenizer —
+    the counting a training-data pipeline runs to budget documents.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), 0))
+        .cast("long").alias("n_bpe_tokens"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-marker hit counts per
+    language, argmax with alphabetical tiebreak ('unknown' when no
+    marker hits). Pure column expressions — no UDF.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    # NB: higher-order-function lambdas must be unary — PySpark binds
+    # extra (default) parameters to the element index, so closures are
+    # captured via a factory instead of default args.
+    def _marker_pred(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    hits = {
+        lang: F.size(F.filter(toks, _marker_pred(markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.select("doc_id", "lang", *[hits[x].alias(f"hits_{x}") for x in hits])
+    best = F.greatest(*[F.col(f"hits_{x}") for x in LANG_MARKERS])
+    detected = F.lit("unknown")
+    # reverse alphabetical when-chain => earliest alphabetical lang
+    # wins ties (each later `when` overrides in build order).
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        detected = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(detected)
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        detected.alias("detected_lang"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 of the raw text — the exact-dup /
+    lineage key (upgrade of the reference's md5 load checksum,
+    main.py:507, to a portable per-document form). The near-dup
+    simhash fingerprint lives in dedup.dedup_simhash (xxhash64-based,
+    engine-specific, so checked by unit tests instead of the oracle).
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_fingerprint"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+QUERIES = {
+    "doc_stats": doc_stats,
+    "token_count_bpe": token_count_bpe,
+    "lang_id": lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+_lang_hits_sql = ", ".join(
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+    f"t -> t IN {tuple(m)!r})) AS hits_{lang}".replace('"', "'")
+    for lang, m in LANG_MARKERS.items()
+)
+
+_lang_case = "CASE " + " ".join(
+    f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}'"
+    for lang in sorted(LANG_MARKERS)
+) + " ELSE 'unknown' END"
+
+ORACLE_SQL = {
+    "doc_stats": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, text,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS BIGINT)
+                       AS n_stopwords
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               n_tokens,
+               n_stopwords,
+               floor(n_stopwords / n_tokens * 10000) / 10000 AS stopword_ratio,
+               floor(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                     / n_tokens * 100) / 100 AS avg_token_len,
+               floor(least(1.0, n_tokens / 50.0)
+                     * (1 - n_stopwords / n_tokens) * 10000) / 10000 AS quality_score
+        FROM s
+    """,
+    "token_count_bpe": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                   AS n_ws_tokens
+        FROM documents
+    """,
+    "lang_id": f"""
+        WITH h AS (
+            SELECT doc_id, lang, {_lang_hits_sql}
+            FROM documents
+        ), b AS (
+            SELECT *, greatest({", ".join("hits_" + x for x in LANG_MARKERS)}) AS best
+            FROM h
+        )
+        SELECT doc_id,
+               lang AS labeled_lang,
+               {_lang_case} AS detected_lang
+        FROM b
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS md5_fingerprint,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+}

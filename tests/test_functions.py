@@ -1,0 +1,106 @@
+"""Unit tests for the text/dedup function library (north-star ops).
+
+Value-level correctness for the SQL-expressible ops is the DuckDB
+oracle; these tests pin the algorithmic invariants of the
+hash-based ops (minhash/simhash) that the oracle can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.functions.dedup import (
+    QUERIES as DEDUP_QUERIES,
+    minhash_signature_col,
+    simhash_col,
+    word_ngrams_col,
+)
+from simpleetlpipeline_spark.functions.text import (
+    QUERIES as TEXT_QUERIES,
+    tokens_col,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_sliding_window(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    grams = df.select(word_ngrams_col(F.col("text"), 3).alias("g")).first()["g"]
+    assert grams == ["a b c", "b c d"]
+
+
+def test_word_ngrams_short_doc_single_gram(spark):
+    df = _docs(spark, [(1, "a b")])
+    grams = df.select(word_ngrams_col(F.col("text"), 3).alias("g")).first()["g"]
+    assert grams == ["a b"]
+
+
+def test_minhash_identical_texts_identical_signatures(spark):
+    df = _docs(spark, [(1, "the quick brown fox jumps"),
+                       (2, "the quick brown fox jumps"),
+                       (3, "utterly different content entirely here")])
+    sigs = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in df.select(
+            "doc_id",
+            minhash_signature_col(word_ngrams_col(F.col("text"))).alias("sig"),
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    assert len(sigs[1]) == 32
+
+
+def test_simhash_identical_zero_hamming_and_near(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " extra"
+    far = "completely unrelated words about databases and distributed systems"
+    df = _docs(spark, [(1, base), (2, base), (3, near), (4, far)])
+    sh = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", simhash_col(tokens_col(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert sh[1] == sh[2]
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+def test_dedup_exact_counts(spark, sf_dir):
+    out = DEDUP_QUERIES["dedup_exact"](spark, sf_dir)
+    from simpleetlpipeline_spark.io import read_table
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    agg = out.agg(F.sum("n_copies").alias("s"), F.count("*").alias("g")).first()
+    assert agg["s"] == n_docs
+    assert agg["g"] <= n_docs
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    """Any pair of identical documents must surface as a candidate
+    (identical signatures agree on every band) with jaccard 1.0."""
+    from simpleetlpipeline_spark.functions import dedup as D
+    import tempfile, os
+    rows = [(i, f"unique document number {i} with filler words") for i in range(20)]
+    rows.append((100, rows[0][1]))
+    with tempfile.TemporaryDirectory() as td:
+        _docs(spark, rows).write.parquet(os.path.join(td, "documents.parquet"))
+        out = D.dedup_minhash_lsh(spark, td, threshold=0.9).collect()
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"] for r in out}
+    assert pairs.get((0, 100)) == 1.0
+
+
+def test_lang_id_detects_markers(spark, sf_dir):
+    out = TEXT_QUERIES["lang_id"](spark, sf_dir)
+    dist = {r["detected_lang"] for r in out.collect()}
+    assert dist <= {"en", "es", "fr", "de", "unknown"}
+
+
+def test_doc_stats_bounds(spark, sf_dir):
+    rows = TEXT_QUERIES["doc_stats"](spark, sf_dir).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+    assert all(r["n_stopwords"] <= r["n_tokens"] for r in rows)
