@@ -1,0 +1,328 @@
+"""Similarity search over the embeddings table (vec_id, embedding
+float[64], label).
+
+North-star ANN inventory (BASELINE.json / build brief):
+
+- ann_topk:          exact cosine top-k of the corpus against a small
+                     probe set. Probe side broadcast, two-phase salted
+                     top-k (no single-reducer-per-probe skew).
+- ann_lsh_topk:      signed-random-projection LSH bucketing (16
+                     deterministic hyperplanes x 4 bands) -> candidates
+                     -> exact cosine re-rank. The 100 TB path: shuffle
+                     is linear in corpus size, never all-pairs.
+- embedding_neardup: all-pairs cosine >= threshold. Exact (quadratic)
+                     form is oracle-checked at test scale; the LSH-
+                     blocked form (embedding_neardup_lsh) is the scale
+                     path and is verified by unit-test recall against
+                     the exact form.
+- label_centroids:   per-label mean vector in long (label, dim, value)
+                     form — posexplode + hash agg, fully parallel.
+
+All dot products / norms run as JVM higher-order array functions in
+double precision (zip_with + aggregate) — no Python UDFs. Cosine
+values are floored to 1e-4 in BOTH engines so Spark/DuckDB float sums
+compare stably, and every ranking breaks ties deterministically on
+vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+N_PROBES = 10          # probe set = vec_id < N_PROBES
+TOP_K = 10
+LSH_PLANES = 16        # total sign bits
+LSH_BANDS = 4          # 4 bands x 4 bits -> candidates agree on >=1 band
+LSH_SEED = 7
+NEARDUP_THRESHOLD = 0.4
+N_SALTS = 32           # partial-top-k fan-out (scale with corpus size)
+
+
+def as_double_vec(embedding: Column) -> Column:
+    return F.transform(embedding, lambda x: x.cast("double"))
+
+
+def l2_norm(vec: Column) -> Column:
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """Cosine floored to 4dp (cross-engine float stability)."""
+    return F.floor(dot(a, b) / (a_norm * b_norm) * 10000) / 10000
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
+        .withColumn("nrm", l2_norm(F.col("e")))
+    )
+
+
+def _topk_per_probe(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Two-phase top-k per probe: partial top-k inside salt buckets,
+    then a final top-k over bands*k survivors.
+
+    A single `row_number over (partition by a_id)` would funnel the
+    whole corpus through one reducer per probe — with 10 probes that
+    is 10 tasks no matter the cluster size. Salting by hash(b_id)
+    bounds every group to corpus/N_SALTS rows and the final stage to
+    k*N_SALTS rows per probe. N_SALTS scales with corpus size.
+    """
+    salt = F.pmod(F.xxhash64("b_id"), F.lit(N_SALTS))
+    partial = Window.partitionBy("a_id", salt).orderBy(
+        F.desc("cosine_sim"), F.asc("b_id"))
+    final = Window.partitionBy("a_id").orderBy(
+        F.desc("cosine_sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("pr", F.row_number().over(partial))
+        .filter(F.col("pr") <= k).drop("pr")
+        .withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ann_topk(spark: SparkSession, sf_dir: str,
+             n_probes: int = N_PROBES, k: int = TOP_K) -> DataFrame:
+    """Exact cosine top-k against a broadcast probe set.
+
+    Plan shape: scan -> broadcast nested-loop join (corpus x probes,
+    probes tiny) -> narrow cosine projection -> two-phase top-k. The
+    only shuffles are the two salted/final top-k exchanges keyed by
+    probe id — linear in corpus size.
+    """
+    ensure_session_conf(spark)
+    vecs = _vectors(spark, sf_dir)
+    probes = (
+        vecs.filter(F.col("vec_id") < n_probes)
+        .select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
+                F.col("nrm").alias("a_nrm"))
+    )
+    corpus = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
+                         F.col("nrm").alias("b_nrm"))
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id",
+                cosine(F.col("a_e"), F.col("b_e"),
+                       F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
+    )
+    return (
+        _topk_per_probe(scored, k)
+        .select("a_id", "b_id", "rank", "cosine_sim")
+    )
+
+
+def _lsh_bucket_cols(vec: Column, planes: int = LSH_PLANES,
+                     bands: int = LSH_BANDS, seed: int = LSH_SEED) -> Column:
+    """Array of `bands` bucket keys from signed random projections.
+
+    Hyperplane weights are derived deterministically per (plane, dim)
+    from xxhash64 mapped to [-1, 1] — no sampled matrices, no fitted
+    state, identical on every executor. Bit p = sign(w_p . v).
+    """
+    bits_per_band = planes // bands
+
+    def bit(p: int) -> Column:
+        w_dot_v = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda d: (F.xxhash64(F.lit(p), d, F.lit(seed))
+                               .cast("double") / F.lit(float(2 ** 63))),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        return F.when(w_dot_v > 0, F.lit(1)).otherwise(F.lit(0))
+
+    bands_out = []
+    for b in range(bands):
+        key = F.lit(0)
+        for i in range(bits_per_band):
+            key = key * 2 + bit(b * bits_per_band + i)
+        bands_out.append(F.struct(F.lit(b).alias("band"), key.alias("bucket")))
+    return F.array(*bands_out)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str,
+                 n_probes: int = N_PROBES, k: int = TOP_K) -> DataFrame:
+    """LSH-bucketed ANN: probe and corpus vectors meet only when they
+    share a (band, bucket) key, then exact cosine re-ranks candidates.
+
+    The scale path: candidate generation is an equi-join on bucket
+    keys (uniformly distributed sign patterns), so shuffle volume is
+    ~bands x corpus rows regardless of probe count — no quadratic
+    stage anywhere. Recall tuned by (planes, bands); verified against
+    ann_topk in tests/test_similarity.py.
+    """
+    ensure_session_conf(spark)
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "bb", F.explode(_lsh_bucket_cols(F.col("e"))))
+    probes = (
+        vecs.filter(F.col("vec_id") < n_probes)
+        .select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
+                F.col("nrm").alias("a_nrm"), "bb")
+    )
+    corpus = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
+                         F.col("nrm").alias("b_nrm"), "bb")
+    candidates = (
+        corpus.join(F.broadcast(probes), "bb")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", "a_e", "b_e", "a_nrm", "b_nrm")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    scored = candidates.select(
+        "a_id", "b_id",
+        cosine(F.col("a_e"), F.col("b_e"),
+               F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
+    return (
+        _topk_per_probe(scored, k)
+        .select("a_id", "b_id", "rank", "cosine_sim")
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str,
+                      threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
+    """Exact all-pairs cosine near-dup (a_id < b_id, sim >= t).
+
+    Quadratic by construction — the oracle-checkable ground truth at
+    test scale. At 100 TB use embedding_neardup_lsh: same output
+    contract, LSH-blocked candidate generation.
+    """
+    ensure_session_conf(spark)
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
+                    F.col("nrm").alias("a_nrm"))
+    b = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
+                    F.col("nrm").alias("b_nrm"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id",
+                cosine(F.col("a_e"), F.col("b_e"),
+                       F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
+                          threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
+    """LSH-blocked near-dup: pairs meet only in shared (band, bucket)
+    groups; exact cosine verifies candidates. Linear shuffle; the
+    self-join fan-out per bucket is corpus/2^bits_per_band on random
+    data. Recall vs the exact form is unit-tested."""
+    ensure_session_conf(spark)
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "bb", F.explode(_lsh_bucket_cols(F.col("e"))))
+    a = vecs.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
+                    F.col("nrm").alias("a_nrm"), "bb")
+    b = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
+                    F.col("nrm").alias("b_nrm"), "bb")
+    return (
+        a.join(b, "bb")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id",
+                cosine(F.col("a_e"), F.col("b_e"),
+                       F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, long form (label, dim, centroid_val).
+
+    posexplode -> hash aggregate on (label, dim): map-side partial
+    aggregation makes this one narrow shuffle of |labels|x|dims|
+    groups however large the corpus. Values floored to 6dp for
+    cross-engine stability.
+    """
+    ensure_session_conf(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(as_double_vec(F.col("embedding")))
+                   .alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.floor(F.avg("v") * 1e6) / 1e6).alias("centroid_val"),
+             F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+QUERIES = {
+    "ann_topk": ann_topk,
+    "ann_lsh_topk": ann_lsh_topk,            # rows-only (xxhash64 planes)
+    "embedding_neardup": embedding_neardup,
+    "embedding_neardup_lsh": embedding_neardup_lsh,  # rows-only
+    "label_centroids": label_centroids,
+}
+
+# DuckDB twins. list_dot_product/list_cosine_similarity could differ
+# in accumulation order, so the oracles spell out the same
+# left-to-right double-precision fold Spark's aggregate() runs, via
+# list_reduce over an index range — then apply the same 1e-4 floor.
+_COS_SQL = """
+    floor(
+        list_reduce(
+            list_transform(range(1, 65),
+                           i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)),
+            (acc, x) -> acc + x)
+        / (a.nrm * b.nrm) * 10000) / 10000
+"""
+
+_VECS_SQL = """
+    SELECT vec_id, embedding AS e,
+           sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, x) -> acc + x)) AS nrm
+    FROM embeddings
+"""
+
+ORACLE_SQL = {
+    "ann_topk": f"""
+        WITH v AS ({_VECS_SQL}),
+        scored AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   {_COS_SQL} AS cosine_sim
+            FROM (SELECT * FROM v WHERE vec_id < {N_PROBES}) a
+            CROSS JOIN v b
+            WHERE a.vec_id != b.vec_id
+        ), ranked AS (
+            SELECT a_id, b_id, cosine_sim,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY cosine_sim DESC, b_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT a_id, b_id, CAST(rank AS INT) AS rank, cosine_sim
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "embedding_neardup": f"""
+        WITH v AS ({_VECS_SQL})
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_COS_SQL} AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= {NEARDUP_THRESHOLD}
+    """,
+    "label_centroids": """
+        SELECT label,
+               CAST(r.i - 1 AS INT) AS dim,
+               floor(avg(CAST(embedding[r.i] AS DOUBLE)) * 1e6) / 1e6
+                   AS centroid_val,
+               count(*) AS n_vectors
+        FROM embeddings, range(1, 65) AS r(i)
+        GROUP BY 1, 2
+    """,
+}

@@ -9,13 +9,13 @@ check).
 
 from __future__ import annotations
 
-from simpleetlpipeline_spark.functions import dedup, text
+from simpleetlpipeline_spark.functions import dedup, similarity, text
 from simpleetlpipeline_spark.plans import analytics
 
 QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
-for _mod in (text, dedup):
+for _mod in (text, dedup, similarity):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

@@ -1,0 +1,86 @@
+"""Unit tests for similarity search: LSH recall vs exact ground
+truth on synthetic near-dup data (the testdata embeddings are random
+and have no high-cosine pairs, max pairwise sim ~0.48)."""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def synth_dir(spark):
+    """64-dim corpus: 40 random base vectors + a jittered near-dup of
+    each of the first 10 (cosine vs base > 0.99)."""
+    rng = random.Random(42)
+    rows = []
+    bases = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        bases.append(v)
+        rows.append((i, [float(x) for x in v], i % 4))
+    for j in range(10):
+        v = [x + rng.gauss(0, 0.02) for x in bases[j]]
+        rows.append((100 + j, [float(x) for x in v], j % 4))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        yield td
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_ann_topk_matches_python_ground_truth(spark, synth_dir):
+    out = S.ann_topk(spark, synth_dir, n_probes=5, k=3).collect()
+    emb = {r["vec_id"]: list(r["embedding"])
+           for r in spark.read.parquet(
+               os.path.join(synth_dir, "embeddings.parquet")).collect()}
+    for a_id in range(5):
+        got = [r["b_id"] for r in sorted(
+            (r for r in out if r["a_id"] == a_id), key=lambda r: r["rank"])]
+        sims = sorted(((math.floor(_cos(emb[a_id], e) * 10000) / 10000, -b)
+                       for b, e in emb.items() if b != a_id), reverse=True)
+        want = [-b for _, b in sims[:3]]
+        assert got == want, f"probe {a_id}: {got} != {want}"
+
+
+def test_neardup_exact_finds_planted_pairs(spark, synth_dir):
+    out = S.embedding_neardup(spark, synth_dir, threshold=0.99).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    assert {(j, 100 + j) for j in range(10)} <= pairs
+
+
+def test_neardup_lsh_recall_on_planted_pairs(spark, synth_dir):
+    """Sign-random-projection blocking must recover nearly all planted
+    cosine>0.99 pairs: P(bit agrees) = 1 - theta/pi ~ 0.98, so
+    P(>=1 of 4 bands agrees) > 0.99."""
+    out = S.embedding_neardup_lsh(spark, synth_dir, threshold=0.99).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    planted = {(j, 100 + j) for j in range(10)}
+    assert len(pairs & planted) >= 9
+
+
+def test_lsh_topk_rank1_is_neardup(spark, synth_dir):
+    """For probes with a planted near-dup, LSH ANN must rank it #1."""
+    out = S.ann_lsh_topk(spark, synth_dir, n_probes=5, k=3).collect()
+    rank1 = {r["a_id"]: r["b_id"] for r in out if r["rank"] == 1}
+    hits = sum(1 for j in range(5) if rank1.get(j) == 100 + j)
+    assert hits >= 4
+
+
+def test_label_centroids_shape(spark, sf_dir):
+    rows = S.label_centroids(spark, sf_dir).collect()
+    dims = {r["dim"] for r in rows}
+    assert dims == set(range(64))
+    assert all(r["n_vectors"] > 0 for r in rows)
