@@ -11,11 +11,12 @@ from __future__ import annotations
 
 from simpleetlpipeline_spark.functions import dedup, similarity, text
 from simpleetlpipeline_spark.plans import analytics
+from simpleetlpipeline_spark.streaming import windows as streaming_windows
 
 QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
-for _mod in (text, dedup, similarity):
+for _mod in (text, dedup, similarity, streaming_windows):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

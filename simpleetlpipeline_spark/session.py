@@ -37,6 +37,16 @@ _RUNTIME_CONF = {
 }
 
 
+def _runtime_conf() -> dict[str, str]:
+    conf = dict(_RUNTIME_CONF)
+    # Shuffle (and streaming state-store) partition count sized to the
+    # actual parallelism instead of the 200 default — also applied to
+    # externally-built sessions, where stateful streaming would
+    # otherwise run 200 state tasks per micro-batch.
+    conf["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    return conf
+
+
 def default_parallelism() -> int:
     """Worker-thread count for local mode (driver contract: 32)."""
     try:
@@ -64,8 +74,10 @@ def get_spark(app_name: str = "simpleetlpipeline-spark",
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
-    for k, v in _RUNTIME_CONF.items():
+    for k, v in _runtime_conf().items():
         builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions",
+                             str(shuffle_partitions or cpus))
     return builder.getOrCreate()
 
 
@@ -76,7 +88,7 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     and AQE flags are runtime-mutable, so pin them for deterministic
     query semantics.
     """
-    for k, v in _RUNTIME_CONF.items():
+    for k, v in _runtime_conf().items():
         try:
             spark.conf.set(k, v)
         except Exception:

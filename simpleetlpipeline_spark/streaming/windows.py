@@ -1,0 +1,194 @@
+"""Windowed streaming aggregations over the events table.
+
+Operators:
+- streaming_events_hourly:  tumbling 1h window x event_type, with a
+  1h watermark. Complete output mode so every window is emitted at
+  end-of-stream (append mode would hold back windows newer than the
+  final watermark — correct for infinite streams, wrong for a
+  finite replay compared against a batch oracle).
+- streaming_events_sliding: sliding 1h window every 30min — each
+  event lands in two windows.
+- streaming_user_sessions:  session_window (30min gap) per user —
+  the streaming-native sessionization (batch twin:
+  plans/analytics.events_sessionization, lag-based).
+
+Scale notes: streaming state is keyed by (window, event_type) or
+(user, session) — both low-cardinality relative to input, partial
+aggregation happens map-side, and the watermark bounds state size on
+an infinite stream. The file source here replays the testdata
+parquet; swapping in Kafka is a source-config change only.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from simpleetlpipeline_spark.schemas import TESTDATA_SCHEMAS
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+
+def _events_stream_schema() -> StructType:
+    """Events schema as the streaming parquet source sees it: the
+    testdata stores TIMESTAMP(NANOS), surfaced as epoch-nanos LONG
+    under spark.sql.legacy.parquet.nanosAsLong."""
+    fields = []
+    for f in TESTDATA_SCHEMAS["events"].fields:
+        if f.name == "ts":
+            fields.append(StructField("ts", LongType()))
+        else:
+            fields.append(f)
+    return StructType(fields)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (finite replay of
+    the same files the batch path reads; ts normalized to
+    microsecond timestamps identically to io.read_table)."""
+    ensure_session_conf(spark)
+    # The file source requires a directory; point it at sf_dir and
+    # select only the events file(s) via glob filter.
+    raw = (
+        spark.readStream.schema(_events_stream_schema())
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_df(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a finite streaming query to completion into a memory sink
+    and return the result table. trigger(availableNow) processes all
+    currently-visible files in bounded batches then stops — the
+    replay-to-catch-up pattern."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup as a stream: watermarked stateful agg.
+
+    Same result contract as the batch events_hourly; the 1h watermark
+    is the late-data bound a production deployment would carry.
+    """
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    return run_stream_to_df(agg)
+
+
+def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1h window, 30min slide): every event
+    contributes to exactly two windows."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"),
+                "n_events", "total_value")
+    )
+    return run_stream_to_df(agg)
+
+
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window sessionization: 30min inactivity gap per user,
+    merged incrementally by the streaming state store (the operator
+    the batch lag()-based sessionization hand-rolls)."""
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id", "n_events", "total_value",
+        )
+    )
+    return run_stream_to_df(agg)
+
+
+QUERIES = {
+    "streaming_events_hourly": streaming_events_hourly,
+    "streaming_events_sliding": streaming_events_sliding,
+    "streaming_user_sessions": streaming_user_sessions,
+}
+
+# Batch twins for the finite replay. The streaming session_window
+# closes a session 30min after the last event; DuckDB expresses the
+# same via gap-based grouping (lag + cumulative sum), with
+# session_end = last_ts + gap.
+ORACLE_SQL = {
+    "streaming_events_hourly": """
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "streaming_events_sliding": """
+        WITH buckets AS (
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS tb, value
+            FROM events
+        ), contrib AS (
+            SELECT tb AS window_start, value FROM buckets
+            UNION ALL
+            SELECT tb - INTERVAL 30 MINUTE AS window_start, value FROM buckets
+        )
+        SELECT window_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM contrib
+        GROUP BY 1
+    """,
+    "streaming_user_sessions": """
+        WITH ordered AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), grouped AS (
+            SELECT user_id, ts, value,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM grouped
+        GROUP BY user_id, sid
+    """,
+}
