@@ -1,0 +1,225 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media payloads are opaque `binary` columns with typed
+metadata travelling alongside (media_id, media_type, n_bytes, ...).
+Heavy per-item work (decode, resize, frame-sample, feature-extract)
+runs as Arrow-batched pandas iterators via mapInPandas — the Spark
+pattern that scales this to 100 TB: each task pulls record batches,
+processes them in vectorized Python, and emits batches, with no
+driver involvement and no row-at-a-time serialization.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the
+decode kernel itself is STUBBED (see _decode_stub): a clearly-marked
+deterministic fake derives dimensions/duration from the payload's
+md5. Everything around it — binary schema, metadata struct,
+mapInPandas batch iteration, output schema contracts, partitioning —
+is real and tested; swapping the stub for PIL.Image.open is a
+one-function change.
+
+The media table is fabricated from the documents table (payload =
+utf-8 bytes of text), keeping every query oracle-checkable: DuckDB's
+md5(text) sees exactly the bytes Spark's payload column holds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+MEDIA_TYPES = ("image", "audio", "video")
+FRAME_BYTES = 64      # fake fixed-size frame for frame sampling
+FRAME_STRIDE = 4      # keep every 4th frame
+
+META_SCHEMA = (
+    "media_id long, media_type string, width int, height int, "
+    "duration_s int, n_bytes long"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media table fabricated from documents:
+    payload = utf-8 bytes of text, media_type assigned round-robin.
+    This is the schema contract a real ingest (S3 object scan /
+    tar-shard reader) would produce."""
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """STUB decode kernel (no codecs in this container).
+
+    Deterministic fake: dimensions/duration are parsed from the
+    payload's md5 so results are stable across runs, engines, and
+    partitionings. A real deployment replaces this body with e.g.
+    PIL.Image.open(io.BytesIO(payload)).size / ffprobe — the
+    surrounding mapInPandas plumbing is unchanged.
+    """
+    hx = hashlib.md5(payload).hexdigest()
+    width = int(hx[:4], 16) % 1920 + 1
+    height = int(hx[4:8], 16) % 1080 + 1
+    duration = int(hx[8:12], 16) % 600 + 1 if media_type != "image" else 0
+    return width, height, duration
+
+
+def decode_media(payload: bytes, media_type: str) -> bytes:
+    """Real decode entry point — NotImplementedError by design: the
+    container ships no codecs (build brief: stub the decode step,
+    keep the Spark-side plumbing real)."""
+    raise NotImplementedError(
+        "media decoding requires image/audio codecs not present in "
+        "this container; catalog queries use the deterministic "
+        "_decode_stub instead")
+
+
+def media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item metadata extraction through mapInPandas.
+
+    Arrow batches of (media_id, media_type, payload) flow into
+    Python; the stub 'decodes' each payload; typed metadata batches
+    flow out. Narrow (no shuffle), embarrassingly parallel — the hot
+    pattern for 100 TB media feature extraction.
+    """
+    media = media_table(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                _decode_stub(p, t)
+                for p, t in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "width": pd.Series([m[0] for m in meta], dtype="int32"),
+                "height": pd.Series([m[1] for m in meta], dtype="int32"),
+                "duration_s": pd.Series([m[2] for m in meta], dtype="int32"),
+                "n_bytes": pd.Series(
+                    [len(p) for p in pdf["payload"]], dtype="int64"),
+            })
+
+    return media.mapInPandas(extract, META_SCHEMA)
+
+
+def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM catalog view of the media table: type, size, content
+    fingerprint. No Python in the loop — the listing/dedup side of a
+    media pipeline."""
+    media = media_table(spark, sf_dir)
+    return media.select(
+        "media_id", "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def frame_sample(spark: SparkSession, sf_dir: str,
+                 frame_bytes: int = FRAME_BYTES,
+                 stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling via mapInPandas: treat the payload as
+    fixed-size frames, keep every `stride`-th frame, emit the sampled
+    payload + counts. Stand-in for video keyframe extraction (same
+    batch shape and output contract; the frame splitter is the only
+    fake)."""
+    media = media_table(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_frames, n_frames, n_kept = [], [], []
+            for p in pdf["payload"]:
+                frames = [p[i:i + frame_bytes]
+                          for i in range(0, len(p), frame_bytes)]
+                kept = frames[::stride]
+                out_frames.append(b"".join(kept))
+                n_frames.append(len(frames))
+                n_kept.append(len(kept))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_frames": pd.Series(n_frames, dtype="int64"),
+                "n_kept": pd.Series(n_kept, dtype="int64"),
+                "sampled_payload": out_frames,
+            })
+
+    return media.mapInPandas(
+        sample,
+        "media_id long, n_frames long, n_kept long, sampled_payload binary",
+    )
+
+
+def media_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata rollup downstream of the pandas extraction: the
+    mixed plan (mapInPandas -> JVM hash agg) a real pipeline runs."""
+    meta = media_meta_extract(spark, sf_dir)
+    return (
+        meta.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+        )
+    )
+
+
+QUERIES = {
+    "media_catalog": media_catalog,
+    "media_meta_extract": media_meta_extract,
+    "media_frame_sample": frame_sample,       # rows-only (binary out)
+    "media_type_rollup": media_type_rollup,
+}
+
+_HEX = "CAST(concat('0x', substr(md5(text), {a}, 4)) AS INTEGER)"
+_W = _HEX.format(a=1) + " % 1920 + 1"
+_H = _HEX.format(a=5) + " % 1080 + 1"
+_D = _HEX.format(a=9) + " % 600 + 1"
+
+_MEDIA_SQL = f"""
+    SELECT doc_id AS media_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+               AS media_type,
+           text
+    FROM documents
+"""
+
+_META_SQL = f"""
+    SELECT media_id, media_type,
+           CAST({_W} AS INT) AS width,
+           CAST({_H} AS INT) AS height,
+           CAST(CASE WHEN media_type = 'image' THEN 0 ELSE {_D} END AS INT)
+               AS duration_s,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM ({_MEDIA_SQL})
+"""
+
+ORACLE_SQL = {
+    "media_catalog": f"""
+        SELECT media_id, media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM ({_MEDIA_SQL})
+    """,
+    "media_meta_extract": _META_SQL,
+    "media_type_rollup": f"""
+        SELECT media_type,
+               count(*) AS n_items,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               max(width) AS max_width,
+               max(height) AS max_height
+        FROM ({_META_SQL})
+        GROUP BY 1
+    """,
+}

@@ -1,0 +1,212 @@
+"""Distributed synthetic data generator (SURVEY.md §2.1 S10).
+
+The reference generates its sample e-commerce CSVs with seeded numpy
+on the driver (main.py:237-375: np.random.seed(42), weighted
+np.random.choice). The Spark-first re-expression is spark.range(n)
+plus seeded rand()/xxhash64-derived columns with when-ladder weighted
+sampling — fully distributed, no driver materialization, so the same
+generator produces 4k rows or 4B rows.
+
+Deliberate dirtiness is reproduced because it is load-bearing for
+the transform layer (SURVEY.md §2.3 F2/F5/F6, §6):
+- some emails lack '@' (dropped by filter_valid_email)
+- country appears as US/USA/UK/... (standardize_values unifies)
+- some stock quantities are negative (clamp_floor)
+- a seeded fraction of orders/items get a small total error beyond
+  the ±0.01 tolerance (filter_tolerance drops them, mirroring the
+  reference's verified 14%/42% drops).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import write_csv
+
+SEED = 42
+ANCHOR_DATE = "2025-07-04"  # reference's committed run date
+
+
+def _pick(id_col: Column, salt: int, *choices: str) -> Column:
+    """Uniform deterministic categorical pick via xxhash64."""
+    arr = F.array(*[F.lit(c) for c in choices])
+    return F.element_at(
+        arr, (F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(len(choices))) + 1)
+        .cast("int"))
+
+
+def _weighted(r: Column, *weighted_choices: tuple[str, float]) -> Column:
+    """Weighted categorical sampling as a cumulative when-ladder —
+    the declarative analog of np.random.choice(p=[...])
+    (reference main.py:284,334,343)."""
+    expr = None
+    cum = 0.0
+    for value, weight in weighted_choices[:-1]:
+        cum += weight
+        branch = F.when(r < cum, F.lit(value))
+        expr = branch if expr is None else expr.when(r < cum, F.lit(value))
+    last = F.lit(weighted_choices[-1][0])
+    return expr.otherwise(last) if expr is not None else last
+
+
+def _rand(seed_offset: int) -> Column:
+    return F.rand(SEED + seed_offset)
+
+
+def gen_customers(spark: SparkSession, n: int = 2000) -> DataFrame:
+    """Reference main.py:266-286. ~2% of emails are invalid."""
+    ids = spark.range(1, n + 1).withColumnRenamed("id", "customer_id")
+    first = _pick(F.col("customer_id"), 1,
+                  "James", "Mary", "John", "Patricia", "Robert", "Jennifer",
+                  "Michael", "Linda", "David", "Elizabeth")
+    last = _pick(F.col("customer_id"), 2,
+                 "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia",
+                 "Miller", "Davis", "Rodriguez", "Martinez")
+    email_ok = _rand(3) >= 0.02
+    return ids.select(
+        "customer_id",
+        first.alias("first_name"),
+        last.alias("last_name"),
+        F.when(
+            email_ok,
+            F.concat(F.lower(first), F.lit("."), F.lower(last),
+                     F.col("customer_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(
+            F.concat(F.lower(first), F.lit(".invalid.example.com"))
+        ).alias("email"),
+        F.concat(F.lit("+1-555-"),
+                 F.lpad((F.pmod(F.xxhash64("customer_id"), F.lit(10000)))
+                        .cast("string"), 4, "0")).alias("phone"),
+        F.date_sub(F.lit(ANCHOR_DATE).cast("date"),
+                   (F.floor(_rand(4) * 1460)).cast("int"))
+        .alias("registration_date"),
+        _weighted(_rand(5), ("USA", 0.3), ("US", 0.1),
+                  ("United States", 0.05), ("UK", 0.1), ("Britain", 0.05),
+                  ("Canada", 0.2), ("Germany", 0.2)).alias("country"),
+        _pick(F.col("customer_id"), 6, "New York", "London", "Toronto",
+              "Berlin", "Chicago", "Manchester").alias("city"),
+        _weighted(_rand(7), ("Premium", 0.2), ("Standard", 0.5),
+                  ("Basic", 0.3)).alias("customer_segment"),
+        F.lit(0).alias("total_orders"),
+        F.lit(0.0).alias("total_spent"),
+    )
+
+
+def gen_products(spark: SparkSession, n: int = 500) -> DataFrame:
+    """Reference main.py:288-311. ~5% negative stock (clamped later)."""
+    ids = spark.range(1, n + 1).withColumnRenamed("id", "product_id")
+    unit_price = F.round(_rand(11) * 495 + 5, 2)
+    return ids.select(
+        "product_id",
+        F.concat(F.lit("Product-"), F.col("product_id")).alias("product_name"),
+        _weighted(_rand(12), ("Electronics", 0.3), ("Clothing", 0.25),
+                  ("Home", 0.2), ("Sports", 0.15), ("Books", 0.1))
+        .alias("category"),
+        _pick(F.col("product_id"), 13, "SubA", "SubB", "SubC", "SubD")
+        .alias("subcategory"),
+        _pick(F.col("product_id"), 14, "BrandX", "BrandY", "BrandZ", "Acme")
+        .alias("brand"),
+        unit_price.alias("unit_price"),
+        F.round(unit_price * (_rand(15) * 0.4 + 0.4), 2).alias("cost_price"),
+        F.when(_rand(16) < 0.05,
+               (-F.floor(_rand(17) * 20) - 1).cast("int"))
+        .otherwise(F.floor(_rand(17) * 500).cast("int"))
+        .alias("stock_quantity"),
+        F.round(_rand(18) * 20 + 0.1, 2).alias("weight_kg"),
+        (F.pmod(F.xxhash64("product_id", F.lit(19)), F.lit(50)) + 1)
+        .cast("int").alias("supplier_id"),
+        (_rand(20) < 0.9).alias("is_active"),
+    )
+
+
+def gen_orders(spark: SparkSession, n: int = 1500,
+               n_customers: int = 2000) -> DataFrame:
+    """Reference main.py:313-347. ~15% get a total_amount that
+    violates the ±0.01 consistency tolerance (reference's verified
+    behavior: 216/1500 dropped)."""
+    ids = spark.range(1, n + 1).withColumnRenamed("id", "order_id")
+    subtotal = F.round(_rand(21) * 990 + 10, 2)
+    tax = F.round(subtotal * 0.08, 2)
+    shipping = F.round(_rand(22) * 20, 2)
+    discount = F.round(
+        F.when(_rand(23) < 0.3, subtotal * 0.1).otherwise(0.0), 2)
+    consistent_total = F.round(subtotal + tax + shipping - discount, 2)
+    broken_total = F.round(consistent_total + 0.02 + _rand(24) * 5, 2)
+    return ids.select(
+        "order_id",
+        (F.pmod(F.xxhash64("order_id", F.lit(25)), F.lit(n_customers)) + 1)
+        .alias("customer_id"),
+        F.date_sub(F.lit(ANCHOR_DATE).cast("date"),
+                   (F.floor(_rand(26) * 730)).cast("int")).alias("order_date"),
+        _weighted(_rand(27), ("Completed", 0.6), ("Pending", 0.15),
+                  ("Shipped", 0.15), ("Cancelled", 0.1)).alias("order_status"),
+        _weighted(_rand(28), ("Standard", 0.6), ("Express", 0.3),
+                  ("Overnight", 0.1)).alias("shipping_method"),
+        _weighted(_rand(29), ("Credit Card", 0.5), ("PayPal", 0.3),
+                  ("Bank Transfer", 0.2)).alias("payment_method"),
+        subtotal.alias("subtotal"),
+        tax.alias("tax_amount"),
+        shipping.alias("shipping_cost"),
+        discount.alias("discount_amount"),
+        F.when(_rand(30) < 0.15, broken_total)
+        .otherwise(consistent_total).alias("total_amount"),
+    )
+
+
+def gen_order_items(spark: SparkSession, n_orders: int = 1500,
+                    n_products: int = 500) -> DataFrame:
+    """Reference main.py:349-375: 1-5 items per order; ~40% of line
+    totals computed from an unrounded discount (the reference's CSV
+    rounding bug, verified to drop 1879/4474 items)."""
+    base = (
+        spark.range(1, n_orders + 1).withColumnRenamed("id", "order_id")
+        .select("order_id",
+                F.explode(F.sequence(
+                    F.lit(1),
+                    (F.pmod(F.xxhash64("order_id", F.lit(31)), F.lit(5)) + 1)
+                    .cast("int"))).alias("seq"))
+    )
+    # Dense global row_number would need a single-partition sort;
+    # (order_id*8 + seq) is unique (seq<=5), deterministic, and
+    # computable without any shuffle at any scale.
+    item_id = F.col("order_id") * 8 + F.col("seq")
+    qty = (F.pmod(F.xxhash64("order_id", "seq", F.lit(32)), F.lit(10)) + 1)
+    price = F.round(_rand(33) * 495 + 5, 2)
+    disc_raw = _rand(34) * 25
+    disc_rounded = F.round(disc_raw, 2)
+    consistent = F.round(qty * price * (1 - disc_rounded / 100), 2)
+    drifted = F.round(qty * price * (1 - disc_raw / 100), 2)
+    return base.select(
+        item_id.alias("item_id"),
+        "order_id",
+        (F.pmod(F.xxhash64("order_id", "seq", F.lit(35)), F.lit(n_products)) + 1)
+        .alias("product_id"),
+        qty.cast("int").alias("quantity"),
+        price.alias("unit_price"),
+        disc_rounded.alias("discount_percent"),
+        F.when(_rand(36) < 0.4, drifted).otherwise(consistent)
+        .alias("line_total"),
+    )
+
+
+def generate_sample_data(spark: SparkSession, out_dir: str,
+                         n_customers: int = 2000, n_products: int = 500,
+                         n_orders: int = 1500) -> dict[str, str]:
+    """Write the four CSV sources (reference main.py:237-264) and
+    return {table: path}. CSV to mirror the reference's interchange
+    format; the warehouse side is parquet."""
+    dfs = {
+        "customers": gen_customers(spark, n_customers),
+        "products": gen_products(spark, n_products),
+        "orders": gen_orders(spark, n_orders, n_customers),
+        "order_items": gen_order_items(spark, n_orders, n_products),
+    }
+    paths = {}
+    for name, df in dfs.items():
+        path = os.path.join(out_dir, f"{name}.csv")
+        write_csv(df, path)
+        paths[name] = path
+    return paths

@@ -33,6 +33,7 @@ class QualityReport:
     null_counts: dict[str, int] = field(default_factory=dict)
     duplicate_rows: int = 0
     quality_score: float = 100.0
+    content_hash: str | None = None
 
 
 def null_counts_expr(df: DataFrame) -> list[F.Column]:
@@ -62,16 +63,31 @@ def quality_score(row_count: int, column_count: int, total_nulls: int,
     return round(max(0.0, score), 2)
 
 
-def check_data_quality(df: DataFrame, table_name: str) -> QualityReport:
-    """Full profile in two jobs (A7+A9 fused, then A8)."""
-    agg_row: Row = df.agg(
-        F.count(F.lit(1)).alias("__rows"), *null_counts_expr(df)
-    ).collect()[0]
+def check_data_quality(df: DataFrame, table_name: str,
+                       with_content_hash: bool = False) -> QualityReport:
+    """Full profile in ONE distributed aggregate: row count, per-column
+    null counts, duplicate-row count (rows - distinct rows, via
+    count_distinct over the full-row struct — exact, and equal to
+    pandas duplicated().sum()), and optionally the lineage content
+    hash. One job regardless of column count; no row collect.
+    """
+    ncols = len(df.columns)
+    row_struct = F.struct(*[F.col(c) for c in df.columns])
+    exprs = [
+        F.count(F.lit(1)).alias("__rows"),
+        F.count_distinct(row_struct).alias("__distinct"),
+        *null_counts_expr(df),
+    ]
+    if with_content_hash:
+        exprs.append(
+            F.sum(
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+                .cast("decimal(38,0)")).alias("__hash"))
+    agg_row: Row = df.agg(*exprs).collect()[0]
     row_count = agg_row["__rows"]
     nulls = {f.name: int(agg_row[f.name] or 0) for f in df.schema.fields}
-    dup = df.count() - df.dropDuplicates().count() if row_count else 0
-    ncols = len(df.columns)
-    return QualityReport(
+    dup = row_count - agg_row["__distinct"]
+    report = QualityReport(
         table_name=table_name,
         row_count=row_count,
         column_count=ncols,
@@ -79,16 +95,22 @@ def check_data_quality(df: DataFrame, table_name: str) -> QualityReport:
         duplicate_rows=dup,
         quality_score=quality_score(row_count, ncols, sum(nulls.values()), dup),
     )
+    if with_content_hash:
+        report.content_hash = format(
+            int(agg_row["__hash"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+    return report
 
 
 def content_hash(df: DataFrame) -> str:
     """Order-insensitive dataset fingerprint (replaces main.py:507).
 
-    xxhash64 over all columns per row, summed with 64-bit wraparound.
-    Commutative, so partition/order changes don't alter it; fully
-    distributed (one aggregate, no collect of rows).
+    xxhash64 over all columns per row, summed as decimal(38,0) (a
+    long sum would hit ANSI ARITHMETIC_OVERFLOW on any real table)
+    then wrapped to 64 bits. Commutative, so partition/order changes
+    don't alter it; fully distributed (one aggregate, no row collect).
     """
     h = df.select(
-        F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).alias("h")
+        F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+        .cast("decimal(38,0)").alias("h")
     ).agg(F.sum("h").alias("s")).collect()[0]["s"]
-    return format((h or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+    return format(int(h or 0) & 0xFFFFFFFFFFFFFFFF, "016x")

@@ -1,0 +1,257 @@
+"""Batch ETL pipeline driver (reference EP1: main.py:560-610) and
+monitoring surface (EP3: main.py:814-948).
+
+Extract → transform → load in FK-respecting order with per-table
+failure isolation, per-load lineage metadata, and a post-load
+customer rollup — the reference's full pipeline re-expressed on
+immutable parquet tables.
+
+Scale-conscious choices:
+- Input/output row counts come from DataFrame.observe() metrics
+  collected during the single write action — no extra count() passes
+  over the data (the reference counts eagerly because pandas is
+  already materialized; at 100 TB every extra pass matters).
+- The load projects onto the declared target schema before writing
+  (TARGET_COLUMNS). The reference forgot this and silently loaded 0
+  products (SURVEY.md §3 'verified failure'); here profit_margin
+  stays a query-layer column.
+- The customer rollup (reference's correlated UPDATE, main.py:612-628)
+  is the decorrelated agg → broadcast-left-join → coalesce rewrite,
+  written as a new table version (immutable storage; a production
+  deployment would swap table pointers or use Delta/Iceberg MERGE).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import append_table, read_csv
+from simpleetlpipeline_spark.operators.joins import rollup_update
+from simpleetlpipeline_spark.operators.quality import check_data_quality
+from simpleetlpipeline_spark.operators.transforms import TRANSFORM_DISPATCH
+from simpleetlpipeline_spark.schemas import (
+    ETL_METADATA,
+    REFERENCE_SCHEMAS,
+    TARGET_COLUMNS,
+)
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+#: FK-respecting load order (reference main.py:570-575).
+LOAD_ORDER = ("customers", "products", "orders", "order_items")
+
+
+@dataclass
+class ETLConfig:
+    """Engine config (reference ETLConfig, main.py:21-28).
+
+    batch_size survives only as the JDBC-sink batch hint; parquet
+    writes batch per-partition naturally. parallel_threads is gone:
+    the reference declared it and never used it (main.py:12,27);
+    Spark's executors replace it for real.
+    """
+    warehouse_dir: str = "warehouse"
+    batch_size: int = 1000
+    retention_days: int = 365
+
+
+@dataclass
+class RunMetrics:
+    """Pipeline run counters (reference main.py:230-235, 630-640)."""
+    records_processed: int = 0
+    records_inserted: int = 0
+    successful_tables: int = 0
+    failed_tables: int = 0
+    table_times: dict[str, float] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)
+    total_time: float = 0.0
+
+    @property
+    def records_per_second(self) -> float:
+        return self.records_processed / self.total_time if self.total_time else 0.0
+
+
+def load_table(spark: SparkSession, table: str, source_path: str,
+               config: ETLConfig) -> tuple[int, int]:
+    """Extract → transform → quality → load one table, appending a
+    lineage row to etl_metadata (reference load_data, main.py:501-558).
+
+    Returns (records_processed, records_inserted). Counts are
+    observe() metrics from the write action itself — one pass.
+    """
+    start = time.monotonic()
+    obs_in, obs_out = Observation(), Observation()
+
+    df = read_csv(spark, source_path, REFERENCE_SCHEMAS[table])
+    df = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    transformed = TRANSFORM_DISPATCH[table](df)
+    out = transformed.select(*TARGET_COLUMNS[table])
+    out = out.observe(obs_out, F.count(F.lit(1)).alias("n"))
+
+    append_table(out, os.path.join(config.warehouse_dir, table))
+    n_in, n_out = obs_in.get["n"], obs_out.get["n"]
+    if n_in == 0:
+        # Empty-source guard (reference main.py:390-395) paid from the
+        # write's own observed metric instead of an extra isEmpty job.
+        from simpleetlpipeline_spark.io import EmptySourceError
+
+        raise EmptySourceError(f"Source file is empty: {source_path}")
+
+    # Profile + lineage hash in ONE aggregate job over the loaded data.
+    report = check_data_quality(
+        spark.read.parquet(os.path.join(config.warehouse_dir, table)),
+        table, with_content_hash=True)
+    checksum = report.content_hash
+    elapsed = time.monotonic() - start
+
+    from pyspark.sql.types import StructType
+
+    meta = spark.createDataFrame(
+        [(table, source_path, n_in, n_out, 0, n_in - n_out,
+          round(elapsed, 4), float(report.quality_score), checksum)],
+        StructType(ETL_METADATA.fields[:-1]),
+    ).withColumn("etl_timestamp", F.current_timestamp())
+    append_table(meta.select(*ETL_METADATA.fieldNames()),
+                 os.path.join(config.warehouse_dir, "etl_metadata"))
+    return n_in, n_out
+
+
+def update_calculated_fields(spark: SparkSession, config: ETLConfig) -> DataFrame:
+    """Post-load per-customer rollup (reference main.py:612-628):
+    COUNT/SUM of Completed orders joined back onto customers with
+    zero defaults; written as customers_enriched (immutable rewrite
+    of the reference's in-place UPDATE)."""
+    customers = spark.read.parquet(os.path.join(config.warehouse_dir, "customers"))
+    orders = spark.read.parquet(os.path.join(config.warehouse_dir, "orders"))
+    enriched = rollup_update(
+        customers.drop("total_orders", "total_spent"),
+        orders.filter(F.col("order_status") == "Completed"),
+        dim_key="customer_id", fact_key="customer_id",
+        count_col="order_id", sum_col="total_amount",
+    )
+    enriched.write.mode("overwrite").parquet(
+        os.path.join(config.warehouse_dir, "customers_enriched"))
+    return spark.read.parquet(
+        os.path.join(config.warehouse_dir, "customers_enriched"))
+
+
+def run_full_pipeline(spark: SparkSession, source_dir: str,
+                      config: ETLConfig) -> RunMetrics:
+    """FK-ordered ETL loop with per-table failure isolation
+    (reference run_full_pipeline, main.py:560-610): one table's
+    failure records an error and the loop continues."""
+    ensure_session_conf(spark)
+    metrics = RunMetrics()
+    t0 = time.monotonic()
+    for table in LOAD_ORDER:
+        t_start = time.monotonic()
+        try:
+            n_in, n_out = load_table(
+                spark, table, os.path.join(source_dir, f"{table}.csv"), config)
+            metrics.records_processed += n_in
+            metrics.records_inserted += n_out
+            metrics.successful_tables += 1
+        except Exception as exc:  # noqa: BLE001 — isolation is the contract
+            metrics.failed_tables += 1
+            metrics.errors[table] = str(exc)
+        metrics.table_times[table] = round(time.monotonic() - t_start, 4)
+    if metrics.errors.keys().isdisjoint({"customers", "orders"}):
+        update_calculated_fields(spark, config)
+    metrics.total_time = round(time.monotonic() - t0, 4)
+    return metrics
+
+
+def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: one full generate → extract/transform/load →
+    rollup cycle into a throwaway warehouse, returning the
+    deterministic columns of the lineage table (seeded generator, so
+    counts/scores/checksums are stable across runs). Non-SQL-
+    expressible end to end (driver loop + writes) → rows-only check.
+    """
+    import re
+    import tempfile
+
+    td = tempfile.mkdtemp(prefix="etl_run_")
+    src = os.path.join(td, "src")
+    cfg = ETLConfig(warehouse_dir=os.path.join(td, "wh"))
+    from simpleetlpipeline_spark.generator import generate_sample_data
+
+    # Scale the synthetic volume with the requested sf so the bench
+    # measures data throughput, not fixed job-scheduling overhead
+    # (reference sizes x sf/0.001; sf0.1 -> 200k customers, 150k
+    # orders, ~450k items).
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    scale = max(float(m.group(1)) / 0.001, 0.2) if m else 1.0
+    generate_sample_data(
+        spark, src,
+        n_customers=int(2000 * scale), n_products=int(500 * scale),
+        n_orders=int(1500 * scale))
+    metrics = run_full_pipeline(spark, src, cfg)
+    if metrics.failed_tables:
+        raise RuntimeError(f"pipeline failures: {metrics.errors}")
+    meta = spark.read.parquet(os.path.join(cfg.warehouse_dir, "etl_metadata"))
+    return meta.select(
+        "table_name", "records_processed", "records_inserted",
+        "records_failed", "data_quality_score", "checksum")
+
+
+# --- Monitoring / EP3 (reference main.py:793-872) -------------------------
+
+def quality_summary(spark: SparkSession, config: ETLConfig) -> DataFrame:
+    """A5: per-table lineage rollup (reference main.py:793-802)."""
+    meta = spark.read.parquet(os.path.join(config.warehouse_dir, "etl_metadata"))
+    return (
+        meta.groupBy("table_name")
+        .agg(
+            F.round(F.avg("data_quality_score"), 2).alias("avg_quality_score"),
+            F.sum("records_processed").alias("total_records"),
+            F.max("etl_timestamp").alias("last_load"),
+        )
+        .orderBy(F.desc("total_records"))
+    )
+
+
+def pipeline_status(spark: SparkSession, config: ETLConfig) -> dict:
+    """EP3 dashboard (reference get_pipeline_status, main.py:820-851):
+    latest loads + 24h sliding aggregate + derived health flag."""
+    meta = spark.read.parquet(os.path.join(config.warehouse_dir, "etl_metadata"))
+    recent = meta.filter(
+        F.col("etl_timestamp")
+        >= F.current_timestamp() - F.expr("INTERVAL 24 HOURS"))
+    agg = recent.agg(
+        F.round(F.avg("processing_time"), 4).alias("avg_processing_time"),
+        F.sum("records_processed").alias("records_24h"),
+        F.round(F.avg("data_quality_score"), 2).alias("avg_quality"),
+        F.count(F.lit(1)).alias("loads_24h"),
+    ).first()
+    latest = [r.asDict() for r in
+              meta.orderBy(F.desc("etl_timestamp")).limit(10).collect()]
+    quality = agg["avg_quality"]
+    health = ("healthy" if quality is not None and quality >= 80.0
+              else "degraded" if quality is not None else "idle")
+    return {
+        "health": health,
+        "avg_processing_time": agg["avg_processing_time"],
+        "records_24h": agg["records_24h"],
+        "avg_quality": quality,
+        "loads_24h": agg["loads_24h"],
+        "latest_loads": latest,
+    }
+
+
+def analyze_tables(spark: SparkSession, config: ETLConfig) -> dict[str, int]:
+    """EP3 optimizer surface (reference analyze_query_performance,
+    main.py:915-933): per-table row counts. SQLite ANALYZE maps to
+    'ANALYZE TABLE ... COMPUTE STATISTICS' for catalog tables; for
+    path tables the parquet footers already carry the stats Catalyst
+    uses, so this reports counts only."""
+    out = {}
+    for table in LOAD_ORDER:
+        path = os.path.join(config.warehouse_dir, table)
+        if os.path.exists(path):
+            out[table] = spark.read.parquet(path).count()
+    return out

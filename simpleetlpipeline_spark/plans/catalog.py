@@ -9,16 +9,24 @@ check).
 
 from __future__ import annotations
 
-from simpleetlpipeline_spark.functions import dedup, similarity, text
+from simpleetlpipeline_spark.functions import dedup, multimodal, similarity, text
 from simpleetlpipeline_spark.plans import analytics
 from simpleetlpipeline_spark.streaming import windows as streaming_windows
 
 QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
-for _mod in (text, dedup, similarity, streaming_windows):
+for _mod in (text, dedup, similarity, multimodal, streaming_windows):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
+
+
+def _etl_pipeline_run(spark, sf_dir):
+    from simpleetlpipeline_spark.pipeline import etl_pipeline_run
+    return etl_pipeline_run(spark, sf_dir)
+
+
+QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # rows-only (driver loop)
 
 
 def register(queries: dict, oracle: dict | None = None) -> None:

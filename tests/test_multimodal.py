@@ -1,0 +1,50 @@
+"""Multimodal plumbing tests: mapInPandas batch contracts, frame
+sampling math, and the explicit decode stub."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.functions import multimodal as M
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_media(b"\x89PNG...", "image")
+
+
+def test_media_table_schema(spark, sf_dir):
+    df = M.media_table(spark, sf_dir)
+    assert dict(df.dtypes) == {
+        "media_id": "bigint", "media_type": "string", "payload": "binary"}
+    types = {r["media_type"] for r in df.select("media_type").distinct().collect()}
+    assert types == {"image", "audio", "video"}
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    rows = M.frame_sample(spark, sf_dir).collect()
+    cat = {r["media_id"]: r["n_bytes"]
+           for r in M.media_catalog(spark, sf_dir).collect()}
+    for r in rows:
+        n_frames = math.ceil(cat[r["media_id"]] / M.FRAME_BYTES)
+        assert r["n_frames"] == n_frames
+        assert r["n_kept"] == math.ceil(n_frames / M.FRAME_STRIDE)
+        assert len(r["sampled_payload"]) <= cat[r["media_id"]]
+
+
+def test_meta_extract_deterministic_and_bounded(spark, sf_dir):
+    a = {r["media_id"]: (r["width"], r["height"], r["duration_s"])
+         for r in M.media_meta_extract(spark, sf_dir).collect()}
+    b = {r["media_id"]: (r["width"], r["height"], r["duration_s"])
+         for r in M.media_meta_extract(spark, sf_dir).collect()}
+    assert a == b
+    assert all(1 <= w <= 1920 and 1 <= h <= 1080 for w, h, _ in a.values())
+
+
+def test_images_have_zero_duration(spark, sf_dir):
+    rows = M.media_meta_extract(spark, sf_dir).collect()
+    assert all(
+        (r["duration_s"] == 0) == (r["media_type"] == "image") for r in rows)

@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests: generator -> extract/transform/load ->
+lineage metadata -> rollup -> monitoring, plus the failure-isolation
+and products-bug-fix contracts from SURVEY.md §3."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from simpleetlpipeline_spark import generator, pipeline
+from simpleetlpipeline_spark.operators import transforms
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    td = tmp_path_factory.mktemp("etl")
+    src = str(td / "src")
+    cfg = pipeline.ETLConfig(warehouse_dir=str(td / "wh"))
+    generator.generate_sample_data(
+        spark, src, n_customers=400, n_products=120, n_orders=300)
+    metrics = pipeline.run_full_pipeline(spark, src, cfg)
+    return spark, cfg, metrics
+
+
+def test_all_tables_load(run):
+    _, _, metrics = run
+    assert metrics.successful_tables == 4
+    assert metrics.failed_tables == 0
+    assert metrics.records_processed > 0
+    assert metrics.records_per_second > 0
+
+
+def test_products_table_not_empty(run):
+    """The reference silently loaded 0 products (profit_margin not in
+    DDL, SURVEY.md §3). The target-schema projection must fix it."""
+    spark, cfg, _ = run
+    products = spark.read.parquet(os.path.join(cfg.warehouse_dir, "products"))
+    assert products.count() > 0
+    assert "profit_margin" not in products.columns
+
+
+def test_tolerance_filters_drop_rows(run):
+    """The seeded generator plants inconsistent totals; the ±0.01
+    tolerance filters must drop a nonzero fraction (reference
+    verified behavior: 216/1500 orders, 1879/4474 items)."""
+    spark, cfg, metrics = run
+    assert metrics.records_inserted < metrics.records_processed
+    orders = spark.read.parquet(os.path.join(cfg.warehouse_dir, "orders"))
+    assert 0 < orders.count() < 300
+
+
+def test_metadata_lineage(run):
+    spark, cfg, _ = run
+    meta = spark.read.parquet(os.path.join(cfg.warehouse_dir, "etl_metadata"))
+    rows = {r["table_name"]: r for r in meta.collect()}
+    assert set(rows) == {"customers", "products", "orders", "order_items"}
+    for r in rows.values():
+        assert r["records_inserted"] <= r["records_processed"]
+        assert r["records_failed"] == r["records_processed"] - r["records_inserted"]
+        assert 0.0 <= r["data_quality_score"] <= 100.0
+        assert len(r["checksum"]) == 16
+        assert r["etl_timestamp"] is not None
+
+
+def test_rollup_enriched_customers(run):
+    spark, cfg, _ = run
+    enriched = spark.read.parquet(
+        os.path.join(cfg.warehouse_dir, "customers_enriched"))
+    customers = spark.read.parquet(os.path.join(cfg.warehouse_dir, "customers"))
+    assert enriched.count() == customers.count()
+    agg = enriched.selectExpr(
+        "sum(total_orders) s", "min(total_spent) m").first()
+    assert agg["s"] > 0 and agg["m"] >= 0.0
+
+
+def test_monitoring_surfaces(run):
+    spark, cfg, _ = run
+    qs = {r["table_name"]: r for r in
+          pipeline.quality_summary(spark, cfg).collect()}
+    assert len(qs) == 4
+    status = pipeline.pipeline_status(spark, cfg)
+    assert status["health"] in {"healthy", "degraded"}
+    assert status["loads_24h"] == 4
+    counts = pipeline.analyze_tables(spark, cfg)
+    assert set(counts) == {"customers", "products", "orders", "order_items"}
+
+
+def test_failure_isolation(spark, tmp_path, monkeypatch):
+    """A poisoned transform must fail its table only; the loop
+    continues and other tables load (reference main.py:593-596)."""
+    src = str(tmp_path / "src")
+    cfg = pipeline.ETLConfig(warehouse_dir=str(tmp_path / "wh"))
+    generator.generate_sample_data(
+        spark, src, n_customers=50, n_products=20, n_orders=40)
+
+    def boom(df):
+        raise RuntimeError("poisoned transform")
+
+    monkeypatch.setitem(transforms.TRANSFORM_DISPATCH, "products", boom)
+    metrics = pipeline.run_full_pipeline(spark, src, cfg)
+    assert metrics.failed_tables == 1
+    assert metrics.successful_tables == 3
+    assert "products" in metrics.errors
+    # rollup still ran: customers and orders both loaded
+    assert os.path.exists(os.path.join(cfg.warehouse_dir, "customers_enriched"))
+
+
+def test_missing_source_isolated(spark, tmp_path):
+    """Missing CSVs must not raise out of the pipeline loop."""
+    cfg = pipeline.ETLConfig(warehouse_dir=str(tmp_path / "wh"))
+    metrics = pipeline.run_full_pipeline(spark, str(tmp_path / "nosrc"), cfg)
+    assert metrics.failed_tables == 4
+    assert metrics.successful_tables == 0
