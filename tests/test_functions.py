@@ -70,6 +70,23 @@ def test_simhash_identical_zero_hamming_and_near(spark):
     assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
 
 
+def test_simhash_udf_matches_column_impl(spark):
+    """The numpy kernel must be bit-identical to the pure-column
+    simhash (same getbit/majority-vote semantics)."""
+    from simpleetlpipeline_spark.functions.dedup import simhash_from_hashes_udf
+
+    rows = [(i, f"some text number {i} with shared words and tail{i % 3}")
+            for i in range(20)]
+    df = _docs(spark, rows)
+    toks = tokens_col(F.col("text"))
+    sim_udf = simhash_from_hashes_udf()
+    out = df.select(
+        simhash_col(toks).alias("col_impl"),
+        sim_udf(F.transform(toks, lambda t: F.xxhash64(t))).alias("udf_impl"),
+    ).collect()
+    assert all(r["col_impl"] == r["udf_impl"] for r in out)
+
+
 def test_dedup_exact_counts(spark, sf_dir):
     out = DEDUP_QUERIES["dedup_exact"](spark, sf_dir)
     from simpleetlpipeline_spark.io import read_table
