@@ -98,6 +98,35 @@ def register_views(spark: SparkSession, sf_dir: str,
     return out
 
 
+def read_json(spark: SparkSession, path: str, schema: StructType,
+              multiline: bool = False) -> DataFrame:
+    """JSON-lines scan with declared schema (no sampling inference
+    pass). The reference is CSV-only; JSON is the other interchange
+    format a drop-in engine needs."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Source file not found: {path}")
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", multiline)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink; one file per partition like every Spark sink."""
+    df.write.mode(mode).json(path)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """SQL query source (S4; reference pd.read_sql_query main.py:648):
+    register the testdata tables as views and hand the string to
+    Catalyst — the parse/plan/execute stack the reference delegated
+    to SQLite."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
 def append_table(df: DataFrame, table_path: str) -> None:
     """Relational-table append sink (S3; reference main.py:501-558).
 

@@ -515,3 +515,40 @@ ORACLE_SQL = {
         GROUP BY user_id, session_id
     """,
 }
+
+
+# --- S4 raw-SQL entry + O4 sampling (appended catalog entries) ------------
+
+def sql_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the reference's raw-SQL entry point (pd.read_sql_query →
+    SQLite, main.py:648-657) re-expressed as spark.sql over
+    registered views — Catalyst runs the parse/analyze/optimize/
+    execute stack SQLite ran. Same result contract as monthly_sales.
+    """
+    from simpleetlpipeline_spark.io import run_sql
+
+    ensure_session_conf(spark)
+    return run_sql(spark, sf_dir, """
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+               count(*) AS total_orders,
+               round(sum(o_totalprice), 2) AS total_revenue
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY month
+        ORDER BY month
+    """)
+
+
+def orders_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: seeded Bernoulli sampling (reference df.sample,
+    main.py:323,356). Deterministic for a fixed seed and input
+    splits; per-partition with no shuffle at any scale. Exact-n
+    sampling would be orderBy(rand(seed)).limit(n) — a global sort,
+    only worth it when exactness matters."""
+    ensure_session_conf(spark)
+    return read_table(spark, sf_dir, "orders").sample(0.1, seed=42)
+
+
+QUERIES["sql_monthly_sales"] = sql_monthly_sales
+ORACLE_SQL["sql_monthly_sales"] = ORACLE_SQL["monthly_sales"]
+QUERIES["orders_sample"] = orders_sample  # rows-only: engine-specific RNG

@@ -11,13 +11,19 @@ from simpleetlpipeline_spark.plans import catalog
 from simpleetlpipeline_spark.plans.analytics import QUERIES
 
 
+# Queries whose values are engine-specific by design (seeded RNG /
+# hash families) — rows-only in the driver's gate, no SQL twin.
+ROWS_ONLY = {"orders_sample"}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs_and_matches_oracle_columns(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     rows = df.collect()
     assert len(rows) >= 0
     sql = catalog.ORACLE_SQL.get(name)
-    assert sql is not None, f"{name} is missing its oracle twin"
+    assert sql is not None or name in ROWS_ONLY, \
+        f"{name} is missing its oracle twin"
 
 
 def test_top_products_shape(spark, sf_dir):

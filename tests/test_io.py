@@ -1,0 +1,62 @@
+"""IO surface tests: CSV/JSON round trips with declared schemas,
+raw-SQL entry, empty/missing-source guards."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from simpleetlpipeline_spark import io as eio
+
+SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("name", StringType()),
+    StructField("score", DoubleType()),
+])
+
+ROWS = [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.0)]
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_csv_roundtrip(spark, df, tmp_path):
+    path = str(tmp_path / "t.csv")
+    eio.write_csv(df, path)
+    back = eio.read_csv(spark, path, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(ROWS)
+
+
+def test_json_roundtrip(spark, df, tmp_path):
+    path = str(tmp_path / "t.json")
+    eio.write_json(df, path)
+    back = eio.read_json(spark, path, SCHEMA)
+    assert sorted(map(tuple, back.collect()),
+                  key=lambda r: r[0]) == sorted(ROWS, key=lambda r: r[0])
+
+
+def test_read_missing_raises(spark):
+    with pytest.raises(FileNotFoundError):
+        eio.read_csv(spark, "/nonexistent/x.csv", SCHEMA)
+    with pytest.raises(FileNotFoundError):
+        eio.read_json(spark, "/nonexistent/x.json", SCHEMA)
+
+
+def test_run_sql_over_views(spark, sf_dir):
+    out = eio.run_sql(
+        spark, sf_dir,
+        "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'")
+    assert out.first()["n"] > 0
+
+
+def test_append_table_appends(spark, df, tmp_path):
+    path = str(tmp_path / "tbl")
+    eio.append_table(df, path)
+    eio.append_table(df, path)
+    assert spark.read.parquet(path).count() == 2 * len(ROWS)
