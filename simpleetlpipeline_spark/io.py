@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from simpleetlpipeline_spark.schemas import TESTDATA_SCHEMAS
 
@@ -57,11 +57,10 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one driver testdata table.
-
-    Schemas are known (TESTDATA.md); parquet carries them, so no
-    explicit schema arg is needed — Catalyst still gets pushdown and
-    pruning from the parquet footer statistics.
+    """Parquet scan of one driver testdata table with the DECLARED
+    schema: passing the StructType skips the footer-inference job
+    Spark otherwise runs on every fresh read (one less job per scan;
+    at 100 TB, no listing+footer pass before the real work).
 
     The events table stores TIMESTAMP(NANOS), which Spark reads as
     epoch-nanos LONG under spark.sql.legacy.parquet.nanosAsLong
@@ -71,7 +70,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from simpleetlpipeline_spark.session import ensure_session_conf
 
     ensure_session_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = TESTDATA_SCHEMAS.get(name)
+    if schema is not None:
+        if name == "events":
+            schema = StructType([
+                StructField("ts", LongType()) if f.name == "ts" else f
+                for f in schema.fields
+            ])
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,68 @@
+"""Skew-aware aggregation (SURVEY.md §7 scale notes; build brief
+'salting for skew').
+
+Spark's hash aggregate already does map-side partial combine, which
+defuses most key skew for algebraic aggregates. The residual hazard
+at 100 TB is a LOW-cardinality groupBy (few reducers own everything)
+or a hot key whose partials still swamp one task. salted_agg makes
+the standard fix explicit and reusable: stage 1 aggregates on
+(keys + pmod(xxhash64(salt-source), n_salts)) spreading each hot key
+over n_salts reducers; stage 2 merges the n_salts partials per key.
+Only algebraic aggregates (count/sum/min/max, avg as sum/count) can
+be merged this way — holistic ones (median, distinct) need different
+machinery (approx sketches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (stage1 partial, stage2 merge) expression builders per agg kind.
+_MERGES = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(df: DataFrame, keys: list[str],
+               aggs: dict[str, tuple[str, str]],
+               n_salts: int = 32,
+               salt_source: Column | None = None) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    aggs maps output column -> (kind, input column), kind in
+    {count, sum, min, max, avg}. avg decomposes into sum+count
+    partials merged as sum(sum)/sum(count).
+    """
+    expanded: dict[str, tuple[str, str]] = {}
+    avg_cols: list[str] = []
+    for out, (kind, col) in aggs.items():
+        if kind == "avg":
+            expanded[f"__{out}_sum"] = ("sum", col)
+            expanded[f"__{out}_cnt"] = ("count", col)
+            avg_cols.append(out)
+        elif kind in _MERGES:
+            expanded[out] = (kind, col)
+        else:
+            raise ValueError(f"non-algebraic aggregate: {kind}")
+
+    salt = F.pmod(
+        F.xxhash64(salt_source if salt_source is not None
+                   else F.spark_partition_id()),
+        F.lit(n_salts)).alias("__salt")
+    partial = df.groupBy(*keys, salt).agg(*[
+        _MERGES[kind][0](col).alias(out)
+        for out, (kind, col) in expanded.items()
+    ])
+    merged = partial.groupBy(*keys).agg(*[
+        _MERGES[kind][1](out).alias(out)
+        for out, (kind, col) in expanded.items()
+    ])
+    for out in avg_cols:
+        merged = merged.withColumn(
+            out, F.col(f"__{out}_sum") / F.col(f"__{out}_cnt")
+        ).drop(f"__{out}_sum", f"__{out}_cnt")
+    return merged

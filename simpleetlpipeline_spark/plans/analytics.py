@@ -552,3 +552,39 @@ def orders_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sql_monthly_sales"] = sql_monthly_sales
 ORACLE_SQL["sql_monthly_sales"] = ORACLE_SQL["monthly_sales"]
 QUERIES["orders_sample"] = orders_sample  # rows-only: engine-specific RNG
+
+
+def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware rollup: groupBy event_type is the canonical
+    low-cardinality skew hazard (a handful of reducers own all
+    data at scale); salted_agg spreads each key over 32 salt
+    buckets then merges partials. Same result contract as a plain
+    GROUP BY (oracle below)."""
+    from simpleetlpipeline_spark.operators.aggregates import salted_agg
+
+    ensure_session_conf(spark)
+    out = salted_agg(
+        read_table(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", "*"),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+        },
+    )
+    return out.select(
+        "event_type", "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 2).alias("avg_value"),
+    )
+
+
+QUERIES["events_type_rollup"] = events_type_rollup
+ORACLE_SQL["events_type_rollup"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 2) AS avg_value
+    FROM events
+    GROUP BY 1
+"""

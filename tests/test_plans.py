@@ -1,0 +1,85 @@
+"""Physical-plan contracts: the optimizations the engine is designed
+around must actually appear in the executed plans — pushdown, column
+pruning, broadcast joins, top-k, salting. Guards against regressions
+that stay correct but silently lose the 100 TB plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.operators.aggregates import salted_agg
+from simpleetlpipeline_spark.plans.catalog import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_top_products_plan(spark, sf_dir):
+    plan = _plan(QUERIES["top_products"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2, "dims must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, "LIMIT must plan as top-k"
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" \
+        in plan, "status filter must reach the parquet scan"
+
+
+def test_monthly_sales_pruning(spark, sf_dir):
+    plan = _plan(QUERIES["monthly_sales"](spark, sf_dir))
+    # only the three needed columns are read
+    assert "o_orderstatus" in plan and "o_totalprice" in plan
+    assert "o_comment" not in plan and "o_clerk" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, \
+        "aggregate must combine map-side"
+
+
+def test_customer_rollup_joins_aggregate_not_raw(spark, sf_dir):
+    """The rollup must aggregate the fact side BEFORE joining (J2
+    decorrelation): the join input on the orders side is an
+    Aggregate, not a raw scan."""
+    plan = _plan(QUERIES["customer_rollup"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    join_pos = plan.index("Join")
+    assert "HashAggregate" in plan[join_pos:], \
+        "fact side must be pre-aggregated under the join"
+
+
+def test_salted_agg_two_stages_and_values(spark):
+    df = spark.createDataFrame(
+        [(k % 2, float(k)) for k in range(100)], "k int, v double")
+    out = salted_agg(df, ["k"], {
+        "n": ("count", "*"), "s": ("sum", "v"),
+        "mx": ("max", "v"), "a": ("avg", "v")})
+    plan = _plan(out)
+    assert plan.count("HashAggregate") >= 4, \
+        "salted agg must run two aggregate stages (partial+final each)"
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[0]["n"] == 50 and rows[1]["n"] == 50
+    assert rows[0]["s"] == sum(float(k) for k in range(0, 100, 2))
+    assert rows[1]["mx"] == 99.0
+    assert abs(rows[0]["a"] - 49.0) < 1e-9
+
+
+def test_salted_agg_rejects_holistic(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], {"m": ("median", "v")})
+
+
+def test_no_driver_collect_in_query_construction(spark, sf_dir):
+    """Building every catalog DataFrame must not trigger Spark jobs
+    (no eager driver-side loops) — except the streaming replays and
+    the ETL driver, which execute by contract. First construction is
+    a warm-up: Spark runs one tiny parquet-footer schema job per
+    fresh path, which the session's FileIndex cache then absorbs."""
+    batch = {n: fn for n, fn in QUERIES.items()
+             if not n.startswith("streaming_") and n != "etl_pipeline_run"}
+    for fn in batch.values():
+        fn(spark, sf_dir)  # warm schema/file-index caches
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    for fn in batch.values():
+        fn(spark, sf_dir)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "query construction ran Spark jobs"
