@@ -326,3 +326,77 @@ ORACLE_SQL = {
         GROUP BY 1, 2
     """,
 }
+
+
+def _centroid_cells(vecs: DataFrame) -> DataFrame:
+    """Coarse quantizer for IVF: per-label mean vectors (labels are
+    the deterministic stand-in for trained k-means centroids; a real
+    deployment would fit centroids on a sample and broadcast them the
+    same way)."""
+    cents = (
+        vecs.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("dv"))
+        .select(F.col("label").alias("cell"),
+                F.transform("dv", lambda s: s.getField("v")).alias("c"))
+        .withColumn("c_nrm", l2_norm(F.col("c")))
+    )
+    return cents
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """Rank cells per vector by cosine to the centroid; keep the
+    nearest `nprobe`. Broadcast nested-loop against the tiny centroid
+    table — a narrow |cells|-way expansion, then a per-vector top-k."""
+    scored = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", cosine(F.col("e"), F.col("c"),
+                                    F.col("nrm"), F.col("c_nrm")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select("vec_id", "e", "nrm", "cell")
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                 n_probes: int = N_PROBES, k: int = TOP_K,
+                 nprobe: int = 3) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest-centroid
+    cell (inverted list); each probe searches only its `nprobe`
+    nearest cells, then exact cosine re-ranks the candidates.
+
+    The other classic ANN scale path next to LSH: candidate volume is
+    ~corpus * nprobe/|cells| per probe, an equi-join on cell id —
+    never all-pairs. Recall vs the exact ann_topk is unit-tested.
+    """
+    ensure_session_conf(spark)
+    vecs = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label",
+                as_double_vec(F.col("embedding")).alias("e"))
+        .withColumn("nrm", l2_norm(F.col("e")))
+    )
+    cents = _centroid_cells(vecs)
+    corpus_cells = _assign_cells(vecs, cents, nprobe=1).select(
+        F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
+        F.col("nrm").alias("b_nrm"), "cell")
+    probe_cells = _assign_cells(
+        vecs.filter(F.col("vec_id") < n_probes), cents, nprobe=nprobe
+    ).select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
+             F.col("nrm").alias("a_nrm"), "cell")
+    scored = (
+        corpus_cells.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id",
+                cosine(F.col("a_e"), F.col("b_e"),
+                       F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _topk_per_probe(scored, k).select("a_id", "b_id", "rank", "cosine_sim")
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk  # rows-only: approximate recall

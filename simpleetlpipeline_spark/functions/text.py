@@ -212,3 +212,36 @@ ORACLE_SQL = {
         FROM documents
     """,
 }
+
+
+def term_frequencies(spark: SparkSession, sf_dir: str,
+                     top_n: int = 100) -> DataFrame:
+    """Corpus term frequencies, top-N by count (deterministic token
+    tie-break). explode -> hash agg: map-side combine collapses each
+    partition to its vocabulary before the shuffle, so shuffle volume
+    is vocab-sized, not token-sized; the top-N plans as
+    TakeOrderedAndProject (no global sort materialization)."""
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+QUERIES["term_frequencies"] = term_frequencies
+ORACLE_SQL["term_frequencies"] = """
+    SELECT t AS token, count(*) AS n_occurrences
+    FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        FROM documents
+    )
+    WHERE t != ''
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 100
+"""

@@ -79,6 +79,16 @@ def test_lsh_topk_rank1_is_neardup(spark, synth_dir):
     assert hits >= 4
 
 
+def test_ivf_topk_rank1_is_neardup(spark, synth_dir):
+    """IVF cells are label-based; each planted near-dup shares its
+    base vector's label, so with nprobe>=1 the duplicate's cell is
+    always probed and it must rank #1."""
+    out = S.ann_ivf_topk(spark, synth_dir, n_probes=5, k=3, nprobe=2).collect()
+    rank1 = {r["a_id"]: r["b_id"] for r in out if r["rank"] == 1}
+    hits = sum(1 for j in range(5) if rank1.get(j) == 100 + j)
+    assert hits >= 4
+
+
 def test_label_centroids_shape(spark, sf_dir):
     rows = S.label_centroids(spark, sf_dir).collect()
     dims = {r["dim"] for r in rows}
