@@ -136,6 +136,21 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
+                   n_buckets: int = 16, sort_col: str | None = None) -> None:
+    """Bucketed catalog-table sink: co-locates rows by hash(bucket_col)
+    at WRITE time so later equi-joins/aggregations on that key run
+    with zero exchange — the standard answer to 'this fact-fact join
+    shuffles 100 TB every night'. (The reference's secondary indexes
+    S6 have no Spark analog; bucketing is the closest intent match:
+    pre-paid data organization that query plans exploit.)
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    writer = writer.bucketBy(n_buckets, bucket_col)
+    writer = writer.sortBy(sort_col or bucket_col)
+    writer.saveAsTable(table_name)
+
+
 def append_table(df: DataFrame, table_path: str) -> None:
     """Relational-table append sink (S3; reference main.py:501-558).
 

@@ -588,3 +588,28 @@ ORACLE_SQL["events_type_rollup"] = """
     FROM events
     GROUP BY 1
 """
+
+
+def events_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user reach per event type: exact count_distinct
+    (oracled). At 100 TB the same query swaps count_distinct for
+    approx_count_distinct (HyperLogLog++, mergeable sketch, no
+    distinct-expand shuffle) — tested within 5% of exact in
+    tests/test_plans.py::test_approx_reach_close_to_exact."""
+    ensure_session_conf(spark)
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+QUERIES["events_user_reach"] = events_user_reach
+ORACLE_SQL["events_user_reach"] = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1
+"""

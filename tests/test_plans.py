@@ -83,3 +83,44 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
         fn(spark, sf_dir)
     after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
     assert len(after) == len(before), "query construction ran Spark jobs"
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    """Joining two tables bucketed on the join key must plan without
+    a shuffle Exchange on either side."""
+    from simpleetlpipeline_spark.io import read_table, write_bucketed
+
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and DROP ... CASCADE below removes them.
+    spark.sql("CREATE DATABASE IF NOT EXISTS bktest")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    items = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    write_bucketed(orders, "bktest.orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed(
+        items.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bktest.items_b", "o_orderkey", n_buckets=8)
+
+    joined = spark.table("bktest.orders_b").join(
+        spark.table("bktest.items_b"), "o_orderkey")
+    plan = _plan(joined)
+    assert "Exchange hashpartitioning" not in plan, \
+        "bucketed join must not shuffle"
+    assert joined.count() > 0
+    spark.sql("DROP DATABASE bktest CASCADE")
+
+
+def test_approx_reach_close_to_exact(spark, sf_dir):
+    """HLL++ sketch path within 5% of exact distinct counts."""
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    both = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()
+    for r in both:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"])
