@@ -400,3 +400,78 @@ ORACLE_SQL = {
         WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.15
     """,
 }
+
+
+def connected_components(edges: DataFrame, a: str = "a_id",
+                         b: str = "b_id", max_iter: int = 20) -> DataFrame:
+    """Min-label propagation connected components over a pair graph.
+
+    Returns (node, component) where component is the minimum node id
+    reachable from `node`. Iterates join-propagate-aggregate until no
+    label changes (large-star/small-star style; diameter-bounded, so
+    near-dup graphs — lots of tiny cliques — converge in 2-3 rounds).
+    Each round is one shuffle keyed by node id; the per-round
+    changed-label count is the only driver-side value (a scalar), so
+    the algorithm distributes at any corpus size.
+    """
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # candidate labels: own label plus the minimum neighbor label
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   threshold: float = 0.15) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs -> connected components
+    -> per-cluster canonical doc (min doc_id) and cluster size. The
+    step that turns pairwise near-dup hits into keep/drop decisions
+    in a training-data pipeline. Rows-only check (pair graph comes
+    from the engine-specific MinHash family); structure unit-tested
+    on planted clusters."""
+    pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.min("node").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .select("keep_doc_id", "cluster_size", "members")
+    )
+
+
+QUERIES["dedup_clusters"] = dedup_clusters  # rows-only: hash-family pairs

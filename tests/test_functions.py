@@ -121,3 +121,39 @@ def test_doc_stats_bounds(spark, sf_dir):
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
     assert all(r["n_tokens"] > 0 for r in rows)
     assert all(r["n_stopwords"] <= r["n_tokens"] for r in rows)
+
+
+def test_connected_components_planted_graph(spark):
+    """Two chains and a singleton edge: components must be labeled by
+    their minimum node, regardless of edge direction or order."""
+    from simpleetlpipeline_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 11),      # component {3,5,9,11} -> 3
+         (20, 21),                     # component {20,21}    -> 20
+         (7, 2), (2, 1)],              # component {1,2,7}    -> 1
+        "a_id long, b_id long")
+    out = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert out == {3: 3, 5: 3, 9: 3, 11: 3,
+                   20: 20, 21: 20,
+                   1: 1, 2: 1, 7: 1}
+
+
+def test_dedup_clusters_merges_planted_dups(spark):
+    """Three copies of one doc + two of another -> two clusters with
+    the minimum doc_id as canonical."""
+    import os
+    import tempfile
+
+    from simpleetlpipeline_spark.functions.dedup import dedup_clusters
+
+    rows = [(i, f"totally unique filler document {i} " * 3)
+            for i in range(10)]
+    rows += [(100, rows[0][1]), (101, rows[0][1]), (200, rows[1][1])]
+    with tempfile.TemporaryDirectory() as td:
+        _docs(spark, rows).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["keep_doc_id"]: r for r in
+               dedup_clusters(spark, td, threshold=0.9).collect()}
+    assert out[0]["cluster_size"] == 3 and out[0]["members"] == [0, 100, 101]
+    assert out[1]["cluster_size"] == 2 and out[1]["members"] == [1, 200]
