@@ -24,6 +24,8 @@ md5(text) sees exactly the bytes Spark's payload column holds.
 from __future__ import annotations
 
 import hashlib
+
+import numpy as np
 from collections.abc import Iterator
 
 import pandas as pd
@@ -223,3 +225,68 @@ ORACLE_SQL = {
         GROUP BY 1
     """,
 }
+
+
+def media_resize(spark: SparkSession, sf_dir: str,
+                 factor: int = 2) -> DataFrame:
+    """Resize through mapInPandas: emits the stub-decoded dimensions
+    scaled down by `factor` plus a byte-downsampled payload standing
+    in for the re-encoded image (no codecs in this container; the
+    batch shape, schema contract and metadata math are the real
+    plumbing). Output dims are oracle-checkable against the same
+    md5-derived dimension formula."""
+    media = media_table(spark, sf_dir)
+
+    def resize(batches):
+        for pdf in batches:
+            meta = [_decode_stub(p, t)
+                    for p, t in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.Series(
+                    [max(1, m[0] // factor) for m in meta], dtype="int32"),
+                "height": pd.Series(
+                    [max(1, m[1] // factor) for m in meta], dtype="int32"),
+                "resized_payload": [bytes(p[::factor]) for p in pdf["payload"]],
+            })
+
+    return media.mapInPandas(
+        resize,
+        "media_id long, width int, height int, resized_payload binary",
+    ).select("media_id", "width", "height")
+
+
+def media_feature_extract(spark: SparkSession, sf_dir: str,
+                          dim: int = 16) -> DataFrame:
+    """Feature extraction through mapInPandas: a deterministic
+    16-dim unit vector per item (md5-seeded numpy, standing in for a
+    CNN/CLIP embedding head). The contract a downstream ANN index
+    consumes: (media_id, features array<float>). Rows-only check;
+    determinism and unit-norm are unit-tested."""
+    media = media_table(spark, sf_dir)
+
+    def extract(batches):
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                seed = int.from_bytes(hashlib.md5(p).digest()[:4], "big")
+                rng = np.random.RandomState(seed)
+                v = rng.standard_normal(dim)
+                feats.append((v / np.linalg.norm(v)).astype(np.float32))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "features": feats,
+            })
+
+    return media.mapInPandas(extract, "media_id long, features array<float>")
+
+
+QUERIES["media_resize"] = media_resize
+QUERIES["media_feature_extract"] = media_feature_extract  # rows-only
+
+ORACLE_SQL["media_resize"] = f"""
+    SELECT media_id,
+           CAST(greatest(1, ({_W}) // 2) AS INT) AS width,
+           CAST(greatest(1, ({_H}) // 2) AS INT) AS height
+    FROM ({_MEDIA_SQL})
+"""

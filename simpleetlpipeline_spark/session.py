@@ -81,16 +81,51 @@ def get_spark(app_name: str = "simpleetlpipeline-spark",
     return builder.getOrCreate()
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF / mapInPandas closures that reference module-level
+    helpers are cloudpickled BY REFERENCE (module.qualname), so the
+    worker process must be able to import simpleetlpipeline_spark.
+    Workers do NOT inherit the driver's sys.path — an external driver
+    running from another cwd would hit ModuleNotFoundError mid-task.
+    Shipping a zip via addPyFile fixes every such closure at once
+    (and is exactly what a real cluster deployment does).
+    """
+    if getattr(spark, "_setl_pkg_shipped", False):
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        "/tmp", f"simpleetlpipeline_spark_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Connect session without addPyFile; driver-side only
+    spark._setl_pkg_shipped = True
+
+
 def ensure_session_conf(spark: SparkSession) -> SparkSession:
     """Assert runtime-settable conf on an externally-built session.
 
     The correctness driver hands us its own SparkSession; timezone
     and AQE flags are runtime-mutable, so pin them for deterministic
-    query semantics.
+    query semantics. Also ships this package to executor workers
+    (see _ship_package).
     """
     for k, v in _runtime_conf().items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-runtime-settable on this build; best effort
+    _ship_package(spark)
     return spark

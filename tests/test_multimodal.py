@@ -48,3 +48,25 @@ def test_images_have_zero_duration(spark, sf_dir):
     rows = M.media_meta_extract(spark, sf_dir).collect()
     assert all(
         (r["duration_s"] == 0) == (r["media_type"] == "image") for r in rows)
+
+
+def test_feature_extract_deterministic_unit_norm(spark, sf_dir):
+    import math
+
+    a = {r["media_id"]: list(r["features"])
+         for r in M.media_feature_extract(spark, sf_dir).collect()}
+    b = {r["media_id"]: list(r["features"])
+         for r in M.media_feature_extract(spark, sf_dir).collect()}
+    assert a == b
+    for v in a.values():
+        assert len(v) == 16
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+
+
+def test_resize_halves_decoded_dims(spark, sf_dir):
+    meta = {r["media_id"]: (r["width"], r["height"])
+            for r in M.media_meta_extract(spark, sf_dir).collect()}
+    res = {r["media_id"]: (r["width"], r["height"])
+           for r in M.media_resize(spark, sf_dir).collect()}
+    for mid, (w, h) in meta.items():
+        assert res[mid] == (max(1, w // 2), max(1, h // 2))

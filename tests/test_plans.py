@@ -74,8 +74,11 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
     the ETL driver, which execute by contract. First construction is
     a warm-up: Spark runs one tiny parquet-footer schema job per
     fresh path, which the session's FileIndex cache then absorbs."""
+    # exempt: streaming replays, the ETL driver, and the iterative
+    # connected-components fixpoint — all execute by contract
     batch = {n: fn for n, fn in QUERIES.items()
-             if not n.startswith("streaming_") and n != "etl_pipeline_run"}
+             if not n.startswith("streaming_")
+             and n not in ("etl_pipeline_run", "dedup_clusters")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
