@@ -441,13 +441,18 @@ def connected_components(edges: DataFrame, a: str = "a_id",
                 ).alias("component"),
             )
         )
+        # persist BEFORE the convergence probe so the probe's pass
+        # materializes the cache the next round reuses; then drop the
+        # previous round's cache (state is one generation deep).
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1).count()
         )
-        labels = new_labels.persist()
+        labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     return labels
