@@ -151,6 +151,55 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
     writer.saveAsTable(table_name)
 
 
+def write_table_version(df: DataFrame, table_root: str,
+                        keep_versions: int = 2) -> str:
+    """Atomic table publish via version-directory + pointer swap.
+
+    A plain .mode('overwrite') deletes the old files before the new
+    ones land, so a concurrent reader mid-overwrite sees a missing or
+    half-written table. This sink is the minimal form of the
+    Delta/Iceberg commit protocol: write the full new snapshot to a
+    fresh `v=<n>` directory, then commit by atomically replacing the
+    one-line `_CURRENT` pointer file (os.replace — atomic on POSIX;
+    on an object store the same role is played by the metastore or a
+    conditional-put manifest). Readers resolve the pointer first and
+    only ever see complete snapshots; previous versions remain
+    readable (time travel) until pruned down to `keep_versions`.
+
+    Returns the committed version directory path.
+    """
+    os.makedirs(table_root, exist_ok=True)
+    existing = sorted(
+        int(d[2:]) for d in os.listdir(table_root)
+        if d.startswith("v=") and d[2:].isdigit())
+    version = (existing[-1] + 1) if existing else 1
+    vdir = os.path.join(table_root, f"v={version}")
+    df.write.mode("errorifexists").parquet(vdir)
+
+    pointer, tmp = (os.path.join(table_root, n)
+                    for n in ("_CURRENT", "_CURRENT.tmp"))
+    with open(tmp, "w") as fh:
+        fh.write(f"v={version}\n")
+    os.replace(tmp, pointer)  # the commit point
+
+    import shutil
+    for old in existing[:max(0, len(existing) + 1 - keep_versions)]:
+        shutil.rmtree(os.path.join(table_root, f"v={old}"),
+                      ignore_errors=True)
+    return vdir
+
+
+def read_table_version(spark: SparkSession, table_root: str,
+                       version: int | None = None) -> DataFrame:
+    """Read the committed (or an explicit historical) table version."""
+    if version is None:
+        with open(os.path.join(table_root, "_CURRENT")) as fh:
+            vname = fh.read().strip()
+    else:
+        vname = f"v={version}"
+    return spark.read.parquet(os.path.join(table_root, vname))
+
+
 def append_table(df: DataFrame, table_path: str) -> None:
     """Relational-table append sink (S3; reference main.py:501-558).
 

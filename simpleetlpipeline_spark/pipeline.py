@@ -17,8 +17,9 @@ Scale-conscious choices:
   stays a query-layer column.
 - The customer rollup (reference's correlated UPDATE, main.py:612-628)
   is the decorrelated agg → broadcast-left-join → coalesce rewrite,
-  written as a new table version (immutable storage; a production
-  deployment would swap table pointers or use Delta/Iceberg MERGE).
+  committed through io.write_table_version: full new snapshot dir +
+  atomic _CURRENT pointer swap (the minimal Delta/Iceberg commit
+  protocol), so concurrent readers never see a half-written table.
 """
 
 from __future__ import annotations
@@ -30,7 +31,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from simpleetlpipeline_spark.io import append_table, read_csv
+from simpleetlpipeline_spark.io import (
+    append_table,
+    read_csv,
+    read_table_version,
+    write_table_version,
+)
 from simpleetlpipeline_spark.operators.joins import rollup_update
 from simpleetlpipeline_spark.operators.quality import check_data_quality
 from simpleetlpipeline_spark.operators.transforms import TRANSFORM_DISPATCH
@@ -133,10 +139,9 @@ def update_calculated_fields(spark: SparkSession, config: ETLConfig) -> DataFram
         dim_key="customer_id", fact_key="customer_id",
         count_col="order_id", sum_col="total_amount",
     )
-    enriched.write.mode("overwrite").parquet(
-        os.path.join(config.warehouse_dir, "customers_enriched"))
-    return spark.read.parquet(
-        os.path.join(config.warehouse_dir, "customers_enriched"))
+    root = os.path.join(config.warehouse_dir, "customers_enriched")
+    write_table_version(enriched, root)
+    return read_table_version(spark, root)
 
 
 def run_full_pipeline(spark: SparkSession, source_dir: str,

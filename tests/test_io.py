@@ -60,3 +60,28 @@ def test_append_table_appends(spark, df, tmp_path):
     eio.append_table(df, path)
     eio.append_table(df, path)
     assert spark.read.parquet(path).count() == 2 * len(ROWS)
+
+
+def test_versioned_table_atomic_swap(spark, df, tmp_path):
+    """write_table_version publishes complete snapshots behind an
+    atomically-replaced _CURRENT pointer; old versions stay readable
+    (time travel) until pruned to keep_versions."""
+    root = str(tmp_path / "vtbl")
+    eio.write_table_version(df, root, keep_versions=2)
+    assert eio.read_table_version(spark, root).count() == len(ROWS)
+
+    v2 = df.unionAll(df)
+    eio.write_table_version(v2, root, keep_versions=2)
+    # pointer now resolves to the new snapshot...
+    assert eio.read_table_version(spark, root).count() == 2 * len(ROWS)
+    # ...while the prior version is still readable by number
+    assert eio.read_table_version(spark, root, version=1).count() == len(ROWS)
+
+    # a third commit prunes v=1 but keeps the committed + previous
+    eio.write_table_version(df, root, keep_versions=2)
+    import os as _os
+    dirs = sorted(d for d in _os.listdir(root) if d.startswith("v="))
+    assert dirs == ["v=2", "v=3"]
+    assert eio.read_table_version(spark, root).count() == len(ROWS)
+    with open(_os.path.join(root, "_CURRENT")) as fh:
+        assert fh.read().strip() == "v=3"
