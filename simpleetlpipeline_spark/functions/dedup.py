@@ -414,10 +414,15 @@ def connected_components(edges: DataFrame, a: str = "a_id",
     changed-label count is the only driver-side value (a scalar), so
     the algorithm distributes at any corpus size.
     """
+    # Persist the symmetric edge list: every propagation round joins
+    # against it, and without the cache each round would re-run the
+    # entire upstream pair-generation pipeline (MinHash-LSH over the
+    # full corpus) from the parquet scan up.
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -455,6 +460,9 @@ def connected_components(edges: DataFrame, a: str = "a_id",
         labels = new_labels
         if changed == 0:
             break
+    # final labels are cached + materialized by the last probe, so the
+    # edge cache is no longer needed
+    sym.unpersist()
     return labels
 
 

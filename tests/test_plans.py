@@ -127,3 +127,40 @@ def test_approx_reach_close_to_exact(spark, sf_dir):
     ).collect()
     for r in both:
         assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"])
+
+
+def test_asof_join_strict_semantics(spark):
+    """events_asof_purchase's union-merge core: strictly-earlier
+    matches only (a purchase at the event's own ts must NOT match),
+    deterministic pick among same-ts purchases (max event_id)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.plans.advanced import events_asof_purchase
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: purchase@2 (two same-ts purchases: ids 10, 11),
+        # view@2 (same ts -> must not match), click@5 -> matches id 11
+        (10, t(2), 1, "purchase", 1.0, ""),
+        (11, t(2), 1, "purchase", 1.0, ""),
+        (12, t(2), 1, "view", 1.0, ""),
+        (13, t(5), 1, "click", 1.0, ""),
+        # user 2: no purchase -> its events drop out (inner semantics)
+        (20, t(3), 2, "view", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import simpleetlpipeline_spark.plans.advanced as adv
+    orig = adv.read_table
+    adv.read_table = lambda _s, _d, _n: df
+    try:
+        out = {r["event_id"]: r for r in
+               events_asof_purchase(spark, "unused").collect()}
+    finally:
+        adv.read_table = orig
+    assert set(out) == {13}, "only the later click has a prior purchase"
+    assert out[13]["purchase_event_id"] == 11
+    assert out[13]["micros_since_purchase"] == 3_000_000
