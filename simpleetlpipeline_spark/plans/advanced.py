@@ -125,13 +125,159 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PERCENTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of order value per
+    status (the reference has no percentile surface at all; DuckDB's
+    quantile_cont is the oracle). Uses Spark's exact percentile()
+    aggregate — one shuffle of |status| groups; at 100 TB the
+    approximate path is percentile_approx/approx_count_distinct-style
+    sketches (see test_approx_reach_close_to_exact), but those are
+    engine-specific and can't be value-hash-oracled, so the catalog
+    entry is the exact form. Both engines interpolate a + f*(b-a)
+    over the identically-sorted doubles, so values are bit-equal;
+    floored to 4dp (division-derived, far from .xx5 boundaries).
+    """
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    pct = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in PERCENTILES]))
+        .alias("q"))
+    return (
+        pct.select(
+            "o_orderstatus",
+            F.posexplode("q").alias("pos", "qv"))
+        .select(
+            "o_orderstatus",
+            F.element_at(F.array(*[F.lit(p) for p in PERCENTILES]),
+                         F.col("pos") + 1).alias("pctile"),
+            (F.floor(F.col("qv") * 10000) / 10000).alias("order_value"))
+    )
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (status, priority): per-pair,
+    per-status subtotal, and grand-total rows in ONE pass (partial
+    aggregation covers all grouping sets map-side; without ROLLUP
+    this is three scans). grouping_id() disambiguates the NULL
+    placeholder rows exactly as DuckDB's GROUPING()."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("int").alias("gid"),
+             F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_value"))
+        .select("o_orderstatus", "o_orderpriority", "gid",
+                "n_orders", "total_value")
+    )
+
+
+CONVERSION_WINDOW_SECS = 4 * 3600  # sparse test events: ~1/user/10h
+
+
+def events_conversion_window(spark: SparkSession, sf_dir: str,
+                             window_secs: int = CONVERSION_WINDOW_SECS) -> DataFrame:
+    """Range join: (view, purchase) pairs for the same user with
+    0 < purchase_ts - view_ts <= window_secs.
+
+    A naive user-equi-join computes every (view, purchase) pair per
+    user before filtering — quadratic in per-user activity, and one
+    hot user melts a reducer. This version blocks by time bucket of
+    width window_secs: a qualifying pair's purchase lands in the
+    view's bucket or the next one, so each view joins exactly two
+    (user, bucket) keys. Shuffle volume is 2x events, per-key groups
+    are bounded by per-bucket activity, and the same blocking works
+    at any corpus size. DuckDB oracle is the plain inequality join
+    (its optimizer plans an IEJoin — the single-node luxury).
+    """
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id", F.col("ts").alias("view_ts"),
+        F.floor(F.unix_micros("ts") / (window_secs * 1_000_000))
+        .alias("bucket"))
+    views = views.withColumn(
+        "bucket", F.explode(F.array(F.col("bucket"), F.col("bucket") + 1)))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.floor(F.unix_micros("ts") / (window_secs * 1_000_000))
+        .alias("bucket"))
+    delta = F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+    return (
+        views.join(purchases, ["user_id", "bucket"])
+        .filter((delta > 0) & (delta <= window_secs * 1_000_000))
+        .select("user_id", "view_event_id", "purchase_event_id",
+                delta.alias("micros_to_purchase"))
+        .dropDuplicates(["view_event_id", "purchase_event_id"])
+    )
+
+
+def repeat_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference, SURVEY.md §2.4):
+    customers with BOTH fulfilled and open orders (INTERSECT), minus
+    any with a 'P' order (EXCEPT). Spark plans these as aggregates/
+    anti-joins over pre-filtered key projections — each leg pushes
+    its status filter to the scan and shuffles only distinct keys."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    keys = lambda s: orders.filter(  # noqa: E731
+        F.col("o_orderstatus") == s).select("o_custkey")
+    return (
+        keys("F").intersect(keys("O")).subtract(keys("P"))
+        .select("o_custkey")
+    )
+
+
 QUERIES = {
+    "events_conversion_window": events_conversion_window,
+    "repeat_status_customers": repeat_status_customers,
+    "order_value_percentiles": order_value_percentiles,
+    "sales_rollup": sales_rollup,
     "customer_order_ranks": customer_order_ranks,
     "monthly_revenue_running": monthly_revenue_running,
     "events_asof_purchase": events_asof_purchase,
 }
 
 ORACLE_SQL = {
+    "events_conversion_window": f"""
+        SELECT v.user_id,
+               v.event_id AS view_event_id,
+               p.event_id AS purchase_event_id,
+               epoch_us(p.ts) - epoch_us(v.ts) AS micros_to_purchase
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts > v.ts
+         AND epoch_us(p.ts) - epoch_us(v.ts) <= {CONVERSION_WINDOW_SECS * 1_000_000}
+    """,
+    "repeat_status_customers": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "order_value_percentiles": "\nUNION ALL\n".join(
+        f"""
+        SELECT o_orderstatus, CAST({p} AS DOUBLE) AS pctile,
+               floor(quantile_cont(o_totalprice, {p}) * 10000) / 10000
+                   AS order_value
+        FROM orders GROUP BY o_orderstatus
+        """ for p in PERCENTILES),
+    "sales_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
     "customer_order_ranks": """
         SELECT o_custkey, o_orderkey,
                CAST(row_number() OVER (
