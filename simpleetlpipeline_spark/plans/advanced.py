@@ -234,7 +234,58 @@ def repeat_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_by_nation(spark: SparkSession, sf_dir: str,
+                      region: str = "EUROPE") -> DataFrame:
+    """TPC-H Q5-shaped 6-table star: revenue from fulfilled orders
+    where the supplier is in the customer's nation, by nation, for
+    one region — the multi-dimension join the reference never needed
+    (its star had two dims) but any analytics migration will.
+
+    Plan shape at scale: region/nation/supplier/customer are
+    broadcast (region filter prunes nation -> supplier/customer
+    shrink before broadcast); the only shuffled join is
+    lineitem⋈orders on orderkey, and the final agg is |nations|
+    groups with map-side partials. Filters (r_name, o_orderstatus)
+    push to the scans.
+    """
+    ensure_session_conf(spark)
+    nations = (
+        read_table(spark, sf_dir, "nation")
+        .join(F.broadcast(read_table(spark, sf_dir, "region")
+                          .filter(F.col("r_name") == region)),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == COMPLETED)
+        .select("o_orderkey", "o_custkey")
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier),
+              (lineitem.l_suppkey == supplier.s_suppkey)
+              & (customer.c_nationkey == supplier.s_nationkey))
+        .join(F.broadcast(nations),
+              supplier.s_nationkey == nations.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 QUERIES = {
+    "revenue_by_nation": revenue_by_nation,
     "events_conversion_window": events_conversion_window,
     "repeat_status_customers": repeat_status_customers,
     "order_value_percentiles": order_value_percentiles,
@@ -245,6 +296,22 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "revenue_by_nation": """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE' AND o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name ASC
+    """,
     "events_conversion_window": f"""
         SELECT v.user_id,
                v.event_id AS view_event_id,

@@ -164,3 +164,13 @@ def test_asof_join_strict_semantics(spark):
     assert set(out) == {13}, "only the later click has a prior purchase"
     assert out[13]["purchase_event_id"] == 11
     assert out[13]["micros_since_purchase"] == 3_000_000
+
+
+def test_revenue_by_nation_plan_broadcasts_dims(spark, sf_dir):
+    """The Q5-shaped 6-table join must broadcast every dimension side;
+    the only shuffled join is lineitem-orders on orderkey."""
+    from simpleetlpipeline_spark.plans.advanced import revenue_by_nation
+
+    plan = _plan(revenue_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
