@@ -200,6 +200,29 @@ def read_table_version(spark: SparkSession, table_root: str,
     return spark.read.parquet(os.path.join(table_root, vname))
 
 
+def merge_upsert(spark: SparkSession, table_root: str, updates: DataFrame,
+                 key_cols: list[str]) -> str:
+    """MERGE/upsert by key onto a versioned table: rows matching an
+    update key are replaced, new keys are inserted, everything else
+    carries over. Commits through write_table_version, so readers
+    atomically flip from the old snapshot to the new one.
+
+    The reference's only write mode is blind append (to_sql
+    main.py:518-530); an incremental pipeline needs upsert. Spark-
+    first shape: ONE left-anti shuffle of current⟕updates on the key
+    plus a union — no driver materialization, no per-row lookups.
+    (Delta/Iceberg MERGE additionally prunes untouched files; with
+    plain parquet snapshots the rewrite is the whole table, which is
+    the honest cost of format-free storage — partition the table and
+    merge per-partition when updates are localized.)
+    """
+    current = read_table_version(spark, table_root)
+    kept = current.join(updates.select(*key_cols).distinct(),
+                        key_cols, "left_anti")
+    merged = kept.unionByName(updates.select(*current.columns))
+    return write_table_version(merged, table_root)
+
+
 def append_table(df: DataFrame, table_path: str) -> None:
     """Relational-table append sink (S3; reference main.py:501-558).
 

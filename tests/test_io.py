@@ -85,3 +85,23 @@ def test_versioned_table_atomic_swap(spark, df, tmp_path):
     assert eio.read_table_version(spark, root).count() == len(ROWS)
     with open(_os.path.join(root, "_CURRENT")) as fh:
         assert fh.read().strip() == "v=3"
+
+
+def test_merge_upsert(spark, tmp_path):
+    """MERGE onto a versioned table: matched keys replaced, new keys
+    inserted, unmatched rows carried over; commit is a new version."""
+    root = str(tmp_path / "mtbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double")
+    eio.write_table_version(base, root)
+    updates = spark.createDataFrame(
+        [(2, "b2", 22.0), (4, "d", 40.0)],
+        "id long, name string, v double")
+    eio.merge_upsert(spark, root, updates, ["id"])
+    got = {r["id"]: (r["name"], r["v"])
+           for r in eio.read_table_version(spark, root).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 22.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+    # prior snapshot untouched
+    assert eio.read_table_version(spark, root, version=1).count() == 3
