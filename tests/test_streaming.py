@@ -38,3 +38,71 @@ def test_streaming_sessions_invariants(spark, sf_dir):
     assert rows
     assert all(r["session_start"] < r["session_end"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
+    """True late-data semantics need >1 micro-batch: batch 1 advances
+    the watermark past an old window; a straggler for that window
+    arriving later must be DROPPED from the (append-mode) stream
+    result, while the batch aggregate over the same files would count
+    it. maxFilesPerTrigger=1 forces one file per micro-batch; the
+    watermark a batch runs under is derived from the event-time max
+    as of the PREVIOUS batch's commit, so the straggler goes in the
+    third file (batch 0 advances event time, batch 1 commits the
+    11:00 watermark, batch 2 enforces it)."""
+    import datetime as dt
+    import os as _os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "stream_src"
+    d.mkdir()
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def write(name, rows):
+        tbl = pa.table({
+            "ts": pa.array([r[0] for r in rows],
+                           type=pa.timestamp("us")),
+            "v": pa.array([r[1] for r in rows], type=pa.float64()),
+        })
+        pq.write_table(tbl, str(d / name))
+
+    # batch 0: two 09:xx events + a 12:00 event -> watermark := 11:00
+    write("a.parquet", [(t(9, 10), 1.0), (t(9, 20), 1.0), (t(12), 1.0)])
+    time.sleep(1.1)
+    write("b.parquet", [(t(12, 30), 1.0)])  # batch 1: wm 11:00 commits
+    time.sleep(1.1)
+    write("c.parquet", [(t(9, 30), 1.0),    # late: window end 10:00 < wm
+                        (t(13), 1.0)])
+    _os.utime(d / "c.parquet")  # strictly newest mtime -> last batch
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+
+    # the 09:00 window was finalized with ONLY batch-1 events
+    assert got[t(9)] == 2, f"late row must be dropped, got {got}"
+    # batch semantics over the same files count the straggler
+    batch = (
+        spark.read.schema("ts timestamp, v double").parquet(str(d))
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("window.start") == t(9)).first()["n"])
+    assert batch == 3
