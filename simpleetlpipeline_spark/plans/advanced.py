@@ -284,7 +284,29 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str,
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab: events per day x event_type as one pivoted row per
+    day. The type list is passed explicitly so Spark skips the extra
+    distinct-values job and the plan is a single hash aggregate
+    (pivot with known values = groupBy day, one conditional count
+    per type, map-side partials — no second shuffle). Oracle is the
+    ANSI conditional-aggregation spelling."""
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.select(F.to_date("ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
 QUERIES = {
+    "events_pivot_daily": events_pivot_daily,
     "revenue_by_nation": revenue_by_nation,
     "events_conversion_window": events_conversion_window,
     "repeat_status_customers": repeat_status_customers,
@@ -296,6 +318,16 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_pivot_daily": """
+        SELECT CAST(ts AS DATE) AS day,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'error')    AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'view')     AS view
+        FROM events
+        GROUP BY 1
+    """,
     "revenue_by_nation": """
         SELECT n.n_name,
                round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
