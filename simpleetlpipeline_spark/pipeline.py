@@ -199,9 +199,17 @@ def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     if metrics.failed_tables:
         raise RuntimeError(f"pipeline failures: {metrics.errors}")
     meta = spark.read.parquet(os.path.join(cfg.warehouse_dir, "etl_metadata"))
-    return meta.select(
+    out = meta.select(
         "table_name", "records_processed", "records_inserted",
         "records_failed", "data_quality_score", "checksum")
+    # The lineage result is one row per table; materialize it so the
+    # throwaway warehouse can be deleted (repeated bench/driver runs
+    # otherwise accumulate scratch dirs in /tmp).
+    import shutil
+
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # --- Monitoring / EP3 (reference main.py:793-872) -------------------------
