@@ -9,7 +9,13 @@ check).
 
 from __future__ import annotations
 
-from simpleetlpipeline_spark.functions import dedup, multimodal, similarity, text
+from simpleetlpipeline_spark.functions import (
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from simpleetlpipeline_spark.plans import advanced, analytics
 from simpleetlpipeline_spark.streaming import stateful as streaming_stateful
 from simpleetlpipeline_spark.streaming import windows as streaming_windows
@@ -17,7 +23,7 @@ from simpleetlpipeline_spark.streaming import windows as streaming_windows
 QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
-for _mod in (advanced, text, dedup, similarity, multimodal,
+for _mod in (advanced, text, dedup, similarity, multimodal, curation,
              streaming_windows, streaming_stateful):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
