@@ -78,7 +78,8 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
     # connected-components fixpoint — all execute by contract
     batch = {n: fn for n, fn in QUERIES.items()
              if not n.startswith("streaming_")
-             and n not in ("etl_pipeline_run", "dedup_clusters")}
+             and n not in ("etl_pipeline_run", "dedup_clusters",
+                           "corpus_curate_neardup")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
