@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.io import fan_out, read_table
 from simpleetlpipeline_spark.session import ensure_session_conf
 
 # MinHash parameters: 32 hash functions = 8 bands x 4 rows.
@@ -221,7 +221,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     per-pair common count -> |A∩B| / (|A|+|B|-|A∩B|).
     """
     ensure_session_conf(spark)
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id", word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
     sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
 
@@ -267,7 +267,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     # sides of the exact verify); persist it so the gram computation
     # runs once. MEMORY_AND_DISK: gram arrays spill instead of OOM at
     # large corpus sizes.
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"))
     docs = docs.persist()
     sig = docs.select("doc_id", "grams", minhash("grams").alias("sig"))
@@ -317,7 +317,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     from simpleetlpipeline_spark.functions.text import tokens_col
 
     simhash = simhash_from_hashes_udf()
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(tokens_col(F.col("text")),
                     lambda t: F.xxhash64(t)).alias("hs"),

@@ -51,7 +51,11 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the schema contract a real ingest (S3 object scan /
     tar-shard reader) would produce."""
     ensure_session_conf(spark)
-    docs = read_table(spark, sf_dir, "documents")
+    from simpleetlpipeline_spark.io import fan_out
+
+    # fan_out: downstream mapInPandas decode kernels run at the scan's
+    # parallelism — one Python worker total on a single-file table.
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.io import fan_out, read_table
 from simpleetlpipeline_spark.session import ensure_session_conf
 
 N_PROBES = 10          # probe set = vec_id < N_PROBES
@@ -61,8 +61,11 @@ def cosine(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: every consumer runs an O(dim) interpreted fold per pair
+    # downstream of this scan, usually on the streamed side of a
+    # broadcast join — i.e. at the scan's own parallelism.
     return (
-        read_table(spark, sf_dir, "embeddings")
+        fan_out(read_table(spark, sf_dir, "embeddings"))
         .select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
         .withColumn("nrm", l2_norm(F.col("e")))
     )
@@ -207,8 +210,10 @@ def embedding_neardup(spark: SparkSession, sf_dir: str,
                     F.col("nrm").alias("a_nrm"))
     b = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
                     F.col("nrm").alias("b_nrm"))
+    # Pin the build side: the streamed (fanned-out) side keeps the
+    # scan's parallelism, so the quadratic scoring runs on all cores.
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id",
                 cosine(F.col("a_e"), F.col("b_e"),
@@ -375,7 +380,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     """
     ensure_session_conf(spark)
     vecs = (
-        read_table(spark, sf_dir, "embeddings")
+        fan_out(read_table(spark, sf_dir, "embeddings"))
         .select("vec_id", "label",
                 as_double_vec(F.col("embedding")).alias("e"))
         .withColumn("nrm", l2_norm(F.col("e")))

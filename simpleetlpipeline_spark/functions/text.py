@@ -222,7 +222,11 @@ def term_frequencies(spark: SparkSession, sf_dir: str,
     is vocab-sized, not token-sized; the top-N plans as
     TakeOrderedAndProject (no global sort materialization)."""
     ensure_session_conf(spark)
-    docs = read_table(spark, sf_dir, "documents")
+    from simpleetlpipeline_spark.io import fan_out
+
+    # fan_out: tokenization + explode + partial agg run pre-shuffle at
+    # the scan's parallelism — serial on a single-file table otherwise.
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")

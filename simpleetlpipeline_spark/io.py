@@ -56,6 +56,25 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a too-coarse scan across every core before a CPU-heavy
+    per-row kernel (shingle hashing, minhash/simhash folds, cosine
+    scoring, mapInPandas decode).
+
+    Parquet splits on row groups, so a small single-file table arrives
+    as ONE partition and everything upstream of the first shuffle runs
+    serially — measured 5-12x wall-clock on the quadratic/per-doc
+    kernels at sf0.1. At real scale the scan already carries at least
+    defaultParallelism splits and this is a no-op; the guard matters
+    because an unconditional repartition would be a full shuffle of
+    the corpus.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one driver testdata table with the DECLARED
     schema: passing the StructType skips the footer-inference job
