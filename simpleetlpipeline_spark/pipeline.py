@@ -47,8 +47,14 @@ from simpleetlpipeline_spark.schemas import (
 )
 from simpleetlpipeline_spark.session import ensure_session_conf
 
-#: FK-respecting load order (reference main.py:570-575).
+#: Submission order (reference's FK-respecting order, main.py:570-575).
 LOAD_ORDER = ("customers", "products", "orders", "order_items")
+
+#: Metrics of the most recent etl_pipeline_run in this process —
+#: lets bench.py report the reference's own throughput formula
+#: (records / pipeline processing time, main.py:639) without
+#: polluting the deterministic lineage result columns.
+LAST_RUN_METRICS: "RunMetrics | None" = None
 
 
 @dataclass
@@ -56,13 +62,18 @@ class ETLConfig:
     """Engine config (reference ETLConfig, main.py:21-28).
 
     batch_size survives only as the JDBC-sink batch hint; parquet
-    writes batch per-partition naturally. parallel_threads is gone:
-    the reference declared it and never used it (main.py:12,27);
-    Spark's executors replace it for real.
+    writes batch per-partition naturally. parallel_tables makes the
+    reference's declared-but-never-used parallelism (ThreadPoolExecutor
+    imported main.py:12, parallel_threads=4 main.py:27, execution
+    actually serial under a global lock main.py:84) real: the four
+    tables land in independent warehouse paths, so their
+    extract→transform→load chains are independent Spark job DAGs that
+    the scheduler interleaves across executors.
     """
     warehouse_dir: str = "warehouse"
     batch_size: int = 1000
     retention_days: int = 365
+    parallel_tables: int = 4
 
 
 @dataclass
@@ -114,16 +125,52 @@ def load_table(spark: SparkSession, table: str, source_path: str,
     checksum = report.content_hash
     elapsed = time.monotonic() - start
 
-    from pyspark.sql.types import StructType
-
-    meta = spark.createDataFrame(
-        [(table, source_path, n_in, n_out, 0, n_in - n_out,
-          round(elapsed, 4), float(report.quality_score), checksum)],
-        StructType(ETL_METADATA.fields[:-1]),
-    ).withColumn("etl_timestamp", F.current_timestamp())
-    append_table(meta.select(*ETL_METADATA.fieldNames()),
-                 os.path.join(config.warehouse_dir, "etl_metadata"))
+    _append_metadata_row(
+        os.path.join(config.warehouse_dir, "etl_metadata"),
+        (table, source_path, n_in, n_out, 0, n_in - n_out,
+         round(elapsed, 4), float(report.quality_score), checksum))
     return n_in, n_out
+
+
+def _append_metadata_row(meta_dir: str, values: tuple) -> None:
+    """Append ONE lineage row (reference main.py:546-551) as its own
+    parquet file, written driver-side with pyarrow.
+
+    The row is driver-produced scalars — routing it through a Spark
+    write costs a full job (~0.25 s each, one per table per run) and,
+    worse, Spark's output committer stages through a shared
+    `_temporary/` dir, so two concurrent single-row appends to the
+    same table race. A direct temp-file + atomic rename per row is
+    the right tool: no job, safe under parallel_tables. Schema
+    mirrors ETL_METADATA (timestamps as UTC micros, exactly what
+    Spark's own parquet writer emits and its reader expects).
+    """
+    import uuid
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([
+        ("table_name", pa.string()),
+        ("source_file", pa.string()),
+        ("records_processed", pa.int64()),
+        ("records_inserted", pa.int64()),
+        ("records_updated", pa.int64()),
+        ("records_failed", pa.int64()),
+        ("processing_time", pa.float64()),
+        ("data_quality_score", pa.float64()),
+        ("checksum", pa.string()),
+        ("etl_timestamp", pa.timestamp("us", tz="UTC")),
+    ])
+    row = dict(zip(schema.names,
+                   [*values, datetime.now(timezone.utc)]))
+    table = pa.Table.from_pylist([row], schema=schema)
+    os.makedirs(meta_dir, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(meta_dir, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(meta_dir, name))
 
 
 def update_calculated_fields(spark: SparkSession, config: ETLConfig) -> DataFrame:
@@ -146,24 +193,45 @@ def update_calculated_fields(spark: SparkSession, config: ETLConfig) -> DataFram
 
 def run_full_pipeline(spark: SparkSession, source_dir: str,
                       config: ETLConfig) -> RunMetrics:
-    """FK-ordered ETL loop with per-table failure isolation
-    (reference run_full_pipeline, main.py:560-610): one table's
-    failure records an error and the loop continues."""
+    """ETL loop with per-table failure isolation (reference
+    run_full_pipeline, main.py:560-610): one table's failure records
+    an error and the rest still load.
+
+    Tables load CONCURRENTLY (config.parallel_tables submission
+    threads; each thread drives its table's Spark jobs, and the
+    scheduler interleaves their stages across executor cores). This is
+    safe because every table is an independent warehouse path with an
+    independent job DAG — the reference's FK-ordered sequencing only
+    existed because SQLite enforced... nothing (FKs declared, never
+    enabled; SURVEY.md §2.4 J3) — and the one true dependency, the
+    customer rollup, runs after the barrier below.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     ensure_session_conf(spark)
     metrics = RunMetrics()
     t0 = time.monotonic()
-    for table in LOAD_ORDER:
+
+    def _one(table: str) -> tuple[str, float, tuple[int, int] | None, str | None]:
         t_start = time.monotonic()
         try:
-            n_in, n_out = load_table(
+            counts = load_table(
                 spark, table, os.path.join(source_dir, f"{table}.csv"), config)
-            metrics.records_processed += n_in
-            metrics.records_inserted += n_out
-            metrics.successful_tables += 1
+            return table, time.monotonic() - t_start, counts, None
         except Exception as exc:  # noqa: BLE001 — isolation is the contract
+            return table, time.monotonic() - t_start, None, str(exc)
+
+    with ThreadPoolExecutor(max_workers=max(1, config.parallel_tables)) as ex:
+        results = list(ex.map(_one, LOAD_ORDER))
+    for table, elapsed, counts, err in results:
+        metrics.table_times[table] = round(elapsed, 4)
+        if err is None:
+            metrics.records_processed += counts[0]
+            metrics.records_inserted += counts[1]
+            metrics.successful_tables += 1
+        else:
             metrics.failed_tables += 1
-            metrics.errors[table] = str(exc)
-        metrics.table_times[table] = round(time.monotonic() - t_start, 4)
+            metrics.errors[table] = err
     if metrics.errors.keys().isdisjoint({"customers", "orders"}):
         update_calculated_fields(spark, config)
     metrics.total_time = round(time.monotonic() - t0, 4)
@@ -196,6 +264,8 @@ def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_customers=int(2000 * scale), n_products=int(500 * scale),
         n_orders=int(1500 * scale))
     metrics = run_full_pipeline(spark, src, cfg)
+    global LAST_RUN_METRICS
+    LAST_RUN_METRICS = metrics
     if metrics.failed_tables:
         raise RuntimeError(f"pipeline failures: {metrics.errors}")
     meta = spark.read.parquet(os.path.join(cfg.warehouse_dir, "etl_metadata"))
