@@ -28,8 +28,16 @@ def main() -> None:
     spark = get_spark("simpleetl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: JVM JIT, codegen, parquet footer caches.
+    # Warm-up: JVM JIT, codegen, parquet footer caches — the flagship
+    # query for the read path, a minimum-scale pipeline cycle (the
+    # generator scale floor: 0.2x the reference sizes, ~400 customers)
+    # for the CSV-write/quality/metadata paths.
     catalog.QUERIES["top_products"](spark, sf_dir).collect()
+    catalog.QUERIES["etl_pipeline_run"](spark, "sf0.0001").collect()
+    # ...and one tiny stream so the first measured streaming query
+    # isn't charged the state-store/streaming-machinery bring-up.
+    catalog.QUERIES["streaming_events_hourly"](
+        spark, "/root/testdata/sf0.001").collect()
 
     timings: dict[str, float] = {}
     etl_rps = None

@@ -403,16 +403,28 @@ ORACLE_SQL = {
 
 
 def connected_components(edges: DataFrame, a: str = "a_id",
-                         b: str = "b_id", max_iter: int = 20) -> DataFrame:
-    """Min-label propagation connected components over a pair graph.
+                         b: str = "b_id", max_iter: int = 20,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
+    """Min-label connected components over a pair graph.
 
     Returns (node, component) where component is the minimum node id
-    reachable from `node`. Iterates join-propagate-aggregate until no
-    label changes (large-star/small-star style; diameter-bounded, so
-    near-dup graphs — lots of tiny cliques — converge in 2-3 rounds).
-    Each round is one shuffle keyed by node id; the per-round
-    changed-label count is the only driver-side value (a scalar), so
-    the algorithm distributes at any corpus size.
+    reachable from `node`. Two regimes, picked by edge count — the
+    same reasoning as Spark's broadcast-join threshold:
+
+    - pair graph fits comfortably on the driver (< driver_threshold
+      edges): collect + union-find. Near-dup pair graphs are sparse
+      by construction (LSH emits only probable duplicates), and the
+      distributed fixpoint costs 3+ scheduled jobs PER ROUND — pure
+      scheduling overhead when the graph is a few thousand edges
+      (measured 6.4s for 256 edges vs <0.5s here).
+    - larger: iterative min-label propagation, join-propagate-
+      aggregate until no label changes (diameter-bounded; tiny-clique
+      near-dup graphs converge in 2-3 rounds). Each round is one
+      shuffle keyed by node id and the per-round changed count is the
+      only driver scalar, so this path distributes at any scale.
+
+    The edge count itself is one aggregate over the (persisted) edge
+    list, which every round would have to materialize anyway.
     """
     # Persist the symmetric edge list: every propagation round joins
     # against it, and without the cache each round would re-run the
@@ -424,6 +436,37 @@ def connected_components(edges: DataFrame, a: str = "a_id",
         .distinct()
         .persist()
     )
+    n_edges = sym.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        # collect, not toLocalIterator: the latter fetches the 32
+        # cached partitions one round trip at a time; <= threshold
+        # edges is <~16 MB of (long, long) rows — a single fetch.
+        for row in sym.collect():
+            s, d = row["src"], row["dst"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by min so the representative IS the min label
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        out = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        sym.unpersist()
+        return spark.createDataFrame(out, "node long, component long")
+
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -7,6 +7,7 @@ hash-based ops (minhash/simhash) that the oracle can't express.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.functions.dedup import (
@@ -123,9 +124,13 @@ def test_doc_stats_bounds(spark, sf_dir):
     assert all(r["n_stopwords"] <= r["n_tokens"] for r in rows)
 
 
-def test_connected_components_planted_graph(spark):
+@pytest.mark.parametrize("driver_threshold", [1_000_000, 0],
+                         ids=["driver-union-find", "distributed-labelprop"])
+def test_connected_components_planted_graph(spark, driver_threshold):
     """Two chains and a singleton edge: components must be labeled by
-    their minimum node, regardless of edge direction or order."""
+    their minimum node, regardless of edge direction or order — in
+    BOTH regimes (driver union-find below the edge threshold,
+    distributed label propagation above it)."""
     from simpleetlpipeline_spark.functions.dedup import connected_components
 
     edges = spark.createDataFrame(
@@ -134,7 +139,8 @@ def test_connected_components_planted_graph(spark):
          (7, 2), (2, 1)],              # component {1,2,7}    -> 1
         "a_id long, b_id long")
     out = {r["node"]: r["component"]
-           for r in connected_components(edges).collect()}
+           for r in connected_components(
+               edges, driver_threshold=driver_threshold).collect()}
     assert out == {3: 3, 5: 3, 9: 3, 11: 3,
                    20: 20, 21: 20,
                    1: 1, 2: 1, 7: 1}
