@@ -237,7 +237,86 @@ def term_frequencies(spark: SparkSession, sf_dir: str,
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf * ln(N/df)).
+
+    Shape: tokenize+explode -> (doc, token) hash agg (tf) -> token
+    hash agg (df, one row per distinct doc-token so a plain count is
+    document frequency) -> broadcast the single-row corpus count ->
+    per-doc top-k window. Every aggregate is map-side partial; the
+    window partitions by doc_id (millions of small groups at scale —
+    no single-reducer skew).
+
+    Cross-engine determinism: ranking orders by the FLOORED score
+    (4dp), not the raw double — Spark's Math.log and DuckDB's ln can
+    differ in the last ulp, and ordering by the raw value would let
+    that flip neighboring ranks; after flooring, ties break on token.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    terms = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = terms.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("term_count"))
+    # doc_freq as a window over the SAME tf stream (tf rows are
+    # distinct doc-token pairs, so count(*) per token == document
+    # frequency): one tokenization pass and three shuffles total,
+    # where a groupBy+self-join would tokenize twice and shuffle four
+    # times. The per-token partition is corpus-frequency sized (a
+    # stopword's partition is ~n_docs rows) — same skew profile the
+    # join formulation would have on its join key.
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_tok = Window.partitionBy("token")
+    scored = (
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(w_tok))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.floor(F.col("term_count")
+                    * F.log(F.col("n_docs") / F.col("doc_freq")) * 10000) / 10000)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "term_count", "doc_freq", "rank", "tfidf")
+    )
+
+
 QUERIES["term_frequencies"] = term_frequencies
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
+ORACLE_SQL["tfidf_top_terms"] = """
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS term_count
+        FROM terms WHERE token != ''
+        GROUP BY 1, 2
+    ), df AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM tf GROUP BY 1
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.token, tf.term_count, df.doc_freq,
+               floor(tf.term_count * ln(n.n_docs * 1.0 / df.doc_freq)
+                     * 10000) / 10000 AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, term_count, doc_freq,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token ASC) AS INT)
+               AS rank,
+           tfidf
+    FROM scored
+    QUALIFY rank <= 5
+"""
 ORACLE_SQL["term_frequencies"] = """
     SELECT t AS token, count(*) AS n_occurrences
     FROM (

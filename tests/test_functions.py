@@ -124,6 +124,23 @@ def test_doc_stats_bounds(spark, sf_dir):
     assert all(r["n_stopwords"] <= r["n_tokens"] for r in rows)
 
 
+def test_tfidf_top_terms_invariants(spark, sf_dir):
+    """Per doc: ranks are 1..n (n <= k), scores non-increasing with
+    rank, and document frequency never exceeds the corpus size."""
+    rows = TEXT_QUERIES["tfidf_top_terms"](spark, sf_dir).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        assert all(rs[i]["tfidf"] >= rs[i + 1]["tfidf"]
+                   for i in range(len(rs) - 1))
+        assert all(r["doc_freq"] <= n_docs for r in rs)
+
+
 @pytest.mark.parametrize("driver_threshold", [1_000_000, 0],
                          ids=["driver-union-find", "distributed-labelprop"])
 def test_connected_components_planted_graph(spark, driver_threshold):
