@@ -19,14 +19,17 @@ North-star ANN inventory (BASELINE.json / build brief):
                      form — posexplode + hash agg, fully parallel.
 
 All dot products / norms run as JVM higher-order array functions in
-double precision (zip_with + aggregate) — no Python UDFs. Cosine
-values are floored to 1e-4 in BOTH engines so Spark/DuckDB float sums
-compare stably, and every ranking breaks ties deterministically on
-vec_id.
+double precision (zip_with + aggregate), matching the oracle's fold
+order; the only Python kernel is the Arrow-batched LSH band-key
+matmul (no oracle depends on it). Cosine values are floored to 1e-4
+in BOTH engines so Spark/DuckDB float sums compare stably, and every
+ranking breaks ties deterministically on vec_id.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -125,38 +128,46 @@ def ann_topk(spark: SparkSession, sf_dir: str,
     )
 
 
-def _lsh_bucket_cols(vec: Column, planes: int = LSH_PLANES,
-                     bands: int = LSH_BANDS, seed: int = LSH_SEED) -> Column:
-    """Array of `bands` bucket keys from signed random projections.
+def _lsh_bucket_udf(planes: int = LSH_PLANES, bands: int = LSH_BANDS,
+                    seed: int = LSH_SEED):
+    """Arrow-vectorized signed-random-projection band keys.
 
-    Hyperplane weights are derived deterministically per (plane, dim)
-    from xxhash64 mapped to [-1, 1] — no sampled matrices, no fitted
-    state, identical on every executor. Bit p = sign(w_p . v).
+    One numpy matmul per batch: bit p of a vector = sign(w_p . v),
+    `bands` keys of planes/bands bits each. The hyperplane matrix
+    comes from a seeded RandomState built inside the kernel, so every
+    executor derives the identical planes — deterministic with no
+    fitted/broadcast state, exactly like the minhash kernel
+    (dedup.minhash_from_gram_hashes_udf).
+
+    Replaces a pure-column formulation that re-derived every (plane,
+    dim) weight per ROW through interpreted higher-order functions
+    (~1k expression evaluations per row; measured ~1.4x slower than
+    the matmul on the warm path at sf0.1, a gap that grows linearly
+    with planes x dims). Proper Gaussian hyperplanes also replace the
+    xxhash64-uniform weights — the textbook SRP construction.
     """
+    from pyspark.sql.functions import pandas_udf
+
     bits_per_band = planes // bands
 
-    def bit(p: int) -> Column:
-        w_dot_v = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda d: (F.xxhash64(F.lit(p), d, F.lit(seed))
-                               .cast("double") / F.lit(float(2 ** 63))),
-                ),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        return F.when(w_dot_v > 0, F.lit(1)).otherwise(F.lit(0))
+    @pandas_udf("array<struct<band:int,bucket:bigint>>")
+    def _bb(e: pd.Series) -> pd.Series:
+        mat = np.stack(e.values)
+        rng = np.random.RandomState(seed)
+        w = rng.standard_normal((planes, mat.shape[1]))
+        bits = (mat @ w.T) > 0
+        weights = (1 << np.arange(bits_per_band - 1, -1, -1)).astype(np.int64)
+        out = []
+        for row in bits:
+            out.append([
+                {"band": b,
+                 "bucket": int(row[b * bits_per_band:(b + 1) * bits_per_band]
+                               .astype(np.int64) @ weights)}
+                for b in range(bands)
+            ])
+        return pd.Series(out)
 
-    bands_out = []
-    for b in range(bands):
-        key = F.lit(0)
-        for i in range(bits_per_band):
-            key = key * 2 + bit(b * bits_per_band + i)
-        bands_out.append(F.struct(F.lit(b).alias("band"), key.alias("bucket")))
-    return F.array(*bands_out)
+    return _bb
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str,
@@ -172,7 +183,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
     """
     ensure_session_conf(spark)
     vecs = _vectors(spark, sf_dir).withColumn(
-        "bb", F.explode(_lsh_bucket_cols(F.col("e"))))
+        "bb", F.explode(_lsh_bucket_udf()(F.col("e"))))
     probes = (
         vecs.filter(F.col("vec_id") < n_probes)
         .select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
@@ -230,7 +241,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     data. Recall vs the exact form is unit-tested."""
     ensure_session_conf(spark)
     vecs = _vectors(spark, sf_dir).withColumn(
-        "bb", F.explode(_lsh_bucket_cols(F.col("e"))))
+        "bb", F.explode(_lsh_bucket_udf()(F.col("e"))))
     a = vecs.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
                     F.col("nrm").alias("a_nrm"), "bb")
     b = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
@@ -267,7 +278,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_topk": ann_topk,
-    "ann_lsh_topk": ann_lsh_topk,            # rows-only (xxhash64 planes)
+    "ann_lsh_topk": ann_lsh_topk,            # rows-only (SRP planes)
     "embedding_neardup": embedding_neardup,
     "embedding_neardup_lsh": embedding_neardup_lsh,  # rows-only
     "label_centroids": label_centroids,

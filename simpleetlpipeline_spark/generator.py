@@ -204,9 +204,17 @@ def generate_sample_data(spark: SparkSession, out_dir: str,
         "orders": gen_orders(spark, n_orders, n_customers),
         "order_items": gen_order_items(spark, n_orders, n_products),
     }
-    paths = {}
-    for name, df in dfs.items():
+    # The four table plans are independent spark.range DAGs writing to
+    # separate directories — submit them from concurrent threads so
+    # the scheduler overlaps their stages (same pattern as
+    # pipeline.run_full_pipeline's parallel loads).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(item: tuple[str, object]) -> tuple[str, str]:
+        name, df = item
         path = os.path.join(out_dir, f"{name}.csv")
         write_csv(df, path)
-        paths[name] = path
-    return paths
+        return name, path
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as ex:
+        return dict(ex.map(_write, dfs.items()))
