@@ -298,11 +298,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     b = docs.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("b_g"))
     inter = F.size(F.array_intersect("a_g", "b_g"))
     union = F.size("a_g") + F.size("b_g") - inter
+    # Persist the verified pair graph: it is tiny (near-dup pairs are
+    # rare by construction) and has three consumers in the catalog —
+    # this query, dedup_clusters, and corpus_curate_neardup. The
+    # cache manager matches their structurally identical plans, so
+    # the shingle/signature/verify pipeline runs once per session
+    # instead of once per consumer.
     return (
         candidates.join(a, "a_id").join(b, "b_id")
         .withColumn("jaccard", F.floor(inter / union * 10000) / 10000)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+        .persist()
     )
 
 
