@@ -554,6 +554,39 @@ ORACLE_SQL["sql_monthly_sales"] = ORACLE_SQL["monthly_sales"]
 QUERIES["orders_sample"] = orders_sample  # rows-only: engine-specific RNG
 
 
+def orders_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 at scale: deterministic hash-based sampling.
+
+    keep iff the first hex digit of md5('seed42:' || order_id) is
+    '0' or '1' — a 12.5% Bernoulli sample that is reproducible under
+    any repartitioning, re-run, or engine (rand(seed)-based sampling
+    is per-partition state, so the SAME query returns DIFFERENT rows
+    when file splits change — a real hazard for debugging and for
+    train/eval splits at 100 TB). The predicate evaluates inside the
+    scan stage (narrow, no shuffle). Membership compares
+    the hex digit lexicographically so the oracle needs no hex
+    parsing — md5 of the same string is identical everywhere.
+    """
+    ensure_session_conf(spark)
+    digit = F.substring(
+        F.md5(F.concat(F.lit("seed42:"),
+                       F.col("o_orderkey").cast("string"))), 1, 1)
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(digit.isin("0", "1"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+QUERIES["orders_sample_hash"] = orders_sample_hash
+ORACLE_SQL["orders_sample_hash"] = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE substr(md5('seed42:' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+          IN ('0', '1')
+"""
+
+
 def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-aware rollup: groupBy event_type is the canonical
     low-cardinality skew hazard (a handful of reducers own all
