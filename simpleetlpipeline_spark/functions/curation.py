@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from simpleetlpipeline_spark.functions.dedup import dedup_clusters
+from simpleetlpipeline_spark.functions.dedup import dedup_cluster_frame
 from simpleetlpipeline_spark.functions.text import (
     _STOPWORDS_SQL,
     _lang_case,
@@ -71,11 +71,11 @@ def corpus_curate(spark: SparkSession, sf_dir: str,
 
 def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus_curate plus near-dup removal: every non-canonical
-    member of a MinHash-LSH cluster (dedup.dedup_clusters) is
+    member of a MinHash-LSH cluster (dedup.dedup_cluster_frame) is
     dropped. Rows-only in the gate (LSH hash family)."""
     ensure_session_conf(spark)
     kept = corpus_curate(spark, sf_dir)
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = dedup_cluster_frame(spark, sf_dir)
     drops = (
         clusters.select(
             F.explode("members").alias("doc_id"), "keep_doc_id")

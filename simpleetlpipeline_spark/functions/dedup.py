@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simpleetlpipeline_spark.cache import track
 from simpleetlpipeline_spark.io import fan_out, read_table
 from simpleetlpipeline_spark.session import ensure_session_conf
 
@@ -303,14 +304,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     # this query, dedup_clusters, and corpus_curate_neardup. The
     # cache manager matches their structurally identical plans, so
     # the shingle/signature/verify pipeline runs once per session
-    # instead of once per consumer.
-    return (
+    # instead of once per consumer. Materializing it eagerly (count)
+    # lets the corpus-sized gram cache be released immediately — the
+    # pair graph is the only thing the consumers still need — and the
+    # registry owns the pair cache's lifetime (cache.release_caches).
+    pairs = track(
         candidates.join(a, "a_id").join(b, "b_id")
         .withColumn("jaccard", F.floor(inter / union * 10000) / 10000)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
         .persist()
     )
+    pairs.count()
+    docs.unpersist()
+    return pairs
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,
@@ -411,7 +418,7 @@ ORACLE_SQL = {
 
 def connected_components(edges: DataFrame, a: str = "a_id",
                          b: str = "b_id", max_iter: int = 20,
-                         driver_threshold: int = 1_000_000) -> DataFrame:
+                         driver_threshold: int = 500_000) -> DataFrame:
     """Min-label connected components over a pair graph.
 
     Returns (node, component) where component is the minimum node id
@@ -455,11 +462,14 @@ def connected_components(edges: DataFrame, a: str = "a_id",
                 parent[x], x = root, parent[x]
             return root
 
-        # collect, not toLocalIterator: the latter fetches the 32
-        # cached partitions one round trip at a time; <= threshold
-        # edges is <~16 MB of (long, long) rows — a single fetch.
-        for row in sym.collect():
-            s, d = row["src"], row["dst"]
+        # toPandas (Arrow), not collect(): Row objects cost ~100+
+        # bytes/edge on the driver, so a near-threshold collect would
+        # hold hundreds of MB; Arrow lands the edge list as two int64
+        # numpy columns (~8 MB at the 500k-edge threshold). Only the
+        # union-find dict (distinct nodes, not edges) stays per-object.
+        pdf = sym.toPandas()
+        for s, d in zip(pdf["src"].to_numpy().tolist(),
+                        pdf["dst"].to_numpy().tolist()):
             parent.setdefault(s, s)
             parent.setdefault(d, d)
             rs, rd = find(s), find(d)
@@ -511,19 +521,21 @@ def connected_components(edges: DataFrame, a: str = "a_id",
         if changed == 0:
             break
     # final labels are cached + materialized by the last probe, so the
-    # edge cache is no longer needed
+    # edge cache is no longer needed; the labels cache itself is
+    # consumed lazily by callers, so the registry owns its release.
     sym.unpersist()
-    return labels
+    return track(labels)
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str,
-                   threshold: float = 0.15) -> DataFrame:
+def dedup_cluster_frame(spark: SparkSession, sf_dir: str,
+                        threshold: float = 0.15) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs -> connected components
-    -> per-cluster canonical doc (min doc_id) and cluster size. The
-    step that turns pairwise near-dup hits into keep/drop decisions
-    in a training-data pipeline. Rows-only check (pair graph comes
-    from the engine-specific MinHash family); structure unit-tested
-    on planted clusters."""
+    -> per-cluster canonical doc (min doc_id), cluster size, and the
+    sorted member array. The step that turns pairwise near-dup hits
+    into keep/drop decisions in a training-data pipeline. Internal
+    form — `members` is array<long> for programmatic consumers
+    (corpus_curate_neardup explodes it); the catalog entry
+    dedup_clusters serializes it for the gate."""
     pairs = dedup_minhash_lsh(spark, sf_dir, threshold=threshold)
     comps = connected_components(pairs)
     return (
@@ -534,6 +546,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
             F.array_sort(F.collect_list("node")).alias("members"),
         )
         .select("keep_doc_id", "cluster_size", "members")
+    )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str,
+                   threshold: float = 0.15) -> DataFrame:
+    """Catalog form of dedup_cluster_frame: the member list rides as
+    a deterministic comma-joined string (sorted ascending), because
+    the gate's pandas canonicalizer cannot hash array cells. Same
+    information, scalar schema. Rows-only check (pair graph comes
+    from the engine-specific MinHash family); structure unit-tested
+    on planted clusters."""
+    return dedup_cluster_frame(spark, sf_dir, threshold=threshold).select(
+        "keep_doc_id", "cluster_size",
+        F.concat_ws(",", F.col("members").cast("array<string>"))
+        .alias("members"),
     )
 
 

@@ -181,10 +181,24 @@ def media_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog form of frame_sample: the binary sampled payload is
+    projected to its byte length so every output column is scalar and
+    DuckDB-checkable (n_frames/n_kept/sampled_bytes are pure frame
+    arithmetic over the payload size; computing sampled_bytes from
+    the actual mapInPandas output verifies the real frame splitter,
+    not just the formula)."""
+    fs = frame_sample(spark, sf_dir)
+    return fs.select(
+        "media_id", "n_frames", "n_kept",
+        F.octet_length("sampled_payload").cast("long").alias("sampled_bytes"),
+    )
+
+
 QUERIES = {
     "media_catalog": media_catalog,
     "media_meta_extract": media_meta_extract,
-    "media_frame_sample": frame_sample,       # rows-only (binary out)
+    "media_frame_sample": media_frame_sample,
     "media_type_rollup": media_type_rollup,
 }
 
@@ -260,13 +274,14 @@ def media_resize(spark: SparkSession, sf_dir: str,
     ).select("media_id", "width", "height")
 
 
-def media_feature_extract(spark: SparkSession, sf_dir: str,
-                          dim: int = 16) -> DataFrame:
+def media_features(spark: SparkSession, sf_dir: str,
+                   dim: int = 16) -> DataFrame:
     """Feature extraction through mapInPandas: a deterministic
     16-dim unit vector per item (md5-seeded numpy, standing in for a
     CNN/CLIP embedding head). The contract a downstream ANN index
-    consumes: (media_id, features array<float>). Rows-only check;
-    determinism and unit-norm are unit-tested."""
+    consumes: (media_id, features array<float>). Internal form —
+    the catalog entry media_feature_extract projects it to scalars
+    for the gate; determinism and unit-norm are unit-tested."""
     media = media_table(spark, sf_dir)
 
     def extract(batches):
@@ -285,12 +300,60 @@ def media_feature_extract(spark: SparkSession, sf_dir: str,
     return media.mapInPandas(extract, "media_id long, features array<float>")
 
 
+def media_feature_extract(spark: SparkSession, sf_dir: str,
+                          dim: int = 16) -> DataFrame:
+    """Catalog form of media_features: scalar contract the gate can
+    canonicalize — vector width and L2 norm (rounded to 4dp, exactly
+    1.0 for any float32-normalized vector). The norm is recomputed
+    JVM-side from the actual UDF output, so the oracle's constant
+    1.0 genuinely checks that the numpy head emitted unit vectors of
+    the declared dimension for every row."""
+    feats = media_features(spark, sf_dir, dim)
+    sumsq = F.aggregate(
+        F.transform("features", lambda x: x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x * x)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("n_dims"),
+        F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+    )
+
+
 QUERIES["media_resize"] = media_resize
-QUERIES["media_feature_extract"] = media_feature_extract  # rows-only
+QUERIES["media_feature_extract"] = media_feature_extract
 
 ORACLE_SQL["media_resize"] = f"""
     SELECT media_id,
            CAST(greatest(1, ({_W}) // 2) AS INT) AS width,
            CAST(greatest(1, ({_H}) // 2) AS INT) AS height
+    FROM ({_MEDIA_SQL})
+"""
+
+ORACLE_SQL["media_frame_sample"] = f"""
+    WITH m AS (
+        SELECT media_id, octet_length(encode(text)) AS n
+        FROM ({_MEDIA_SQL})
+    ), f AS (
+        SELECT media_id, n,
+               CAST(ceil(n / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+        FROM m
+    ), k AS (
+        SELECT media_id, n, n_frames,
+               CAST(ceil(n_frames / {FRAME_STRIDE}.0) AS BIGINT) AS n_kept
+        FROM f
+    )
+    SELECT media_id, n_frames, n_kept,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE {FRAME_BYTES} * (n_kept - 1)
+                     + least({FRAME_BYTES},
+                             n - {FRAME_BYTES * FRAME_STRIDE} * (n_kept - 1))
+                END AS BIGINT) AS sampled_bytes
+    FROM k
+"""
+
+ORACLE_SQL["media_feature_extract"] = f"""
+    SELECT media_id,
+           CAST(16 AS INT) AS n_dims,
+           CAST(1.0 AS DOUBLE) AS l2_norm
     FROM ({_MEDIA_SQL})
 """

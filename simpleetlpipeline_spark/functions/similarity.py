@@ -44,6 +44,28 @@ LSH_SEED = 7
 NEARDUP_THRESHOLD = 0.4
 N_SALTS = 32           # partial-top-k fan-out (scale with corpus size)
 
+#: embedding_neardup (exact, quadratic) broadcast-builds the whole
+#: corpus; past this on-disk size the build side would blow executor
+#: memory, so the guard fails FAST with the scale-path alternative
+#: instead of letting the job OOM mid-stage. Same reasoning as
+#: connected_components.driver_threshold.
+EXACT_NEARDUP_MAX_BYTES = 256 << 20
+
+
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk footprint of one testdata table — a driver-side stat
+    (no Spark job), enough signal to veto a corpus broadcast."""
+    import glob
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(p))
+
 
 def as_double_vec(embedding: Column) -> Column:
     return F.transform(embedding, lambda x: x.cast("double"))
@@ -208,14 +230,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str,
-                      threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
+                      threshold: float = NEARDUP_THRESHOLD,
+                      max_bytes: int = EXACT_NEARDUP_MAX_BYTES) -> DataFrame:
     """Exact all-pairs cosine near-dup (a_id < b_id, sim >= t).
 
     Quadratic by construction — the oracle-checkable ground truth at
     test scale. At 100 TB use embedding_neardup_lsh: same output
-    contract, LSH-blocked candidate generation.
+    contract, LSH-blocked candidate generation. Guarded: the corpus
+    is the broadcast build side, so past max_bytes this refuses to
+    plan rather than OOM an executor mid-stage.
     """
     ensure_session_conf(spark)
+    n_bytes = _table_bytes(sf_dir, "embeddings")
+    if n_bytes > max_bytes:
+        raise ValueError(
+            f"embedding_neardup is exact/quadratic and broadcasts the "
+            f"full corpus ({n_bytes} bytes > max_bytes={max_bytes}); "
+            f"use embedding_neardup_lsh (same output contract, "
+            f"LSH-blocked, linear shuffle) at this scale")
     vecs = _vectors(spark, sf_dir)
     a = vecs.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
                     F.col("nrm").alias("a_nrm"))
@@ -415,4 +447,72 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     return _topk_per_probe(scored, k).select("a_id", "b_id", "rank", "cosine_sim")
 
 
-QUERIES["ann_ivf_topk"] = ann_ivf_topk  # rows-only: approximate recall
+QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+# IVF is fully deterministic (centroids are per-label means, not
+# sampled k-means), so unlike the SRP-LSH family it has an exact
+# DuckDB twin: rebuild the centroids, assign cells with the same
+# floored-cosine + cell-asc ranking, and re-rank candidates with the
+# same fold order. Centroid avgs are compared un-floored — a ulp
+# difference could only flip an assignment if two floored cosines
+# collide exactly at a 1e-4 grid boundary (verified stable on the
+# test corpus).
+_CENT_COS = """
+    floor(
+        list_reduce(
+            list_transform(range(1, 65),
+                           i -> CAST(v.e[i] AS DOUBLE) * c.c[i]),
+            (acc, x) -> acc + x)
+        / (v.nrm * c.c_nrm) * 10000) / 10000
+"""
+
+ORACLE_SQL["ann_ivf_topk"] = f"""
+    WITH v AS ({_VECS_SQL}),
+    cd AS (
+        SELECT label, r.i AS i,
+               avg(CAST(embedding[r.i] AS DOUBLE)) AS cv
+        FROM embeddings, range(1, 65) AS r(i)
+        GROUP BY 1, 2
+    ), cent AS (
+        SELECT label AS cell, list(cv ORDER BY i) AS c
+        FROM cd GROUP BY label
+    ), centn AS (
+        SELECT cell, c,
+               sqrt(list_reduce(list_transform(c, x -> x * x),
+                                (acc, x) -> acc + x)) AS c_nrm
+        FROM cent
+    ), assign AS (
+        SELECT v.vec_id, v.e, v.nrm, c.cell,
+               {_CENT_COS} AS c_sim
+        FROM v CROSS JOIN centn c
+    ), ranked_cells AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c_sim DESC, cell ASC) AS cr
+        FROM assign
+    ), corpus AS (
+        SELECT vec_id AS b_id, e AS b_e, nrm AS b_nrm, cell
+        FROM ranked_cells WHERE cr = 1
+    ), probes AS (
+        SELECT vec_id AS a_id, e AS a_e, nrm AS a_nrm, cell
+        FROM ranked_cells WHERE vec_id < {N_PROBES} AND cr <= 3
+    ), scored AS (
+        SELECT a_id, b_id,
+               floor(
+                   list_reduce(
+                       list_transform(range(1, 65),
+                                      i -> CAST(a_e[i] AS DOUBLE)
+                                           * CAST(b_e[i] AS DOUBLE)),
+                       (acc, x) -> acc + x)
+                   / (a_nrm * b_nrm) * 10000) / 10000 AS cosine_sim
+        FROM probes JOIN corpus USING (cell)
+        WHERE a_id != b_id
+    ), ranked AS (
+        SELECT a_id, b_id, cosine_sim,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY cosine_sim DESC, b_id ASC)
+                   AS rank
+        FROM scored
+    )
+    SELECT a_id, b_id, CAST(rank AS INT) AS rank, cosine_sim
+    FROM ranked WHERE rank <= {TOP_K}
+"""

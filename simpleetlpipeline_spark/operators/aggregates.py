@@ -19,8 +19,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: (stage1 partial, stage2 merge) expression builders per agg kind.
+#: COUNT keeps SQL semantics: count('*') counts rows, count(col)
+#: counts non-null values — the partial must look at the column or
+#: ('count', col) / the avg decomposition would silently count nulls.
 _MERGES = {
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "count": (lambda c: F.count(F.lit(1)) if c in ("*", None, "")
+              else F.count(F.col(c)), F.sum),
     "sum": (F.sum, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),

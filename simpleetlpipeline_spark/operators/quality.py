@@ -36,6 +36,20 @@ class QualityReport:
     content_hash: str | None = None
 
 
+def row_hash_col(cols: list[str]) -> F.Column:
+    """Null-safe canonical 64-bit row hash.
+
+    coalesce-to-\\x00 sentinel + \\x01 joiner keeps ('a', NULL) and
+    (NULL, 'a') distinct — xxhash64 alone silently SKIPS null args,
+    so both the duplicate count and the content hash would otherwise
+    collapse rows that differ only in which column is null. One
+    canonical form shared by both consumers so they can never drift.
+    """
+    return F.xxhash64(F.concat_ws(
+        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in cols]))
+
+
 def null_counts_expr(df: DataFrame) -> list[F.Column]:
     """A7: per-column null counts as one aggregate projection."""
     return [
@@ -72,18 +86,14 @@ def check_data_quality(df: DataFrame, table_name: str,
     hash. One job regardless of column count; no row collect.
     """
     ncols = len(df.columns)
-    # Distinct over a canonical 64-bit row hash, not the full-row
-    # struct: count_distinct in a multi-aggregate plans as an Expand
-    # that duplicates every row with the distinct key attached, so the
-    # key being 8 bytes instead of the whole wide row roughly halves
-    # the pass (measured on 200k-row customers). Null-safe canonical
-    # form (coalesce to a \x00 sentinel, \x01 joiner) keeps ('a',NULL)
-    # and (NULL,'a') distinct — xxhash64 alone silently skips null
-    # args. Exact modulo 64-bit collisions (~n^2/2^65; immaterial for
-    # a 0-100 quality score).
-    row_hash = F.xxhash64(F.concat_ws(
-        "\x01", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                  for c in df.columns]))
+    # Distinct over the canonical 64-bit row hash (row_hash_col), not
+    # the full-row struct: count_distinct in a multi-aggregate plans
+    # as an Expand that duplicates every row with the distinct key
+    # attached, so the key being 8 bytes instead of the whole wide row
+    # roughly halves the pass (measured on 200k-row customers). Exact
+    # modulo 64-bit collisions (~n^2/2^65; immaterial for a 0-100
+    # quality score).
+    row_hash = row_hash_col(df.columns)
     exprs = [
         F.count(F.lit(1)).alias("__rows"),
         F.count_distinct(row_hash).alias("__distinct"),
@@ -91,9 +101,7 @@ def check_data_quality(df: DataFrame, table_name: str,
     ]
     if with_content_hash:
         exprs.append(
-            F.sum(
-                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-                .cast("decimal(38,0)")).alias("__hash"))
+            F.sum(row_hash.cast("decimal(38,0)")).alias("__hash"))
     agg_row: Row = df.agg(*exprs).collect()[0]
     row_count = agg_row["__rows"]
     nulls = {f.name: int(agg_row[f.name] or 0) for f in df.schema.fields}
@@ -115,13 +123,13 @@ def check_data_quality(df: DataFrame, table_name: str,
 def content_hash(df: DataFrame) -> str:
     """Order-insensitive dataset fingerprint (replaces main.py:507).
 
-    xxhash64 over all columns per row, summed as decimal(38,0) (a
-    long sum would hit ANSI ARITHMETIC_OVERFLOW on any real table)
-    then wrapped to 64 bits. Commutative, so partition/order changes
-    don't alter it; fully distributed (one aggregate, no row collect).
+    The null-safe canonical row hash (row_hash_col) summed as
+    decimal(38,0) (a long sum would hit ANSI ARITHMETIC_OVERFLOW on
+    any real table) then wrapped to 64 bits. Commutative, so
+    partition/order changes don't alter it; fully distributed (one
+    aggregate, no row collect).
     """
     h = df.select(
-        F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-        .cast("decimal(38,0)").alias("h")
+        row_hash_col(df.columns).cast("decimal(38,0)").alias("h")
     ).agg(F.sum("h").alias("s")).collect()[0]["s"]
     return format(int(h or 0) & 0xFFFFFFFFFFFFFFFF, "016x")

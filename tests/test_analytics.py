@@ -13,7 +13,7 @@ from simpleetlpipeline_spark.plans.analytics import QUERIES
 
 # Queries whose values are engine-specific by design (seeded RNG /
 # hash families) — rows-only in the driver's gate, no SQL twin.
-ROWS_ONLY = {"orders_sample"}
+ROWS_ONLY: set[str] = set()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -169,7 +169,10 @@ def test_dedup_clusters_merges_planted_dups(spark):
     import os
     import tempfile
 
-    from simpleetlpipeline_spark.functions.dedup import dedup_clusters
+    from simpleetlpipeline_spark.functions.dedup import (
+        dedup_cluster_frame,
+        dedup_clusters,
+    )
 
     rows = [(i, f"totally unique filler document {i} " * 3)
             for i in range(10)]
@@ -177,6 +180,24 @@ def test_dedup_clusters_merges_planted_dups(spark):
     with tempfile.TemporaryDirectory() as td:
         _docs(spark, rows).write.parquet(os.path.join(td, "documents.parquet"))
         out = {r["keep_doc_id"]: r for r in
-               dedup_clusters(spark, td, threshold=0.9).collect()}
+               dedup_cluster_frame(spark, td, threshold=0.9).collect()}
+        flat = {r["keep_doc_id"]: r for r in
+                dedup_clusters(spark, td, threshold=0.9).collect()}
     assert out[0]["cluster_size"] == 3 and out[0]["members"] == [0, 100, 101]
     assert out[1]["cluster_size"] == 2 and out[1]["members"] == [1, 200]
+    # catalog form: same clusters, members serialized for the gate
+    assert flat[0]["members"] == "0,100,101"
+    assert flat[1]["members"] == "1,200"
+
+
+def test_cache_registry_releases_dedup_caches(spark, sf_dir):
+    """After a clustering run, release_caches() must free everything
+    the dedup family persisted (pair graph; component labels on the
+    distributed path) and a second sweep must find nothing."""
+    from simpleetlpipeline_spark import cache
+    from simpleetlpipeline_spark.functions.dedup import dedup_clusters
+
+    cache.release_caches()  # clean slate from other tests
+    dedup_clusters(spark, sf_dir).collect()
+    assert cache.release_caches() >= 1
+    assert cache.release_caches() == 0

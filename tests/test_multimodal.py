@@ -54,9 +54,9 @@ def test_feature_extract_deterministic_unit_norm(spark, sf_dir):
     import math
 
     a = {r["media_id"]: list(r["features"])
-         for r in M.media_feature_extract(spark, sf_dir).collect()}
+         for r in M.media_features(spark, sf_dir).collect()}
     b = {r["media_id"]: list(r["features"])
-         for r in M.media_feature_extract(spark, sf_dir).collect()}
+         for r in M.media_features(spark, sf_dir).collect()}
     assert a == b
     for v in a.values():
         assert len(v) == 16

@@ -60,6 +60,20 @@ def test_salted_agg_two_stages_and_values(spark):
     assert abs(rows[0]["a"] - 49.0) < 1e-9
 
 
+def test_salted_agg_count_avg_null_semantics(spark):
+    """COUNT(col)/AVG(col) must skip nulls like SQL (ADVICE r1: the
+    count partial used to count rows regardless of the column)."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 3.0), (2, None)], "k int, v double")
+    out = {r["k"]: r for r in salted_agg(df, ["k"], {
+        "rows": ("count", "*"), "n_v": ("count", "v"),
+        "a": ("avg", "v")}).collect()}
+    assert out[1]["rows"] == 3 and out[1]["n_v"] == 2
+    assert out[1]["a"] == 2.0  # (1+3)/2 non-null values, not /3 rows
+    assert out[2]["rows"] == 1 and out[2]["n_v"] == 0
+    assert out[2]["a"] is None
+
+
 def test_salted_agg_rejects_holistic(spark):
     import pytest
 
@@ -74,12 +88,15 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
     the ETL driver, which execute by contract. First construction is
     a warm-up: Spark runs one tiny parquet-footer schema job per
     fresh path, which the session's FileIndex cache then absorbs."""
-    # exempt: streaming replays, the ETL driver, and the iterative
-    # connected-components fixpoint — all execute by contract
+    # exempt: streaming replays, the ETL driver, the iterative
+    # connected-components fixpoint, and the eagerly-materialized
+    # MinHash pair graph (dedup_minhash_lsh counts its persisted
+    # pairs so the corpus-sized gram cache can be released) — all
+    # execute by contract
     batch = {n: fn for n, fn in QUERIES.items()
              if not n.startswith("streaming_")
              and n not in ("etl_pipeline_run", "dedup_clusters",
-                           "corpus_curate_neardup")}
+                           "dedup_minhash_lsh", "corpus_curate_neardup")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)

@@ -59,6 +59,20 @@ def test_content_hash_order_insensitive(spark, rows):
     assert content_hash(df1) == content_hash(df2)
 
 
+def test_content_hash_distinguishes_null_position(spark):
+    """('a', NULL) vs (NULL, 'a') must hash differently — xxhash64
+    skips null args, so a non-canonicalized hash would collapse
+    them (ADVICE r1)."""
+    df1 = spark.createDataFrame([("a", None)], "x string, y string")
+    df2 = spark.createDataFrame([(None, "a")], "x string, y string")
+    assert content_hash(df1) != content_hash(df2)
+    r1 = check_data_quality(df1, "t", with_content_hash=True)
+    r2 = check_data_quality(df2, "t", with_content_hash=True)
+    assert r1.content_hash != r2.content_hash
+    # and the lineage hash equals the standalone fingerprint
+    assert r1.content_hash == content_hash(df1)
+
+
 @given(rows=st.lists(
     st.tuples(st.floats(0, 100, allow_nan=False),
               st.floats(0, 100, allow_nan=False)), max_size=25),

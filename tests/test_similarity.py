@@ -94,3 +94,10 @@ def test_label_centroids_shape(spark, sf_dir):
     dims = {r["dim"] for r in rows}
     assert dims == set(range(64))
     assert all(r["n_vectors"] > 0 for r in rows)
+
+
+def test_embedding_neardup_guard_refuses_oversized_corpus(spark, sf_dir):
+    """The exact form broadcasts the whole corpus; above max_bytes it
+    must fail fast with the scale-path alternative, not OOM."""
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        S.embedding_neardup(spark, sf_dir, max_bytes=1)
