@@ -120,6 +120,53 @@ def check_data_quality(df: DataFrame, table_name: str,
     return report
 
 
+def quality_observe_exprs(cols: list[str]) -> list[F.Column]:
+    """The quality profile as observe()-compatible aggregates: row
+    count, per-column null counts, and the lineage content hash —
+    everything in check_data_quality EXCEPT the duplicate count
+    (count_distinct is a distinct aggregate, which CollectMetrics
+    rejects). Attached to a write's DataFrame these ride the write
+    action itself: the whole profile costs ZERO extra passes over
+    the data; only the distinct count needs its own (hash-only)
+    aggregate afterwards."""
+    return [
+        F.count(F.lit(1)).alias("__rows"),
+        F.sum(row_hash_col(cols).cast("decimal(38,0)")).alias("__hash"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+          for c in cols],
+    ]
+
+
+def report_from_observation(vals: dict, cols: list[str], table_name: str,
+                            duplicate_rows: int) -> QualityReport:
+    """Assemble the QualityReport from observe() metrics + the
+    separately-computed duplicate count. Same formulas as
+    check_data_quality — the two paths are parity-tested."""
+    rows = vals["__rows"]
+    nulls = {c: int(vals[f"__null_{c}"] or 0) for c in cols}
+    report = QualityReport(
+        table_name=table_name,
+        row_count=rows,
+        column_count=len(cols),
+        null_counts=nulls,
+        duplicate_rows=duplicate_rows,
+        quality_score=quality_score(rows, len(cols), sum(nulls.values()),
+                                    duplicate_rows),
+    )
+    report.content_hash = format(
+        int(vals["__hash"] or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+    return report
+
+
+def distinct_row_count(df: DataFrame) -> int:
+    """Distinct canonical-row-hash count — the one profile component
+    that cannot ride an observe(). A single two-stage hash aggregate
+    over the 8-byte row hash (no Expand: it is the only aggregate in
+    the plan)."""
+    return df.select(row_hash_col(df.columns).alias("h")) \
+        .agg(F.count_distinct("h").alias("d")).collect()[0]["d"]
+
+
 def content_hash(df: DataFrame) -> str:
     """Order-insensitive dataset fingerprint (replaces main.py:507).
 

@@ -38,7 +38,6 @@ from simpleetlpipeline_spark.io import (
     write_table_version,
 )
 from simpleetlpipeline_spark.operators.joins import rollup_update
-from simpleetlpipeline_spark.operators.quality import check_data_quality
 from simpleetlpipeline_spark.operators.transforms import TRANSFORM_DISPATCH
 from simpleetlpipeline_spark.schemas import (
     ETL_METADATA,
@@ -97,9 +96,20 @@ def load_table(spark: SparkSession, table: str, source_path: str,
     """Extract → transform → quality → load one table, appending a
     lineage row to etl_metadata (reference load_data, main.py:501-558).
 
-    Returns (records_processed, records_inserted). Counts are
-    observe() metrics from the write action itself — one pass.
+    Returns (records_processed, records_inserted). Counts AND the
+    quality profile (null counts, content hash) are observe() metrics
+    riding the write action itself — one pass over the data. The only
+    follow-up job is the duplicate count (a distinct aggregate, which
+    CollectMetrics rejects), computed as a hash-only aggregate over
+    the just-written parquet — columnar re-read of an 8-byte
+    projection, not a CSV re-parse + transform recompute.
     """
+    from simpleetlpipeline_spark.operators.quality import (
+        distinct_row_count,
+        quality_observe_exprs,
+        report_from_observation,
+    )
+
     start = time.monotonic()
     obs_in, obs_out = Observation(), Observation()
 
@@ -107,10 +117,11 @@ def load_table(spark: SparkSession, table: str, source_path: str,
     df = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
     transformed = TRANSFORM_DISPATCH[table](df)
     out = transformed.select(*TARGET_COLUMNS[table])
-    out = out.observe(obs_out, F.count(F.lit(1)).alias("n"))
+    out = out.observe(obs_out, *quality_observe_exprs(out.columns))
 
     append_table(out, os.path.join(config.warehouse_dir, table))
-    n_in, n_out = obs_in.get["n"], obs_out.get["n"]
+    vals = obs_out.get
+    n_in, n_out = obs_in.get["n"], vals["__rows"]
     if n_in == 0:
         # Empty-source guard (reference main.py:390-395) paid from the
         # write's own observed metric instead of an extra isEmpty job.
@@ -118,10 +129,10 @@ def load_table(spark: SparkSession, table: str, source_path: str,
 
         raise EmptySourceError(f"Source file is empty: {source_path}")
 
-    # Profile + lineage hash in ONE aggregate job over the loaded data.
-    report = check_data_quality(
-        spark.read.parquet(os.path.join(config.warehouse_dir, table)),
-        table, with_content_hash=True)
+    written = spark.read.parquet(os.path.join(config.warehouse_dir, table))
+    report = report_from_observation(
+        vals, out.columns, table,
+        duplicate_rows=n_out - distinct_row_count(written))
     checksum = report.content_hash
     elapsed = time.monotonic() - start
 
@@ -316,6 +327,14 @@ def pipeline_status(spark: SparkSession, config: ETLConfig) -> dict:
     quality = agg["avg_quality"]
     health = ("healthy" if quality is not None and quality >= 80.0
               else "degraded" if quality is not None else "idle")
+    # Optimizer stats, if analyze_tables has registered + analyzed the
+    # warehouse tables in this session (cheap catalog lookups only —
+    # no jobs, so the dashboard stays instant).
+    table_stats = {
+        table: _catalog_stats(spark, f"wh_{table}")
+        for table in LOAD_ORDER
+        if spark.catalog.tableExists(f"wh_{table}")
+    }
     return {
         "health": health,
         "avg_processing_time": agg["avg_processing_time"],
@@ -323,18 +342,82 @@ def pipeline_status(spark: SparkSession, config: ETLConfig) -> dict:
         "avg_quality": quality,
         "loads_24h": agg["loads_24h"],
         "latest_loads": latest,
+        "table_stats": table_stats,
     }
 
 
-def analyze_tables(spark: SparkSession, config: ETLConfig) -> dict[str, int]:
+def analyze_tables(spark: SparkSession,
+                   config: ETLConfig) -> dict[str, dict]:
     """EP3 optimizer surface (reference analyze_query_performance,
-    main.py:915-933): per-table row counts. SQLite ANALYZE maps to
-    'ANALYZE TABLE ... COMPUTE STATISTICS' for catalog tables; for
-    path tables the parquet footers already carry the stats Catalyst
-    uses, so this reports counts only."""
-    out = {}
+    main.py:915-933): SQLite's ANALYZE mapped to Spark's real stats
+    collection. Each warehouse path is registered as an external
+    parquet table and `ANALYZE TABLE ... COMPUTE STATISTICS` runs, so
+    Catalyst's cost-based optimizer (join reordering, broadcast
+    selection) has sizeInBytes + rowCount instead of file-size
+    guesses. Table-level stats only by default — `FOR ALL COLUMNS`
+    histograms are a separate, much heavier pass you'd run on join
+    keys at 100 TB, not every column.
+
+    Returns {table: {"size_bytes": int, "row_count": int}} read back
+    from the catalog (proof the stats landed, not just ran).
+    """
+    out: dict[str, dict] = {}
     for table in LOAD_ORDER:
         path = os.path.join(config.warehouse_dir, table)
-        if os.path.exists(path):
-            out[table] = spark.read.parquet(path).count()
+        if not os.path.exists(path):
+            continue
+        name = f"wh_{table}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} USING parquet "
+            f"LOCATION '{os.path.abspath(path)}'")
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        out[table] = _catalog_stats(spark, name)
     return out
+
+
+def _catalog_stats(spark: SparkSession, name: str) -> dict:
+    """Parse 'N bytes, M rows' from DESCRIBE TABLE EXTENDED's
+    Statistics row into {"size_bytes": N, "row_count": M}."""
+    stats_row = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {name}")
+        .filter(F.col("col_name") == "Statistics")
+        .select("data_type").first())
+    parts = ((stats_row["data_type"] or "") if stats_row else "") \
+        .replace(",", "").split()
+    stats: dict = {}
+    for i, word in enumerate(parts):
+        if word == "bytes" and i > 0:
+            stats["size_bytes"] = int(parts[i - 1])
+        if word == "rows" and i > 0:
+            stats["row_count"] = int(parts[i - 1])
+    return stats
+
+
+#: Advice thresholds for suggest_optimizations.
+_BROADCAST_BYTES = 10 * 1024 * 1024
+
+
+def suggest_optimizations(spark: SparkSession,
+                          config: ETLConfig) -> list[str]:
+    """Reference suggest_optimizations (main.py:935-948) rebuilt
+    data-driven: instead of a static string list, derive advice from
+    the stats ANALYZE just collected — which is also what makes the
+    suggestions actionable on a real cluster."""
+    stats = analyze_tables(spark, config)
+    tips: list[str] = []
+    for table, s in stats.items():
+        size = s.get("size_bytes")
+        if size is not None and size <= _BROADCAST_BYTES:
+            tips.append(
+                f"{table}: {size} bytes — fits the broadcast-join "
+                f"threshold; joins against it should broadcast "
+                f"(verify BroadcastHashJoin in the plan)")
+        if "row_count" not in s:
+            tips.append(
+                f"{table}: no rowCount statistic — re-run ANALYZE "
+                f"TABLE so the cost-based optimizer can reorder joins")
+    if not tips:
+        tips.append("all warehouse tables analyzed; no structural "
+                    "changes suggested")
+    return tips

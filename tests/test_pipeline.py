@@ -82,8 +82,21 @@ def test_monitoring_surfaces(run):
     status = pipeline.pipeline_status(spark, cfg)
     assert status["health"] in {"healthy", "degraded"}
     assert status["loads_24h"] == 4
-    counts = pipeline.analyze_tables(spark, cfg)
-    assert set(counts) == {"customers", "products", "orders", "order_items"}
+    stats = pipeline.analyze_tables(spark, cfg)
+    assert set(stats) == {"customers", "products", "orders", "order_items"}
+    # ANALYZE TABLE must land real catalog statistics for the CBO
+    meta = spark.read.parquet(os.path.join(cfg.warehouse_dir, "etl_metadata"))
+    inserted = {r["table_name"]: r["records_inserted"]
+                for r in meta.collect()}
+    for table, s in stats.items():
+        assert s["size_bytes"] > 0
+        assert s["row_count"] == inserted[table]
+    # and the dashboard surfaces them once analyzed
+    status2 = pipeline.pipeline_status(spark, cfg)
+    assert status2["table_stats"]["orders"]["row_count"] == inserted["orders"]
+    # data-driven optimizer advice derives from those stats
+    tips = pipeline.suggest_optimizations(spark, cfg)
+    assert tips and any("broadcast" in t for t in tips)
 
 
 def test_failure_isolation(spark, tmp_path, monkeypatch):
@@ -112,3 +125,31 @@ def test_missing_source_isolated(spark, tmp_path):
     metrics = pipeline.run_full_pipeline(spark, str(tmp_path / "nosrc"), cfg)
     assert metrics.failed_tables == 4
     assert metrics.successful_tables == 0
+
+
+def test_observed_profile_matches_check_data_quality(spark):
+    """The observe()-riding profile (load_table's path) must produce
+    the same score/hash/nulls as the standalone one-shot profile."""
+    from pyspark.sql import Observation
+
+    from simpleetlpipeline_spark.operators.quality import (
+        check_data_quality,
+        distinct_row_count,
+        quality_observe_exprs,
+        report_from_observation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (1, "a", None), (2, None, 5.0), (3, "c", 7.0)],
+        "k long, s string, v double")
+    obs = Observation()
+    observed = df.observe(obs, *quality_observe_exprs(df.columns))
+    observed.write.format("noop").mode("overwrite").save()
+    dup = obs.get["__rows"] - distinct_row_count(df)
+    got = report_from_observation(obs.get, df.columns, "t", dup)
+    want = check_data_quality(df, "t", with_content_hash=True)
+    assert got.row_count == want.row_count == 4
+    assert got.duplicate_rows == want.duplicate_rows == 1
+    assert got.null_counts == want.null_counts
+    assert got.quality_score == want.quality_score
+    assert got.content_hash == want.content_hash
