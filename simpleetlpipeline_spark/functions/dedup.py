@@ -249,6 +249,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
 
 
+def band_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate pairs from banded LSH: explode each signature into
+    (band, bucket) keys, self-equi-join on them, distinct pairs.
+
+    The self-join is the operation that keeps LSH linear: it MUST
+    plan as an equi-join shuffled on (band, bucket) — 64-bit hash
+    keys, uniformly distributed — never a cartesian/nested-loop over
+    doc pairs (plan-shape guarded in test_plans.py).
+    """
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("sig", b * MINHASH_ROWS + r + 1)
+                           for r in range(MINHASH_ROWS)])).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    left = bands.select(F.col("doc_id").alias("a_id"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
                       threshold: float = 0.15) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline with exact verify.
@@ -273,27 +305,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     docs = docs.persist()
     sig = docs.select("doc_id", "grams", minhash("grams").alias("sig"))
 
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(
-                    ",", *[F.element_at("sig", b * MINHASH_ROWS + r + 1)
-                           for r in range(MINHASH_ROWS)])).alias("bucket"),
-            )
-            for b in range(MINHASH_BANDS)
-        ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-
-    left = bands.select(F.col("doc_id").alias("a_id"), "band", "bucket")
-    right = bands.select(F.col("doc_id").alias("b_id"), "band", "bucket")
-    candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    candidates = band_candidates(sig)
 
     a = docs.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a_g"))
     b = docs.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("b_g"))

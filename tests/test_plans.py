@@ -184,6 +184,56 @@ def test_asof_join_strict_semantics(spark):
     assert out[13]["micros_since_purchase"] == 3_000_000
 
 
+def test_minhash_band_join_is_equi_join(spark):
+    """The LSH candidate self-join must shuffle on (band, bucket) —
+    an equi-join — never degrade to a cartesian/nested-loop over doc
+    pairs, which is the difference between linear and quadratic at
+    corpus scale."""
+    from simpleetlpipeline_spark.functions.dedup import band_candidates
+
+    sig = spark.createDataFrame(
+        [(i, list(range(32))) for i in range(4)],
+        "doc_id long, sig array<long>")
+    plan = _plan(band_candidates(sig))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bucket" in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), \
+        "band join must be an equi-join on the band keys"
+
+
+def test_ann_topk_plan_broadcast_probes_salted_topk(spark, sf_dir):
+    """ann_topk: the corpus-x-probes join must broadcast the tiny
+    probe side (BroadcastNestedLoopJoin — there is no equi key), and
+    the top-k must run in two Window stages (salted partial + final)
+    so no single reducer sees the whole corpus for a probe."""
+    plan = _plan(QUERIES["ann_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, "probes must broadcast"
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2, \
+        "top-k must be two-phase (salt buckets then final)"
+
+
+def test_etl_rollup_preaggregates_before_join(spark):
+    """rollup_update (J2, the correlated-UPDATE decorrelation used by
+    etl_pipeline_run's customer rollup): the fact side must aggregate
+    BEFORE the join and the dimension join must broadcast, so the
+    join input is |groups|, not |facts|."""
+    from simpleetlpipeline_spark.operators.joins import rollup_update
+
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string")
+    facts = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "cust long, amt double")
+    out = rollup_update(dim, facts, dim_key="id", fact_key="cust",
+                        count_col="amt", sum_col="amt")
+    plan = _plan(out)
+    join_pos = plan.index("Join")
+    assert "HashAggregate" in plan[join_pos:], \
+        "fact side must pre-aggregate under the join"
+
+
 def test_revenue_by_nation_plan_broadcasts_dims(spark, sf_dir):
     """The Q5-shaped 6-table join must broadcast every dimension side;
     the only shuffled join is lineitem-orders on orderkey."""
