@@ -192,18 +192,28 @@ def gen_order_items(spark: SparkSession, n_orders: int = 1500,
     )
 
 
+def table_builders(spark: SparkSession, n_customers: int = 2000,
+                   n_products: int = 500,
+                   n_orders: int = 1500) -> dict[str, DataFrame]:
+    """The four source-table plans, keyed by table name. The sizes
+    couple the tables (orders reference n_customers, items reference
+    n_orders/n_products) but the PLANS are independent spark.range
+    DAGs — safe to build and run in any order or concurrently."""
+    return {
+        "customers": gen_customers(spark, n_customers),
+        "products": gen_products(spark, n_products),
+        "orders": gen_orders(spark, n_orders, n_customers),
+        "order_items": gen_order_items(spark, n_orders, n_products),
+    }
+
+
 def generate_sample_data(spark: SparkSession, out_dir: str,
                          n_customers: int = 2000, n_products: int = 500,
                          n_orders: int = 1500) -> dict[str, str]:
     """Write the four CSV sources (reference main.py:237-264) and
     return {table: path}. CSV to mirror the reference's interchange
     format; the warehouse side is parquet."""
-    dfs = {
-        "customers": gen_customers(spark, n_customers),
-        "products": gen_products(spark, n_products),
-        "orders": gen_orders(spark, n_orders, n_customers),
-        "order_items": gen_order_items(spark, n_orders, n_products),
-    }
+    dfs = table_builders(spark, n_customers, n_products, n_orders)
     # The four table plans are independent spark.range DAGs writing to
     # separate directories — submit them from concurrent threads so
     # the scheduler overlaps their stages (same pattern as
