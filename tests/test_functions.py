@@ -201,3 +201,7 @@ def test_cache_registry_releases_dedup_caches(spark, sf_dir):
     dedup_clusters(spark, sf_dir).collect()
     assert cache.release_caches() >= 1
     assert cache.release_caches() == 0
+    # the VERDICT r1 done-criterion: nothing left pinned in executor
+    # storage at the JVM level after a release sweep
+    spark.catalog.clearCache()  # drop SQL-cache entries other tests own
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
