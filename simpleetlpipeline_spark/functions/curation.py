@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from simpleetlpipeline_spark.functions.dedup import dedup_cluster_frame
+from simpleetlpipeline_spark.functions.dedup import (
+    dedup_cluster_frame,
+    word_ngram_hashes_col,
+)
+from simpleetlpipeline_spark.io import fan_out, read_table
 from simpleetlpipeline_spark.functions.text import (
     _STOPWORDS_SQL,
     _lang_case,
@@ -85,9 +89,106 @@ def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(drops, "doc_id", "left_anti")
 
 
+#: Decontamination parameters: 5-token shingles, >=3 shared shingles
+#: flags a document, every 20th doc (doc_id % 20 == 7) plays the
+#: held-out benchmark set on the synthetic corpus.
+DECON_NGRAM = 5
+DECON_MIN_OVERLAP = 3
+BENCH_MOD, BENCH_REM = 20, 7
+
+
+def decontaminate(spark: SparkSession, sf_dir: str,
+                  ngram: int = DECON_NGRAM,
+                  min_overlap: int = DECON_MIN_OVERLAP) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    >= min_overlap distinct word n-grams with a held-out benchmark
+    set — the overlap filter every serious pretraining pipeline runs
+    so eval questions don't leak into the training corpus.
+
+    Here the 'benchmark' is a deterministic slice of the documents
+    table (doc_id % 20 == 7); in production it would be a separate
+    eval-suite table — the plan is identical.
+
+    Scale: the benchmark gram set is DISTINCT 8-byte hashes of a
+    benchmark suite (MBs even for all public evals), so it
+    broadcasts; the corpus side is one narrow explode + broadcast
+    semi-join + groupBy(doc_id) — linear, one shuffle keyed by
+    doc_id. If the blocklist ever outgrows broadcast, drop the hint
+    and the same plan shuffles on the gram hash instead.
+
+    Returns the full corpus manifest (doc_id, n_overlap,
+    contaminated) so downstream filters can choose their own
+    threshold.
+    """
+    ensure_session_conf(spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
+    is_bench = (F.col("doc_id") % BENCH_MOD) == BENCH_REM
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode("grams").alias("g")).distinct())
+    corpus = docs.filter(~is_bench)
+    overlap = (
+        corpus.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("__n"), F.lit(0)) >= min_overlap)
+            .alias("contaminated"),
+        )
+    )
+
+
+#: Data-mixing fractions per language: the sampling weights a mixing
+#: recipe assigns each slice of the corpus (per ten-thousand).
+MIX_FRACTIONS = {"en": 10000, "es": 5000, "fr": 5000, "de": 5000}
+MIX_DEFAULT = 2500
+#: Knuth multiplicative-hash constant — decorrelates the sampling
+#: ticket from doc_id order without engine-specific hash functions.
+_MIX_MULT = 2654435761
+
+
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data-mixing sample: keep each document with a
+    per-language probability (MIX_FRACTIONS), decided by a
+    deterministic multiplicative-hash ticket on doc_id — the
+    downsampling step that turns raw corpus slices into a training
+    mixture with chosen proportions.
+
+    Scale: a pure narrow filter — no shuffle, no RNG state, same
+    rows on every run and every engine (the ticket is plain integer
+    arithmetic, so the DuckDB oracle reproduces it exactly).
+    Reproducibility is the point: a mixing manifest must be stable
+    across reruns and engines or downstream token counts drift.
+    """
+    ensure_session_conf(spark)
+    ticket = F.pmod(F.col("doc_id") * F.lit(_MIX_MULT), F.lit(10000))
+    keep_per_10k = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(frac))
+          for lang, frac in MIX_FRACTIONS.items()],
+        F.lit(MIX_DEFAULT))
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", ticket.alias("__t"),
+                keep_per_10k.alias("__k"))
+        .filter(F.col("__t") < F.col("__k"))
+        .select("doc_id", "lang", "source")
+    )
+
+
 QUERIES = {
     "corpus_curate": corpus_curate,
     "corpus_curate_neardup": corpus_curate_neardup,  # rows-only
+    "decontaminate": decontaminate,
+    "corpus_mix_sample": corpus_mix_sample,
 }
 
 ORACLE_SQL = {
@@ -124,5 +225,47 @@ ORACLE_SQL = {
         FROM kept
         QUALIFY row_number() OVER (PARTITION BY md5_fingerprint
                                    ORDER BY doc_id) = 1
+    """,
+    # String n-grams here vs 64-bit gram hashes Spark-side: identical
+    # sets modulo xxhash64 collisions (~1e-9 per corpus) — same
+    # equivalence the dedup_ngram_jaccard oracle relies on.
+    "decontaminate": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - {DECON_NGRAM}, 0) + 2),
+                       i -> array_to_string(
+                           list_slice(t, i, i + {DECON_NGRAM - 1}), ' ')
+                   )) AS g
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(g) AS gr FROM grams
+        ), bench AS (
+            SELECT DISTINCT gr FROM ex
+            WHERE doc_id % {BENCH_MOD} = {BENCH_REM}
+        ), ov AS (
+            SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM ex e JOIN bench USING (gr)
+            WHERE e.doc_id % {BENCH_MOD} != {BENCH_REM}
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+               coalesce(ov.n, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+        FROM documents d
+        LEFT JOIN ov ON ov.doc_id = d.doc_id
+        WHERE d.doc_id % {BENCH_MOD} != {BENCH_REM}
+    """,
+    "corpus_mix_sample": f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE (doc_id * {_MIX_MULT}) % 10000 <
+              CASE {" ".join(f"WHEN lang = '{lang}' THEN {frac}"
+                             for lang, frac in MIX_FRACTIONS.items())}
+                   ELSE {MIX_DEFAULT} END
     """,
 }

@@ -205,3 +205,50 @@ def test_cache_registry_releases_dedup_caches(spark, sf_dir):
     # storage at the JVM level after a release sweep
     spark.catalog.clearCache()  # drop SQL-cache entries other tests own
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_decontaminate_planted_overlap(spark, monkeypatch):
+    """A training doc copying a benchmark doc's text must be flagged;
+    unrelated docs report zero overlap; benchmark docs themselves are
+    excluded from the manifest."""
+    import simpleetlpipeline_spark.functions.curation as cur
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (7, bench_text, "en", "web"),          # benchmark slice (7 % 20)
+        (1, bench_text + " tail", "en", "web"),  # contaminated copy
+        (2, "one two three four five six seven eight", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    monkeypatch.setattr(cur, "read_table", lambda _s, _d, _n: df)
+    out = {r["doc_id"]: r for r in
+           cur.decontaminate(spark, "unused").collect()}
+    assert set(out) == {1, 2}, "benchmark docs excluded from manifest"
+    # 8 tokens -> 4 distinct 5-grams, all shared by the copy
+    assert out[1]["n_overlap"] == 4 and out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 0 and not out[2]["contaminated"]
+
+
+def test_corpus_mix_sample_matches_ticket_arithmetic(spark, monkeypatch):
+    """The kept set must equal the deterministic multiplicative-hash
+    ticket rule exactly — reproducibility across engines/runs is the
+    operator's contract."""
+    import simpleetlpipeline_spark.functions.curation as cur
+
+    rows = [(i, f"doc {i}", lang, "src")
+            for i, lang in enumerate(
+                ["en", "es", "zh", "en", "fr", "zh", "de", "en"] * 25)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    monkeypatch.setattr(cur, "read_table", lambda _s, _d, _n: df)
+    got = {r["doc_id"] for r in
+           cur.corpus_mix_sample(spark, "unused").collect()}
+    want = {
+        i for i, (_, _, lang, _) in enumerate(rows)
+        if (i * cur._MIX_MULT) % 10000
+        < cur.MIX_FRACTIONS.get(lang, cur.MIX_DEFAULT)
+    }
+    assert got == want and got  # non-empty and exact
+    # 'en' fraction is 10000/10000 -> every en doc survives
+    assert {i for i, r in enumerate(rows) if r[2] == "en"} <= got
