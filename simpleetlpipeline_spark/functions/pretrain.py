@@ -1,0 +1,483 @@
+"""Pretraining-corpus preparation operators over documents/embeddings.
+
+The operations a large-scale training-data pipeline runs between raw
+corpus and training batches (build brief 'operations a large-scale
+training-data pipeline would need'; complements functions/text.py
+quality scoring, functions/dedup.py, functions/curation.py):
+
+- pii_redact:        detect + redact PII (emails / phones / IPv4)
+                     with per-doc audit counts. The synthetic corpus
+                     is letters-only, so the catalog entry plants
+                     deterministic PII derived from doc_id in BOTH
+                     engines first — the oracle then genuinely
+                     verifies detection AND redaction output.
+- doc_repetition:    Gopher-style repetition quality signals
+                     (type-token ratio, top-token fraction,
+                     duplicate-bigram fraction) + a repetitive flag.
+- sequence_pack:     deterministic concat-and-cut sequence packing
+                     manifest: which context-window pack(s) each
+                     document lands in, per source shard.
+- source_mix_report: per (source, lang) token/doc shares — the
+                     mixture report a data-mixing recipe starts from.
+- kmeans_assign:     seeded Lloyd k-means over the embedding column
+                     (semantic clustering for dedup/mixing), k×dim
+                     centroid state on the driver, assignment fully
+                     distributed.
+
+Reference parity: the reference has no corpus ops (SURVEY §1 —
+pandas+SQLite e-commerce ETL, main.py); these extend the engine per
+the build brief with the reference's catalog/oracle conventions.
+
+All hot paths are JVM column expressions (regexp, array HOFs over
+<=100-token docs, hash joins); no row-at-a-time Python. Floats that
+cross the DuckDB oracle are floored/rounded per the documented
+cross-engine rules (see functions/similarity.py module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.functions.dedup import word_ngram_hashes_col
+from simpleetlpipeline_spark.functions.similarity import as_double_vec
+from simpleetlpipeline_spark.functions.text import tokens_col
+from simpleetlpipeline_spark.io import fan_out, read_table
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+# ---------------------------------------------------------------- PII
+
+#: Detection patterns (applied in this order; redaction replaces with
+#: the [TYPE] placeholder). Kept simple and anchored to token shapes —
+#: the point is the distributed scan/redact plumbing, not regex art.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{3}[-.]\d{3}[-.]\d{4}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+)
+
+#: Deterministic planting rule for the catalog entry: every doc with
+#: doc_id % MOD == r gets one synthetic PII item appended, type
+#: chosen by r. Same arithmetic in the DuckDB oracle.
+_PLANT_MOD = 10
+_PLANT = {
+    3: ("email", lambda d: F.concat(F.lit(" contact user"), d,
+                                    F.lit("@example.com"))),
+    6: ("phone", lambda d: F.concat(F.lit(" call +555-010-"),
+                                    F.lpad(F.pmod(d, 10000), 4, "0"))),
+    9: ("ipv4", lambda d: F.concat(F.lit(" host 10.0."),
+                                   F.pmod(d, 256), F.lit(".7"))),
+}
+
+
+def redact_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+    """(redacted_text, {type: match_count}) as column expressions.
+
+    Counts are taken BEFORE redaction; redaction applies patterns in
+    PII_PATTERNS order so e.g. an email is replaced before the phone
+    pattern could see its digits. Pure regexp_* — JVM, codegen, no
+    shuffle.
+    """
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS
+    }
+    red = text
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return red, counts
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub manifest over a corpus with planted PII.
+
+    Plants one synthetic PII item on 3 of every 10 documents (pure
+    doc_id arithmetic, reproduced in the oracle), then detects and
+    redacts. Returns per-doc counts plus an md5 of the redacted text
+    so the oracle verifies the rewritten payload, not just the
+    counts. Narrow projection — no shuffle at any scale.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = F.col("text")
+    for rem, (_, mk) in _PLANT.items():
+        planted = F.when(F.pmod(d, _PLANT_MOD) == rem,
+                         F.concat(F.col("text"), mk(d))).otherwise(planted)
+    red, counts = redact_pii(planted)
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        sum(counts.values()).alias("n_pii"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+# ------------------------------------------------------- repetition
+
+#: Quality thresholds (Gopher-style repetition filters): a doc is
+#: repetitive when too few distinct tokens or too much mass on one
+#: token / duplicated bigrams.
+REP_MAX_TOP_FRAC = 0.2
+REP_MIN_TTR = 0.3
+REP_MAX_DUP_BIGRAM = 0.5
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile.
+
+    type_token_ratio and dup_bigram_frac come from array HOFs on the
+    tokenized doc (docs are <=100 tokens; O(n) JVM work per row, no
+    shuffle). top_token_frac needs a per-doc mode, which HOFs would
+    make O(n^2) interpreted — instead explode -> count(doc_id, token)
+    -> max per doc: two hash aggregates with map-side combine, both
+    keyed by high-cardinality doc_id, linear at any scale. Bigram
+    identity uses the same 64-bit gram-hash equivalence as the dedup
+    oracles (functions/dedup.py:word_ngram_hashes_col).
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    bigrams = word_ngram_hashes_col(F.col("text"), 2)
+    n = F.size(toks).cast("long")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), n.alias("n_tokens"),
+        (F.floor(F.size(F.array_distinct(toks)) / n * 10000) / 10000)
+        .alias("type_token_ratio"),
+        # distinct gram hashes / total grams; short docs (1 bigram)
+        # trivially 1.0 -> dup fraction 0
+        (F.floor((1 - F.size(bigrams)
+                  / F.greatest(n - 1, F.lit(1))) * 10000) / 10000)
+        .alias("dup_bigram_frac"),
+    )
+    top = (
+        base.select("doc_id", "n_tokens", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "n_tokens", "t").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens").agg(F.max("c").alias("top_cnt"))
+        .select("doc_id",
+                (F.floor(F.col("top_cnt") / F.col("n_tokens") * 10000)
+                 / 10000).alias("top_token_frac"))
+    )
+    out = base.drop("toks").join(top, "doc_id")
+    repetitive = (
+        (F.col("top_token_frac") > REP_MAX_TOP_FRAC)
+        | (F.col("type_token_ratio") < REP_MIN_TTR)
+        | (F.col("dup_bigram_frac") > REP_MAX_DUP_BIGRAM)
+    )
+    return out.select(
+        "doc_id", "n_tokens", "type_token_ratio", "dup_bigram_frac",
+        "top_token_frac", repetitive.alias("repetitive"))
+
+
+# ---------------------------------------------------------- packing
+
+#: Context window for sequence packing (tokens per pack).
+PACK_CTX = 256
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str,
+                  ctx: int = PACK_CTX) -> DataFrame:
+    """Concat-and-cut sequence-packing manifest.
+
+    Pretraining packing concatenates a shard's documents in a fixed
+    order and cuts every `ctx` tokens; a document may straddle a cut.
+    This emits, per document: its token offset in the shard stream
+    and the first/last pack indices it lands in.
+
+    Scale: the prefix sum is a window partitioned by `source` (the
+    shard key) — each shard computes independently in parallel, the
+    only shuffle is the hash exchange on source. Within a shard the
+    running sum is inherently sequential (that IS the operator's
+    semantics — byte offsets in a concatenated stream); at 100 TB the
+    shard key is finer (source, file) so no single partition owns
+    more than a file's worth of rows.
+    """
+    from pyspark.sql import Window
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col(F.col("text"))).cast("long")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    end = F.sum("n_tokens").over(w)
+    return (
+        docs.select("source", "doc_id", n.alias("n_tokens"))
+        .select(
+            "source", "doc_id", "n_tokens",
+            (end - F.col("n_tokens")).alias("start_offset"),
+            F.floor((end - F.col("n_tokens")) / ctx).alias("first_pack"),
+            F.floor((end - 1) / ctx).alias("last_pack"),
+        )
+    )
+
+
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture report: per (source, lang) doc/token counts and
+    token share of the whole corpus, floored to 6dp.
+
+    One hash aggregate (map-side combined) + a broadcast of the
+    1-row global total back across the groups — no per-row window.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col(F.col("text"))).cast("long")
+    per = (docs.select("source", "lang", n.alias("n"))
+           .groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n").alias("n_tokens")))
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select("source", "lang", "n_docs", "n_tokens",
+                (F.floor(F.col("n_tokens") / F.col("__tot") * 1000000)
+                 / 1000000).alias("token_share"))
+    )
+
+
+# ----------------------------------------------------------- kmeans
+
+KMEANS_K = 8
+KMEANS_ITERS = 2   # assignment rounds (1 centroid update between)
+#: Centroids are rounded to 6dp after every update in BOTH engines so
+#: float-sum order differences (Spark partial aggs vs DuckDB) cannot
+#: leak into the next assignment round.
+_KMEANS_ROUND = 6
+
+
+def _sq_dist(vec: Column, centroid: Column) -> Column:
+    """Left-fold sum of squared diffs — same fold order as the
+    oracle's list_reduce, so doubles agree bit-for-bit-ish (1e-12)."""
+    return F.aggregate(
+        F.zip_with(vec, centroid, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str,
+                  k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS) -> DataFrame:
+    """Seeded Lloyd k-means over the embedding column.
+
+    Init: the k lowest-vec_id embeddings (deterministic, no RNG).
+    Each round: assign every vector to its nearest centroid (squared
+    L2, ties to the lower cluster id), then recompute centroids as
+    the per-cluster dimension means, rounded to 6dp.
+
+    Scale: centroid state is k x dim doubles — collected to the
+    driver each round (tiny, the legitimate collect) and shipped
+    back as array literals, so assignment is a narrow O(k*dim)
+    projection per row: no shuffle. The update is posexplode ->
+    hash agg on (cluster, dim) — one linear shuffle per round,
+    map-side combined. Empty clusters keep their previous centroid.
+    Returns (vec_id, cluster, label) — label kept so cluster/label
+    agreement can be eyeballed downstream.
+    """
+    ensure_session_conf(spark)
+    emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", as_double_vec(F.col("embedding")).alias("e"))
+    emb.persist()
+    try:
+        cents: dict[int, list[float]] = {
+            i: list(r["e"]) for i, r in enumerate(
+                emb.orderBy("vec_id").limit(k).collect())
+        }
+
+        def _assign(df: DataFrame) -> DataFrame:
+            dists = [_sq_dist(F.col("e"), F.array(*[F.lit(v) for v in cents[c]]))
+                     for c in range(k)]
+            best = F.least(*dists)
+            cl = F.lit(k - 1)
+            for c in range(k - 2, -1, -1):   # earliest match wins ties
+                cl = F.when(dists[c] == best, F.lit(c)).otherwise(cl)
+            return df.withColumn("cluster", cl.cast("int"))
+
+        for it in range(iters - 1):
+            assigned = _assign(emb)
+            means = (
+                assigned.select("cluster",
+                                F.posexplode("e").alias("dim", "v"))
+                .groupBy("cluster", "dim")
+                .agg(F.round(F.avg("v"), _KMEANS_ROUND).alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))).alias("dm"))
+                .select("cluster", F.col("dm.m").alias("c"))
+            )
+            for r in means.collect():
+                cents[r["cluster"]] = list(r["c"])
+        return _assign(emb).select("vec_id", "label", "cluster")
+    finally:
+        emb.unpersist()
+
+
+QUERIES = {
+    "pii_redact": pii_redact,
+    "doc_repetition": doc_repetition,
+    "sequence_pack": sequence_pack,
+    "source_mix_report": source_mix_report,
+    "kmeans_assign": kmeans_assign,
+}
+
+
+def _pii_planted_sql() -> str:
+    """Oracle-side planting: same doc_id arithmetic as _PLANT."""
+    return """
+        CASE
+          WHEN doc_id % 10 = 3 THEN
+            text || ' contact user' || doc_id || '@example.com'
+          WHEN doc_id % 10 = 6 THEN
+            text || ' call +555-010-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          WHEN doc_id % 10 = 9 THEN
+            text || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+          ELSE text
+        END
+    """
+
+
+_PII_RE_SQL = {
+    # Duck/RE2-compatible spellings of PII_PATTERNS
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[-.]\d{3}[-.]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+ORACLE_SQL = {
+    "pii_redact": f"""
+        WITH planted AS (
+            SELECT doc_id, {_pii_planted_sql()} AS t FROM documents
+        ), counted AS (
+            SELECT doc_id, t,
+                   len(regexp_extract_all(t, '{_PII_RE_SQL["email"]}'))
+                       AS n_email,
+                   len(regexp_extract_all(t, '{_PII_RE_SQL["phone"]}'))
+                       AS n_phone,
+                   len(regexp_extract_all(t, '{_PII_RE_SQL["ipv4"]}'))
+                       AS n_ipv4
+            FROM planted
+        )
+        SELECT doc_id,
+               CAST(n_email AS BIGINT) AS n_email,
+               CAST(n_phone AS BIGINT) AS n_phone,
+               CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+               CAST(n_email + n_phone + n_ipv4 AS BIGINT) AS n_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_PII_RE_SQL["email"]}', '[EMAIL]', 'g'),
+                   '{_PII_RE_SQL["phone"]}', '[PHONE]', 'g'),
+                   '{_PII_RE_SQL["ipv4"]}', '[IPV4]', 'g'))
+                   AS redacted_md5
+        FROM counted
+    """,
+    "doc_repetition": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), base AS (
+            SELECT doc_id, t, len(t) AS n,
+                   CAST(floor(len(list_distinct(t)) * 10000.0 / len(t))
+                        / 10000 AS DOUBLE) AS type_token_ratio,
+                   -- bigram strings; short docs fall back to one
+                   -- whole-doc gram like the Spark gram hasher
+                   CAST(floor((1 - len(list_distinct(list_transform(
+                         range(1, greatest(len(t) - 2, 0) + 2),
+                         i -> array_to_string(list_slice(t, i, i + 1), ' '))))
+                         * 1.0 / greatest(len(t) - 1, 1)) * 10000) / 10000
+                        AS DOUBLE) AS dup_bigram_frac
+            FROM toks
+        ), top AS (
+            SELECT doc_id, max(c) AS top_cnt FROM (
+                SELECT doc_id, tok, count(*) AS c FROM (
+                    SELECT doc_id, unnest(t) AS tok FROM toks
+                ) GROUP BY doc_id, tok
+            ) GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(b.n AS BIGINT) AS n_tokens,
+               b.type_token_ratio,
+               b.dup_bigram_frac,
+               CAST(floor(top.top_cnt * 10000.0 / b.n) / 10000 AS DOUBLE)
+                   AS top_token_frac,
+               (floor(top.top_cnt * 10000.0 / b.n) / 10000
+                    > {REP_MAX_TOP_FRAC}
+                OR b.type_token_ratio < {REP_MIN_TTR}
+                OR b.dup_bigram_frac > {REP_MAX_DUP_BIGRAM}) AS repetitive
+        FROM base b JOIN top USING (doc_id)
+    """,
+    "sequence_pack": f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT *, sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS endo
+            FROM t
+        )
+        SELECT source, doc_id, n_tokens,
+               CAST(endo - n_tokens AS BIGINT) AS start_offset,
+               CAST(floor((endo - n_tokens) / {PACK_CTX}.0) AS BIGINT)
+                   AS first_pack,
+               CAST(floor((endo - 1) / {PACK_CTX}.0) AS BIGINT) AS last_pack
+        FROM c
+    """,
+    "source_mix_report": """
+        WITH per AS (
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(lower(trim(text)),
+                        '\\s+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+               CAST(floor(n_tokens * 1000000.0
+                    / (SELECT sum(n_tokens) FROM per)) / 1000000
+                    AS DOUBLE) AS token_share
+        FROM per
+    """,
+    "kmeans_assign": f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), init AS (
+            SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster, v
+            FROM e ORDER BY vec_id LIMIT {KMEANS_K}
+        ), a1 AS (
+            SELECT vec_id, label, v, cluster FROM (
+                SELECT e.vec_id, e.label, e.v, i.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_reduce(
+                               list_transform(range(1, len(e.v) + 1),
+                                   j -> (e.v[j] - i.v[j]) * (e.v[j] - i.v[j])),
+                               (acc, x) -> acc + x) ASC,
+                               i.cluster ASC) AS rn
+                FROM e CROSS JOIN init i
+            ) WHERE rn = 1
+        ), m1 AS (
+            SELECT cluster, list(m ORDER BY dim) AS v FROM (
+                SELECT cluster, dim, round(avg(val), {_KMEANS_ROUND}) AS m
+                FROM (
+                    SELECT cluster,
+                           unnest(range(1, len(v) + 1)) AS dim,
+                           unnest(v) AS val
+                    FROM a1
+                ) GROUP BY cluster, dim
+            ) GROUP BY cluster
+        ), cents AS (
+            -- empty clusters keep their init centroid
+            SELECT i.cluster, coalesce(m1.v, i.v) AS v
+            FROM init i LEFT JOIN m1 ON m1.cluster = i.cluster
+        )
+        SELECT vec_id, label, CAST(cluster AS INTEGER) AS cluster FROM (
+            SELECT e.vec_id, e.label, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_reduce(
+                           list_transform(range(1, len(e.v) + 1),
+                               j -> (e.v[j] - c.v[j]) * (e.v[j] - c.v[j])),
+                           (acc, x) -> acc + x) ASC, c.cluster ASC) AS rn
+            FROM e CROSS JOIN cents c
+        ) WHERE rn = 1
+    """,
+}

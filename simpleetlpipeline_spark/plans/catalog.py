@@ -13,6 +13,7 @@ from simpleetlpipeline_spark.functions import (
     curation,
     dedup,
     multimodal,
+    pretrain,
     similarity,
     text,
 )
@@ -23,7 +24,7 @@ from simpleetlpipeline_spark.streaming import windows as streaming_windows
 QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
-for _mod in (advanced, text, dedup, similarity, multimodal, curation,
+for _mod in (advanced, text, dedup, similarity, multimodal, curation, pretrain,
              streaming_windows, streaming_stateful):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
