@@ -577,3 +577,148 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
 
 
 QUERIES["dedup_clusters"] = dedup_clusters  # rows-only: hash-family pairs
+
+
+# ---------------------------------------------------- exact pair graph
+
+#: Stop-shingle cap for the exact all-pairs graph: shingles occurring
+#: in more than this many documents are dropped from the shingle
+#: universe (standard stop-shingle removal). This is what bounds the
+#: inverted-index self-join: every shingle bucket holds <= DF_CAP
+#: docs, so pair generation is O(n_shingles * DF_CAP^2) regardless of
+#: corpus size — the all-pairs graph stays linear-ish without any
+#: seeded hashing, which is what makes it SQL-oracle-verifiable
+#: (unlike the MinHash/SimHash families).
+DF_CAP = 50
+
+
+def dedup_pairs_all(spark: SparkSession, sf_dir: str, ngram: int = 3,
+                    threshold: float = 0.15,
+                    df_cap: int = DF_CAP) -> DataFrame:
+    """EXACT all-pairs near-dup graph over a df-capped shingle space.
+
+    Inverted index: explode distinct gram hashes, drop stop-shingles
+    (document frequency > df_cap), self-equi-join on the gram key,
+    count shared grams per pair, Jaccard over the capped universe.
+    Unlike dedup_ngram_jaccard (probe-blocked) this covers EVERY
+    pair, and unlike dedup_minhash_lsh it is deterministic SQL — the
+    oracle-verifiable twin of the LSH candidate generator.
+
+    Scale: two shuffles on the 64-bit gram hash (df count + pair
+    join) and one on (a_id, b_id). The df cap bounds the self-join
+    fan-out per gram at df_cap^2 pairs; everything else is linear.
+    """
+    ensure_session_conf(spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
+    ex = docs.select("doc_id", F.explode("grams").alias("g"))
+    kept = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap).select("g"))
+    kg = ex.join(kept, "g")
+    sizes = kg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        kg.select(F.col("doc_id").alias("a_id"), "g")
+        .join(kg.select(F.col("doc_id").alias("b_id"), "g"), "g")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    a_sz = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("a_n"))
+    b_sz = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("b_n"))
+    jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
+    return (
+        common.join(a_sz, "a_id").join(b_sz, "b_id")
+        .withColumn("jaccard", F.floor(jac * 10000) / 10000)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_common", "jaccard")
+    )
+
+
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str,
+                         threshold: float = 0.15) -> DataFrame:
+    """Connected-components clustering over the EXACT pair graph
+    (dedup_pairs_all), so the whole pipeline — shingle index, pair
+    Jaccard, component labels, keep/drop manifest — is verified
+    end-to-end by a DuckDB recursive-CTE oracle. The MinHash twin
+    (dedup_clusters) keeps the same output shape but is rows-only in
+    the gate because its pair graph is seeded-hash-derived.
+    """
+    pairs = dedup_pairs_all(spark, sf_dir, threshold=threshold)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.min("node").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.concat_ws(",", F.array_sort(F.collect_list("node"))
+                        .cast("array<string>")).alias("members"),
+        )
+        .select("keep_doc_id", "cluster_size", "members")
+    )
+
+
+QUERIES["dedup_pairs_all"] = dedup_pairs_all
+QUERIES["dedup_clusters_exact"] = dedup_clusters_exact
+
+#: Shared SQL: the exact df-capped pair graph (mirrors
+#: dedup_pairs_all; gram-hash vs gram-string equivalence as above).
+_PAIRS_ALL_SQL = f"""
+        toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')
+                   )) AS g
+            FROM toks
+        ), ex AS (
+            SELECT doc_id, unnest(g) AS gr FROM grams
+        ), kept AS (
+            SELECT gr FROM ex GROUP BY gr HAVING count(*) <= {DF_CAP}
+        ), kg AS (
+            SELECT doc_id, gr FROM ex JOIN kept USING (gr)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM kg GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM kg a JOIN kg b
+              ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a_id, b_id, n_common,
+                   floor(n_common * 1.0 / (sa.n + sb.n - n_common)
+                         * 10000) / 10000 AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = a_id
+            JOIN sizes sb ON sb.doc_id = b_id
+            WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.15
+        )
+"""
+
+ORACLE_SQL["dedup_pairs_all"] = f"""
+        WITH {_PAIRS_ALL_SQL}
+        SELECT a_id, b_id, n_common, jaccard FROM pairs
+"""
+
+ORACLE_SQL["dedup_clusters_exact"] = f"""
+        WITH RECURSIVE {_PAIRS_ALL_SQL}
+        , sym AS (
+            SELECT a_id AS a, b_id AS b FROM pairs
+            UNION
+            SELECT b_id, a_id FROM pairs
+        ), reach(n, m) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+        ), comp AS (
+            SELECT n, min(m) AS component FROM reach GROUP BY n
+        )
+        SELECT CAST(component AS BIGINT) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
+        FROM comp GROUP BY component
+"""

@@ -204,25 +204,40 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
     ann_topk in tests/test_similarity.py.
     """
     ensure_session_conf(spark)
-    vecs = _vectors(spark, sf_dir).withColumn(
-        "bb", F.explode(_lsh_bucket_udf()(F.col("e"))))
-    probes = (
-        vecs.filter(F.col("vec_id") < n_probes)
-        .select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
-                F.col("nrm").alias("a_nrm"), "bb")
-    )
-    corpus = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
-                         F.col("nrm").alias("b_nrm"), "bb")
-    candidates = (
-        corpus.join(F.broadcast(probes), "bb")
+    vecs = _vectors(spark, sf_dir)
+    # Band keys only — the candidate join moves (vec_id, bb) pairs,
+    # never the 64-dim payload. Shuffling vectors through the band
+    # buckets would multiply shuffle volume by `bands`; instead the
+    # payload is joined back by id AFTER candidate dedup, so each
+    # vector crosses the wire once, keyed by its own id.
+    bands = vecs.select(
+        "vec_id", F.explode(_lsh_bucket_udf()(F.col("e"))).alias("bb"))
+    probe_bands = (bands.filter(F.col("vec_id") < n_probes)
+                   .select(F.col("vec_id").alias("a_id"), "bb"))
+    cand = (
+        bands.select(F.col("vec_id").alias("b_id"), "bb")
+        .join(F.broadcast(probe_bands), "bb")
         .filter(F.col("a_id") != F.col("b_id"))
-        .select("a_id", "b_id", "a_e", "b_e", "a_nrm", "b_nrm")
-        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id")
+        .distinct()
     )
-    scored = candidates.select(
-        "a_id", "b_id",
-        cosine(F.col("a_e"), F.col("b_e"),
-               F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
+    probes = vecs.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
+        F.col("nrm").alias("a_nrm"))
+    # Candidates are probe-bounded (<= probes x bucket sizes), so
+    # they broadcast while the corpus is broadcast-sized; beyond the
+    # gate AQE decides from runtime sizes.
+    if _table_bytes(sf_dir, "embeddings") <= EXACT_NEARDUP_MAX_BYTES:
+        cand = F.broadcast(cand)
+    scored = (
+        cand.join(F.broadcast(probes), "a_id")
+        .join(vecs.select(F.col("vec_id").alias("b_id"),
+                          F.col("e").alias("b_e"),
+                          F.col("nrm").alias("b_nrm")), "b_id")
+        .select("a_id", "b_id",
+                cosine(F.col("a_e"), F.col("b_e"),
+                       F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
+    )
     return (
         _topk_per_probe(scored, k)
         .select("a_id", "b_id", "rank", "cosine_sim")
@@ -270,21 +285,48 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     """LSH-blocked near-dup: pairs meet only in shared (band, bucket)
     groups; exact cosine verifies candidates. Linear shuffle; the
     self-join fan-out per bucket is corpus/2^bits_per_band on random
-    data. Recall vs the exact form is unit-tested."""
+    data. Recall vs the exact form is unit-tested.
+
+    The band frame is persisted (cache.track-governed): the
+    self-join consumes it twice, and without the cache each side
+    re-runs the SRP kernel over the whole corpus. It is also the
+    NARROW frame (vec_id, band-bucket) — the candidate self-join
+    shuffles 16 bytes per row per band, never the 64-dim payload;
+    vectors join back by id only for the exact-cosine verify of the
+    surviving candidate pairs.
+    """
     ensure_session_conf(spark)
-    vecs = _vectors(spark, sf_dir).withColumn(
-        "bb", F.explode(_lsh_bucket_udf()(F.col("e"))))
-    a = vecs.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
-                    F.col("nrm").alias("a_nrm"), "bb")
-    b = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
-                    F.col("nrm").alias("b_nrm"), "bb")
-    return (
-        a.join(b, "bb")
+    from simpleetlpipeline_spark.cache import track
+
+    vecs = _vectors(spark, sf_dir)
+    bands = track(
+        vecs.select("vec_id",
+                    F.explode(_lsh_bucket_udf()(F.col("e"))).alias("bb"))
+        .persist())
+    cand = (
+        bands.select(F.col("vec_id").alias("a_id"), "bb")
+        .join(bands.select(F.col("vec_id").alias("b_id"), "bb"), "bb")
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a = vecs.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
+                    F.col("nrm").alias("a_nrm"))
+    b = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
+                    F.col("nrm").alias("b_nrm"))
+    # The deduped candidate set is near-dup-pair-sized — orders of
+    # magnitude smaller than the corpus — so while the corpus itself
+    # is broadcastable-small the verify joins stream the vectors past
+    # a broadcast of the pairs (zero vector shuffles). Past the size
+    # gate, leave it to AQE: candidate volume is corpus-linear and a
+    # forced broadcast could OOM the driver.
+    if _table_bytes(sf_dir, "embeddings") <= EXACT_NEARDUP_MAX_BYTES:
+        cand = F.broadcast(cand)
+    return (
+        cand.join(a, "a_id").join(b, "b_id")
         .select("a_id", "b_id",
                 cosine(F.col("a_e"), F.col("b_e"),
                        F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
-        .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("cosine_sim") >= threshold)
     )
 

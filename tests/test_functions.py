@@ -252,3 +252,42 @@ def test_corpus_mix_sample_matches_ticket_arithmetic(spark, monkeypatch):
     assert got == want and got  # non-empty and exact
     # 'en' fraction is 10000/10000 -> every en doc survives
     assert {i for i, r in enumerate(rows) if r[2] == "en"} <= got
+
+
+def test_dedup_pairs_all_finds_planted_pair(spark, monkeypatch):
+    """Near-identical docs pair up; the df-cap drops stop-shingles
+    shared by everything without killing true pairs; clusters_exact
+    groups the planted near-dups under the min doc_id."""
+    import simpleetlpipeline_spark.functions.dedup as dd
+
+    near = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (1, near, "en", "web"),
+        (2, near + " phi", "en", "web"),           # near-dup of 1
+        (3, "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen", "en", "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    monkeypatch.setattr(dd, "read_table", lambda _s, _d, _n: df)
+    pairs = dd.dedup_pairs_all(spark, "unused").collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
+    clusters = {r["keep_doc_id"]: r for r in
+                dd.dedup_clusters_exact(spark, "unused").collect()}
+    assert clusters[1]["cluster_size"] == 2
+    assert clusters[1]["members"] == "1,2"
+
+
+def test_dedup_pairs_all_df_cap_drops_stop_shingles(spark, monkeypatch):
+    """A shingle present in > df_cap docs must not generate pairs."""
+    import simpleetlpipeline_spark.functions.dedup as dd
+
+    # every doc shares the same 3 tokens -> one universal shingle;
+    # with df_cap=2 and 4 docs it is dropped, so no pairs survive
+    rows = [(i, f"common shingle here unique{i} tail{i} end{i}",
+             "en", "web") for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    monkeypatch.setattr(dd, "read_table", lambda _s, _d, _n: df)
+    assert dd.dedup_pairs_all(spark, "unused", df_cap=2).count() == 0

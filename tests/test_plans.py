@@ -96,7 +96,11 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
     batch = {n: fn for n, fn in QUERIES.items()
              if not n.startswith("streaming_")
              and n not in ("etl_pipeline_run", "dedup_clusters",
-                           "dedup_minhash_lsh", "corpus_curate_neardup")}
+                           "dedup_minhash_lsh", "corpus_curate_neardup",
+                           # kmeans collects k x dim centroids per
+                           # round; the exact CC counts its edge list
+                           # to pick the union-find/propagation regime
+                           "kmeans_assign", "dedup_clusters_exact")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
