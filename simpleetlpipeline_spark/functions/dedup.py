@@ -607,6 +607,13 @@ def dedup_pairs_all(spark: SparkSession, sf_dir: str, ngram: int = 3,
     Scale: two shuffles on the 64-bit gram hash (df count + pair
     join) and one on (a_id, b_id). The df cap bounds the self-join
     fan-out per gram at df_cap^2 pairs; everything else is linear.
+
+    Caching: the df-capped posting list (kg) has three consumers in
+    THIS plan (doc sizes + both self-join sides) and the returned
+    pair graph has two catalog consumers (this query and
+    dedup_clusters_exact, whose structurally identical rebuild the
+    cache manager matches — same cross-invocation reuse the MinHash
+    family gets). Both persists are lazy and registry-owned.
     """
     ensure_session_conf(spark)
     docs = fan_out(read_table(spark, sf_dir, "documents")).select(
@@ -614,7 +621,7 @@ def dedup_pairs_all(spark: SparkSession, sf_dir: str, ngram: int = 3,
     ex = docs.select("doc_id", F.explode("grams").alias("g"))
     kept = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap).select("g"))
-    kg = ex.join(kept, "g")
+    kg = track(ex.join(kept, "g").persist())
     sizes = kg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         kg.select(F.col("doc_id").alias("a_id"), "g")
@@ -626,11 +633,12 @@ def dedup_pairs_all(spark: SparkSession, sf_dir: str, ngram: int = 3,
     a_sz = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("a_n"))
     b_sz = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("b_n"))
     jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
-    return (
+    return track(
         common.join(a_sz, "a_id").join(b_sz, "b_id")
         .withColumn("jaccard", F.floor(jac * 10000) / 10000)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_common", "jaccard")
+        .persist()
     )
 
 
