@@ -81,10 +81,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark otherwise runs on every fresh read (one less job per scan;
     at 100 TB, no listing+footer pass before the real work).
 
-    The events table stores TIMESTAMP(NANOS), which Spark reads as
-    epoch-nanos LONG under spark.sql.legacy.parquet.nanosAsLong
-    (set in session conf); truncate to microseconds exactly as
-    DuckDB/Arrow do so both engines see identical instants.
+    The events table's ts physical type varies by testdata vintage:
+    TIMESTAMP(NANOS) (read as epoch-nanos LONG under
+    spark.sql.legacy.parquet.nanosAsLong, set in session conf) or a
+    plain microsecond TIMESTAMP. Probe the footer type once per
+    (sf_dir, name) and truncate nanos to microseconds exactly as
+    DuckDB/Arrow do so both engines see identical instants; a micros
+    file passes through untouched.
     """
     from simpleetlpipeline_spark.session import ensure_session_conf
 
@@ -93,8 +96,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema = TESTDATA_SCHEMAS.get(name)
     if schema is not None:
         if name == "events":
+            ts_type = _events_ts_type(spark, path)
             schema = StructType([
-                StructField("ts", LongType()) if f.name == "ts" else f
+                StructField("ts", ts_type) if f.name == "ts" else f
                 for f in schema.fields
             ])
         df = spark.read.schema(schema).parquet(path)
@@ -104,6 +108,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+#: footer ts type per events.parquet path — one footer read per path
+#: per process, not per query.
+_EVENTS_TS_TYPES: dict[str, object] = {}
+
+
+def _events_ts_type(spark: SparkSession, path: str):
+    """Footer probe: the declared-schema fast path must declare the
+    type the file actually carries, or Spark silently misreads the
+    column (a LONG schema over a micros TIMESTAMP file yields raw
+    micros ints that the nanos->micros truncation then shrinks 1000x).
+    """
+    if path not in _EVENTS_TS_TYPES:
+        probed = spark.read.parquet(path).schema
+        _EVENTS_TS_TYPES[path] = probed["ts"].dataType
+    return _EVENTS_TS_TYPES[path]
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -30,10 +30,15 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # The testdata events table stores TIMESTAMP(NANOS), which the
-    # vanilla parquet reader rejects; read as epoch-nanos LONG and
-    # convert (io.read_table truncates to micros, matching DuckDB).
+    # The testdata events table's ts physical type varies by vintage:
+    # TIMESTAMP(NANOS), which the vanilla parquet reader rejects —
+    # read as epoch-nanos LONG and convert (io.read_table truncates
+    # to micros, matching DuckDB) — or TIMESTAMP_NTZ micros. Surface
+    # NTZ as plain TIMESTAMP (session-TZ=UTC keeps the wall-clock
+    # identical to the oracle's naive reading); TIMESTAMP_NTZ would
+    # otherwise break unix_micros, watermarks, and numeric casts.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

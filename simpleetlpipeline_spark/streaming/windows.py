@@ -32,14 +32,21 @@ from simpleetlpipeline_spark.schemas import TESTDATA_SCHEMAS
 from simpleetlpipeline_spark.session import ensure_session_conf
 
 
-def _events_stream_schema() -> StructType:
-    """Events schema as the streaming parquet source sees it: the
-    testdata stores TIMESTAMP(NANOS), surfaced as epoch-nanos LONG
-    under spark.sql.legacy.parquet.nanosAsLong."""
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Events schema as the streaming parquet source sees it. The ts
+    physical type varies by testdata vintage — TIMESTAMP(NANOS)
+    (surfaced as epoch-nanos LONG under
+    spark.sql.legacy.parquet.nanosAsLong) or a plain micros
+    TIMESTAMP — so probe the footer via the batch reader's cached
+    probe rather than hardcoding either."""
+    from simpleetlpipeline_spark.io import _events_ts_type
+
+    ts_type = _events_ts_type(
+        spark, os.path.join(sf_dir, "events.parquet"))
     fields = []
     for f in TESTDATA_SCHEMAS["events"].fields:
         if f.name == "ts":
-            fields.append(StructField("ts", LongType()))
+            fields.append(StructField("ts", ts_type))
         else:
             fields.append(f)
     return StructType(fields)
@@ -53,12 +60,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file source requires a directory; point it at sf_dir and
     # select only the events file(s) via glob filter.
     raw = (
-        spark.readStream.schema(_events_stream_schema())
+        spark.readStream.schema(_events_stream_schema(spark, sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if raw.schema["ts"].dataType.simpleString() == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_stream_to_df(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
