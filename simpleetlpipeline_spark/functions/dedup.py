@@ -734,3 +734,54 @@ ORACLE_SQL["dedup_clusters_exact"] = f"""
                string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
         FROM comp GROUP BY component
 """
+
+
+# ------------------------------------------------- incremental dedup
+
+#: Batch split for the incremental demo: every 5th document plays the
+#: role of the incoming shard, the rest are the already-ingested base
+#: corpus. Same arithmetic in the oracle.
+INCR_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-base) exact dedup — the nightly-ingest
+    shape: new documents are checked against the fingerprint index of
+    the already-ingested corpus, NOT against each other all-pairs.
+
+    Emits every batch document with its content md5 and whether it
+    already exists in the base. Scale: the base side reduces to its
+    distinct md5 set (grouped map-side), the probe is one equi-join
+    shuffled on the 128-bit key — at 100 TB the base fingerprint set
+    is a persisted bucketed table and the join is exchange-free on
+    the batch side only.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    batch = (docs.filter(F.pmod("doc_id", F.lit(INCR_MOD)) == 0)
+             .select("doc_id", fp.alias("text_md5")))
+    base = (docs.filter(F.pmod("doc_id", F.lit(INCR_MOD)) != 0)
+            .select(fp.alias("text_md5")).distinct()
+            .withColumn("__hit", F.lit(1)))
+    return (
+        batch.join(base, "text_md5", "left")
+        .select("doc_id", "text_md5",
+                F.col("__hit").isNotNull().alias("is_dup"))
+    )
+
+
+QUERIES["dedup_incremental"] = dedup_incremental
+
+ORACLE_SQL["dedup_incremental"] = f"""
+    WITH batch AS (
+        SELECT doc_id, md5(text) AS text_md5 FROM documents
+        WHERE doc_id % {INCR_MOD} = 0
+    ), base AS (
+        SELECT DISTINCT md5(text) AS text_md5 FROM documents
+        WHERE doc_id % {INCR_MOD} != 0
+    )
+    SELECT b.doc_id, b.text_md5,
+           (base.text_md5 IS NOT NULL) AS is_dup
+    FROM batch b LEFT JOIN base USING (text_md5)
+"""

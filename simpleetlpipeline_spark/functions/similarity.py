@@ -558,3 +558,65 @@ ORACLE_SQL["ann_ivf_topk"] = f"""
     SELECT a_id, b_id, CAST(rank AS INT) AS rank, cosine_sim
     FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ------------------------------------------------------ quantization
+
+#: Symmetric int8 range: q = floor(x / (max|x| / 127)) in [-128, 127].
+QUANT_LEVELS = 127
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization manifest — the
+    compression step an ANN index or embedding cache applies before
+    storage (4x smaller than float32, 8x smaller than the double
+    compute form).
+
+    Per vector: scale = max|x| / 127, q_i = floor(x_i / scale).
+    Emits the floored scale plus integer digests of the quantized
+    vector (sum / min / max). Integer digests are exact cross-engine
+    (no float-sum ordering hazard), and floor(x/scale) is bit-stable
+    because both engines do the same IEEE-754 double divide on
+    identical float32-widened inputs. Narrow projection — no shuffle
+    at any scale.
+    """
+    ensure_session_conf(spark)
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = as_double_vec(F.col("embedding"))
+    absmax = F.array_max(F.transform(e, F.abs))
+    scale = absmax / QUANT_LEVELS
+    q = F.transform(e, lambda x: F.floor(x / scale).cast("long"))
+    return emb.select(
+        "vec_id",
+        (F.floor(scale * 1000000) / 1000000).alias("scale6"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
+QUERIES["embedding_quantize"] = embedding_quantize
+
+ORACLE_SQL["embedding_quantize"] = f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x)))
+                   / {QUANT_LEVELS} AS scale
+        FROM v
+    ), q AS (
+        SELECT vec_id, scale,
+               list_transform(e, x -> CAST(floor(x / scale) AS BIGINT)) AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           floor(scale * 1000000) / 1000000 AS scale6,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
+"""

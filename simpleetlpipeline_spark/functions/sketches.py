@@ -1,0 +1,120 @@
+"""Approximate-aggregate (sketch) operators over the events table.
+
+At 100 TB exact COUNT(DISTINCT) and exact percentiles are shuffle-
+bound: every value must reach the aggregator. The sketch forms —
+HyperLogLog++ (approx_count_distinct) and the Greenwald-Khanna /
+KLL-style quantile summary (approx_percentile) — are mergeable
+fixed-size state: each partition builds a small sketch, the shuffle
+moves sketches instead of values, and accuracy is a tunable knob.
+These are the cardinality/latency workhorses of any corpus-stats or
+telemetry rollup.
+
+Oracle strategy: a DuckDB oracle cannot reproduce Spark's sketch
+internals, so each query emits the EXACT value (computed by Spark,
+hash-compared against DuckDB's exact value) alongside a boolean
+`*_ok` that asserts the sketch landed within its documented error
+bound — the oracle's literal TRUE only matches when the sketch
+actually did. Same pattern as media_feature_extract's l2_norm=1.0:
+the deterministic projection is hash-checked, the engine-specific
+part is bounds-checked.
+
+Reference parity: the reference has no approximate aggregates
+(SURVEY §2.5 'No ... approximate aggregates exist'); these extend
+the engine per the build brief's scale mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+#: HLL relative standard deviation; the _ok bound allows 3 sigma.
+HLL_RSD = 0.02
+#: approx_percentile accuracy knob (rank error <= n/accuracy) and the
+#: quantile slack the _ok bound allows on either side.
+PCTL_ACCURACY = 10_000
+PCTL_EPS = 0.005
+PCTL_PS = (0.5, 0.9, 0.99)
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type user reach: exact distinct count (hash-checked)
+    plus an HLL++ estimate asserted within 3*rsd of it.
+
+    One aggregate pass computes both: at scale you would keep ONLY
+    the HLL (partial_approx_count_distinct merges sketch registers
+    map-side; the exact distinct needs a (type, user) de-dup shuffle
+    first) — the exact column exists here to be the oracle's witness.
+    """
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=HLL_RSD)
+    exact = F.count_distinct("user_id")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact.alias("n_users_exact"),
+            (F.abs(approx - exact) <= 3 * HLL_RSD * exact).alias("hll_ok"),
+        )
+    )
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles: exact p50 (hash-checked, both
+    engines interpolate at rank (n-1)*p) plus sketch estimates for
+    p50/p90/p99 asserted to land between the exact quantiles at
+    p-eps and p+eps.
+
+    The sketch path (approx_percentile) is the one that scales — its
+    summary state is bounded and mergeable; the exact percentile()
+    columns exist as the oracle's witness and bound rails.
+    """
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+
+    def ok(p: float) -> F.Column:
+        a = F.approx_percentile("value", F.lit(p), F.lit(PCTL_ACCURACY))
+        lo = F.percentile("value", F.lit(max(p - PCTL_EPS, 0.0)))
+        hi = F.percentile("value", F.lit(min(p + PCTL_EPS, 1.0)))
+        return (a >= lo) & (a <= hi)
+
+    p50_exact = F.floor(F.percentile("value", F.lit(0.5)) * 10000) / 10000
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            p50_exact.alias("p50_exact"),
+            *[ok(p).alias(f"p{int(p * 100)}_ok") for p in PCTL_PS],
+        )
+    )
+
+
+QUERIES = {
+    "approx_distinct_users": approx_distinct_users,
+    "quantile_sketch": quantile_sketch,
+}
+
+ORACLE_SQL = {
+    "approx_distinct_users": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               TRUE AS hll_ok
+        FROM events
+        GROUP BY 1
+    """,
+    "quantile_sketch": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor(quantile_cont(value, 0.5) * 10000) / 10000 AS p50_exact,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok,
+               TRUE AS p99_ok
+        FROM events
+        GROUP BY 1
+    """,
+}

@@ -288,8 +288,130 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
+#: Chunking geometry: context-window tokens per chunk and the stride
+#: between chunk starts (overlap = CHUNK_CTX - CHUNK_STRIDE).
+CHUNK_CTX = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str,
+              ctx: int = CHUNK_CTX,
+              stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Sliding token-window chunking manifest — the doc→chunk explode
+    an embedding/RAG indexing pipeline runs before encoding.
+
+    One chunk starts every `stride` tokens (last start <= n_tokens-1),
+    each spanning min(ctx, n - start) tokens; consecutive chunks
+    overlap by ctx - stride. Emits per chunk: index, token offset,
+    length, and an md5 of the space-joined chunk text so the oracle
+    verifies the actual chunk CONTENT, not just the arithmetic.
+
+    Scale: narrow generate (sequence + explode) — each task expands
+    its own rows ~n/stride-fold with no shuffle; the natural shape for
+    chunking 100 TB of text.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks).cast("long")
+    base = docs.select("doc_id", toks.alias("toks"), n.alias("n_tokens"))
+    idx = F.sequence(
+        F.lit(0), F.floor((F.col("n_tokens") - 1) / stride).cast("long"))
+    ch = base.select(
+        "doc_id", "n_tokens", "toks",
+        F.explode(idx).alias("chunk_idx"),
+    ).withColumn("start_tok", F.col("chunk_idx") * stride)
+    chunk_len = F.least(F.lit(ctx).cast("long"),
+                        F.col("n_tokens") - F.col("start_tok"))
+    chunk_text = F.concat_ws(
+        " ", F.slice("toks", F.col("start_tok").cast("int") + 1,
+                     chunk_len.cast("int")))
+    return ch.select(
+        "doc_id", "chunk_idx", "start_tok",
+        chunk_len.alias("chunk_tokens"),
+        F.md5(chunk_text.cast("binary")).alias("chunk_md5"),
+    )
+
+
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str,
+                    top_n: int = 50) -> DataFrame:
+    """Merge-candidate counting — the inner loop of BPE vocabulary
+    induction: count every adjacent token pair across the corpus and
+    rank the merge candidates. (Real BPE then merges the top pair and
+    recounts; one round is the representative distributed shape —
+    iterate by re-running on the merged stream.)
+
+    explode adjacent pairs -> hash agg with map-side combine (shuffle
+    is pair-vocabulary-sized, not corpus-sized) -> TakeOrderedAndProject
+    top-N with deterministic pair tie-break.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .filter(F.col("pair").contains(" "))   # drop the n<2 sentinel
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
 QUERIES["term_frequencies"] = term_frequencies
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
+QUERIES["doc_chunk"] = doc_chunk
+QUERIES["bpe_merge_pairs"] = bpe_merge_pairs
+
+ORACLE_SQL["doc_chunk"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(range(0, CAST(floor((len(toks) - 1)
+                   / {CHUNK_STRIDE}.0) AS BIGINT) + 1)) AS chunk_idx
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_CTX}, n - chunk_idx * {CHUNK_STRIDE}) AS BIGINT)
+               AS chunk_tokens,
+           md5(array_to_string(list_slice(
+               toks, chunk_idx * {CHUNK_STRIDE} + 1,
+               chunk_idx * {CHUNK_STRIDE}
+                   + least({CHUNK_CTX}, n - chunk_idx * {CHUNK_STRIDE})), ' '))
+               AS chunk_md5
+    FROM c
+"""
+
+ORACLE_SQL["bpe_merge_pairs"] = """
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), p AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        FROM t
+    )
+    SELECT pair, count(*) AS n_occurrences
+    FROM p
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 50
+"""
 ORACLE_SQL["tfidf_top_terms"] = """
     WITH terms AS (
         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token

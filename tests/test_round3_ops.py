@@ -1,0 +1,108 @@
+"""Unit tests for the round-3 operators: chunking, BPE merge-pair
+counting, sketch aggregates, int8 quantization, incremental dedup.
+
+Oracle parity for each is covered by tools/check_oracle.py (all six
+have DuckDB twins); these tests pin the structural invariants the
+oracle hash can't express directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.functions.dedup import dedup_incremental
+from simpleetlpipeline_spark.functions.sketches import (
+    approx_distinct_users,
+    quantile_sketch,
+)
+from simpleetlpipeline_spark.functions.similarity import embedding_quantize
+from simpleetlpipeline_spark.functions.text import (
+    CHUNK_CTX,
+    CHUNK_STRIDE,
+    bpe_merge_pairs,
+    doc_chunk,
+    tokens_col,
+)
+from simpleetlpipeline_spark.io import read_table
+
+
+def test_doc_chunk_covers_every_token(spark, sf_dir):
+    """Chunk spans tile the doc: first starts at 0, the chunk count
+    matches the stride arithmetic, and the last chunk reaches the
+    final token — so no token is outside every chunk."""
+    chunks = doc_chunk(spark, sf_dir)
+    n_tok = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("n"))
+    per_doc = (
+        chunks.groupBy("doc_id").agg(
+            F.min("start_tok").alias("first_start"),
+            F.max(F.col("start_tok") + F.col("chunk_tokens")).alias("max_end"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+        ).join(n_tok, "doc_id")
+    )
+    bad = per_doc.filter(
+        (F.col("first_start") != 0)
+        | (F.col("max_end") != F.col("n"))
+        | (F.col("n_chunks") != F.col("max_idx") + 1)
+        | (F.col("n_chunks") != F.floor((F.col("n") - 1) / CHUNK_STRIDE) + 1)
+    )
+    assert bad.count() == 0
+    assert chunks.filter(
+        (F.col("chunk_tokens") <= 0)
+        | (F.col("chunk_tokens") > CHUNK_CTX)).count() == 0
+
+
+def test_bpe_merge_pairs_counts_match_manual(spark, sf_dir):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b x")], "doc_id long, text string")
+    toks = tokens_col(F.col("text"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+    got = {r["p"]: r["count"] for r in
+           df.select(F.explode(pairs).alias("p")).groupBy("p").count()
+           .collect()}
+    # "a b" appears in doc0 twice and doc1 once
+    assert got == {"a b": 3, "b a": 1, "b c": 1, "b x": 1}
+    # catalog entry: at most top_n rows, ordered by count desc
+    top = bpe_merge_pairs(spark, sf_dir, top_n=5).collect()
+    assert len(top) == 5
+    counts = [r["n_occurrences"] for r in top]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_sketch_bounds_hold(spark, sf_dir):
+    for row in approx_distinct_users(spark, sf_dir).collect():
+        assert row["hll_ok"] is True
+        assert row["n_users_exact"] <= row["n_events"]
+    for row in quantile_sketch(spark, sf_dir).collect():
+        assert row["p50_ok"] and row["p90_ok"] and row["p99_ok"]
+
+
+def test_embedding_quantize_range_and_scale(spark, sf_dir):
+    q = embedding_quantize(spark, sf_dir)
+    # floor(x/scale) with scale = max|x|/127 keeps every level within
+    # [-128, 127]: the max-|x| element lands at +/-127, but one ulp of
+    # divide rounding can push a negative extreme to -127.0000...1,
+    # flooring to -128 — exactly the int8 range. The extreme level is
+    # always >= 126 in magnitude.
+    assert q.filter((F.col("q_min") < -128) | (F.col("q_max") > 127)).count() == 0
+    assert q.filter(F.greatest(F.col("q_max"), -F.col("q_min")) < 126).count() == 0
+    assert q.filter(F.col("scale6") <= 0).count() == 0
+
+
+def test_dedup_incremental_flags_planted_dup(spark, tmp_path):
+    import os
+
+    docs = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (5, "other text"),
+         (10, "unique text"), (3, "base only")],
+        "doc_id long, text string")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    docs.write.parquet(path)
+    out = {r["doc_id"]: r["is_dup"]
+           for r in dedup_incremental(spark, str(tmp_path)).collect()}
+    # batch = doc_id % 5 == 0 -> {0, 5, 10}; base = {1, 3}
+    assert out == {0: True, 5: False, 10: False}
