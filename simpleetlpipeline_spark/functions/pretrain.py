@@ -314,12 +314,80 @@ def kmeans_assign(spark: SparkSession, sf_dir: str,
         emb.unpersist()
 
 
+# ---------------------------------------------------------- sharding
+
+#: Output fan-out for the shard manifest and the multiplicative-hash
+#: constant (Knuth's 2^32/phi) shared with the oracle.
+N_SHARDS = 64
+_SHARD_HASH_A = 2654435761
+_SHARD_HASH_MOD = 1 << 32
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str,
+                   n_shards: int = N_SHARDS) -> DataFrame:
+    """Deterministic output-shard plan — the balancing step before
+    writing a corpus as n fixed shards: each document is assigned by
+    a multiplicative hash of doc_id (engine-independent integer
+    arithmetic, unlike Spark's internal hashPartitioning), and the
+    manifest reports per-shard doc/token/byte totals so skew is
+    visible BEFORE the 100 TB write (a hot shard here means a
+    straggler task there).
+
+    One hash aggregate, map-side combined; the subsequent write would
+    be repartition(n_shards, shard) with each task streaming one file.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    shard = F.pmod((F.col("doc_id") * _SHARD_HASH_A) % _SHARD_HASH_MOD,
+                   F.lit(n_shards))
+    n_tok = F.size(tokens_col(F.col("text"))).cast("long")
+    return (
+        docs.select(shard.alias("shard"), n_tok.alias("n"),
+                    F.length("text").cast("long").alias("b"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n").alias("n_tokens"),
+             F.sum("b").alias("n_chars"))
+    )
+
+
+#: Curriculum bins over the doc_stats quality score.
+N_QUALITY_BINS = 10
+
+
+def quality_bins(spark: SparkSession, sf_dir: str,
+                 n_bins: int = N_QUALITY_BINS) -> DataFrame:
+    """Curriculum/quality binning: ntile over the corpus quality score
+    (deterministic ordering: score then doc_id), the step that turns a
+    continuous quality signal into sampling strata for data mixing or
+    curriculum schedules.
+
+    Scale note: ntile is a GLOBAL window — one total ordering. That is
+    the operator's semantics (equal-population bins need global ranks);
+    Spark plans it as a range-partitioned sort (sampled boundaries,
+    parallel sort) followed by the window. For fixed THRESHOLD bins
+    (no global sort) use width_bucket-style arithmetic instead.
+    """
+    from pyspark.sql import Window
+
+    from simpleetlpipeline_spark.functions.text import doc_stats
+
+    stats = doc_stats(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.orderBy("quality_score", "doc_id")
+    return stats.select(
+        "doc_id", "quality_score",
+        F.ntile(n_bins).over(w).alias("quality_bin"),
+    )
+
+
 QUERIES = {
     "pii_redact": pii_redact,
     "doc_repetition": doc_repetition,
     "sequence_pack": sequence_pack,
     "source_mix_report": source_mix_report,
     "kmeans_assign": kmeans_assign,
+    "shard_manifest": shard_manifest,
+    "quality_bins": quality_bins,
 }
 
 
@@ -487,3 +555,39 @@ ORACLE_SQL = {
         ) WHERE rn = 1
     """,
 }
+
+ORACLE_SQL["shard_manifest"] = f"""
+    SELECT ((doc_id * {_SHARD_HASH_A}) % {_SHARD_HASH_MOD})
+               % {N_SHARDS} AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1
+"""
+
+ORACLE_SQL["quality_bins"] = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks,
+                   x -> x IN ('the','a','an','of','and','to','in','is',
+                              'on','for'))) AS BIGINT) AS n_stopwords
+        FROM t
+    ), q AS (
+        SELECT doc_id,
+               floor(least(1.0, n_tokens / 50.0)
+                     * (1 - n_stopwords / n_tokens) * 10000) / 10000
+                   AS quality_score
+        FROM s
+    )
+    SELECT doc_id, quality_score,
+           CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS INT)
+               AS quality_bin
+    FROM q
+"""

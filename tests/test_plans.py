@@ -246,3 +246,42 @@ def test_revenue_by_nation_plan_broadcasts_dims(spark, sf_dir):
     plan = _plan(revenue_by_nation(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_doc_chunk_plan_is_narrow(spark, sf_dir):
+    """Chunking must stay a narrow generate (sequence+explode): no
+    join, no hash-partition exchange — each task expands its own rows.
+    (fan_out's round-robin repartition of a tiny single-file scan is
+    the one permitted exchange.)"""
+    plan = _plan(QUERIES["doc_chunk"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" in plan
+
+
+def test_embedding_quantize_plan_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["embedding_quantize"](spark, sf_dir))
+    assert "Exchange" not in plan, "per-vector quantization must not shuffle"
+    assert "Join" not in plan
+
+
+def test_bpe_merge_pairs_plan_topk_partial_agg(spark, sf_dir):
+    plan = _plan(QUERIES["bpe_merge_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "LIMIT must plan as top-k"
+    assert "partial_count" in plan, "pair counts must combine map-side"
+
+
+def test_dedup_incremental_plan_equi_join(spark, sf_dir):
+    plan = _plan(QUERIES["dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), \
+        "fingerprint probe must be an equi-join on the md5 key"
+
+
+def test_shard_manifest_plan_partial_agg(spark, sf_dir):
+    plan = _plan(QUERIES["shard_manifest"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan, \
+        "shard rollup must combine map-side"
+    assert "Join" not in plan
