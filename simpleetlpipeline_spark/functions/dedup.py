@@ -211,15 +211,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exploded_grams(spark: SparkSession, sf_dir: str,
+                   ngram: int = 3) -> DataFrame:
+    """Gram-posting stream (doc_id, gram_hash), persisted.
+
+    Used by dedup_pairs_all, where the stream has two in-plan
+    consumers (df count + join-back). dedup_ngram_jaccard deliberately
+    does NOT read this cache: its probe join is a single pipelined
+    pass (explode -> broadcast-join -> partial agg, no intermediate),
+    and paying the cache materialization there measured SLOWER than
+    recomputing (8s vs ~3s at sf0.1) — cache reuse only wins when the
+    same stream is scanned more than once. Registry-owned.
+    """
+    ensure_session_conf(spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
+    return track(
+        docs.select("doc_id", F.explode("grams").alias("g")).persist())
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
                         n_probes: int = 10, ngram: int = 3,
                         threshold: float = 0.15) -> DataFrame:
     """EXACT word-3-gram Jaccard of every document against a small
     probe set (doc_id < n_probes), pairs above threshold.
 
-    Probe-blocked by design: the probe side is broadcast, so cost is
-    linear in corpus size. Shingle explode -> equi-join on shingle ->
-    per-pair common count -> |A∩B| / (|A|+|B|-|A∩B|).
+    Probe-blocked by design: the probe side is broadcast (and its
+    doc_id filter pushes below the gram compute, so probe grams cost
+    10 docs, not the corpus), so cost is linear in corpus size.
+    Shingle explode -> equi-join on shingle -> per-pair common count
+    -> |A∩B| / (|A|+|B|-|A∩B|).
     """
     ensure_session_conf(spark)
     docs = fan_out(read_table(spark, sf_dir, "documents")).select(
@@ -615,14 +636,10 @@ def dedup_pairs_all(spark: SparkSession, sf_dir: str, ngram: int = 3,
     cache manager matches — same cross-invocation reuse the MinHash
     family gets). Both persists are lazy and registry-owned.
     """
-    ensure_session_conf(spark)
-    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
-        "doc_id", word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
-    # Persist the exploded posting stream: the gram-hash HOF chain is
-    # the CPU-heavy stage and `ex` has two consumers (the df count and
-    # the join-back) — without the cache the whole shingle pipeline
-    # runs twice. Registry-owned, same lifetime as kg below.
-    ex = track(docs.select("doc_id", F.explode("grams").alias("g")).persist())
+    # Shared persisted posting stream (see exploded_grams): two
+    # consumers inside this plan (df count + join-back) and one
+    # cross-query consumer (dedup_ngram_jaccard).
+    ex = exploded_grams(spark, sf_dir, ngram)
     kept = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap).select("g"))
     kg = track(ex.join(kept, "g").persist())
