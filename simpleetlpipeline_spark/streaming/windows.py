@@ -146,10 +146,36 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(agg)
 
 
+def streaming_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events enriched with the
+    static customer dimension, rolled up per market segment.
+
+    The static side is re-read per micro-batch and broadcast — a
+    stream-static equi-join is STATELESS (no watermark bookkeeping,
+    unlike stream-stream joins), which is exactly why dimension
+    enrichment belongs on this path at scale: state stays bounded to
+    the windowed aggregate downstream, and the dim refreshes for free
+    whenever its table is republished between batches.
+    """
+    from simpleetlpipeline_spark.io import read_table
+
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    agg = (
+        events.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return run_stream_to_df(agg)
+
+
 QUERIES = {
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_events_sliding": streaming_events_sliding,
     "streaming_user_sessions": streaming_user_sessions,
+    "streaming_enrich_customers": streaming_enrich_customers,
 }
 
 # Batch twins for the finite replay. The streaming session_window
@@ -157,6 +183,13 @@ QUERIES = {
 # same via gap-based grouping (lag + cumulative sum), with
 # session_end = last_ts + gap.
 ORACLE_SQL = {
+    "streaming_enrich_customers": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_events,
+               round(sum(e.value), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+    """,
     "streaming_events_hourly": """
         SELECT date_trunc('hour', ts) AS window_start,
                event_type,
