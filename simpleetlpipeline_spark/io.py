@@ -18,7 +18,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from simpleetlpipeline_spark.schemas import TESTDATA_SCHEMAS
 
@@ -54,6 +60,44 @@ def read_csv(spark: SparkSession, path: str, schema: StructType,
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink (S2; reference main.py:246-261)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def read_csv_with_rejects(spark: SparkSession, path: str,
+                          schema: StructType) -> tuple[DataFrame, DataFrame]:
+    """CSV scan that CAPTURES malformed rows instead of silently
+    nulling (PERMISSIVE default) or dropping (DROPMALFORMED) them —
+    the quarantine pattern a production ingest needs: good rows flow
+    on, bad raw lines land in a reject table with the source path for
+    triage. The reference's only failure mode is raising on a missing
+    or empty file (extract_data, main.py:390-398); row-level
+    corruption passes through pandas' inference silently.
+
+    Returns (good_rows, rejects). One parse pass: the corrupt-record
+    column rides the scan, and the split is two filters over the
+    cached parse (Spark requires the parsed input cached before
+    filtering on the corrupt column alone — the parser only populates
+    it for rows it actually failed, so an uncached re-read could
+    re-parse differently).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Source file not found: {path}")
+    with_corrupt = StructType(
+        [*schema.fields,
+         StructField("_corrupt_record", StringType(), True)])
+    parsed = (
+        spark.read.schema(with_corrupt)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    good = (parsed.filter(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record"))
+    rejects = (parsed.filter(F.col("_corrupt_record").isNotNull())
+               .select(F.lit(path).alias("source_file"),
+                       F.col("_corrupt_record").alias("raw_line")))
+    return good, rejects
 
 
 def fan_out(df: DataFrame) -> DataFrame:

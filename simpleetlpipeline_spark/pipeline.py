@@ -341,6 +341,42 @@ def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def prune_metadata(spark: SparkSession, config: ETLConfig,
+                   now=None) -> int:
+    """Retention enforcement for the lineage table — makes the
+    reference's declared-but-never-used retention_days
+    (ETLConfig, main.py:25-28 / dead config y:) real: lineage rows
+    older than the horizon are dropped and the table rewritten.
+
+    Returns the number of rows pruned. Rewrite protocol: filtered
+    snapshot lands in a fresh sibling dir, then an atomic swap
+    (os.replace of a dir works only when empty, so swap via rename
+    dance) — readers mid-prune see either the old or the new
+    snapshot, never a partial delete.
+    """
+    import shutil
+    from datetime import datetime, timedelta, timezone
+
+    meta_dir = os.path.join(config.warehouse_dir, "etl_metadata")
+    if not os.path.exists(meta_dir):
+        return 0
+    cutoff = (now or datetime.now(timezone.utc)) \
+        - timedelta(days=config.retention_days)
+    meta = spark.read.parquet(meta_dir)
+    keep = meta.filter(F.col("etl_timestamp") >= F.lit(cutoff))
+    n_total, n_keep = meta.count(), keep.count()
+    if n_keep == n_total:
+        return 0
+    tmp_new = meta_dir + ".pruning"
+    tmp_old = meta_dir + ".stale"
+    shutil.rmtree(tmp_new, ignore_errors=True)
+    keep.write.mode("overwrite").parquet(tmp_new)
+    os.rename(meta_dir, tmp_old)
+    os.rename(tmp_new, meta_dir)   # the swap point
+    shutil.rmtree(tmp_old, ignore_errors=True)
+    return n_total - n_keep
+
+
 # --- Monitoring / EP3 (reference main.py:793-872) -------------------------
 
 def quality_summary(spark: SparkSession, config: ETLConfig) -> DataFrame:

@@ -19,6 +19,7 @@ from simpleetlpipeline_spark.functions import (
     text,
 )
 from simpleetlpipeline_spark.plans import advanced, analytics
+from simpleetlpipeline_spark.streaming import sinks as streaming_sinks
 from simpleetlpipeline_spark.streaming import stateful as streaming_stateful
 from simpleetlpipeline_spark.streaming import windows as streaming_windows
 
@@ -26,7 +27,8 @@ QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
 for _mod in (advanced, text, dedup, similarity, multimodal, curation, pretrain,
-             sketches, streaming_windows, streaming_stateful):
+             sketches, streaming_windows, streaming_stateful,
+             streaming_sinks):
     QUERIES.update(_mod.QUERIES)
     ORACLE_SQL.update(_mod.ORACLE_SQL)
 

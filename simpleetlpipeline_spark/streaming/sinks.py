@@ -1,0 +1,96 @@
+"""Streaming sinks: landing a stream into the engine's warehouse.
+
+The memory-sink queries in windows.py/stateful.py prove operator
+semantics; this module proves the SINK path a deployment actually
+uses — foreachBatch into the versioned parquet table protocol
+(io.write_table_version), i.e. exactly how a Structured Streaming
+job feeds a warehouse table that batch queries then read:
+
+- Each micro-batch's rows are aggregated to per-key increments
+  (map-side combined, tiny output).
+- foreachBatch merges the increments into the current table snapshot
+  (full-outer on the key, sums added) and commits a NEW version via
+  the atomic _CURRENT pointer swap — readers never see a half-merged
+  table, and a failed batch leaves the previous version intact
+  (foreachBatch retries re-run the merge from the last committed
+  snapshot; with availableNow + checkpointing the batch is not
+  re-fed after success).
+
+Scale: the merge shuffles |keys| + |batch keys| rows, not the
+stream; the versioned rewrite is the honest cost of format-free
+parquet (Delta/Iceberg MERGE would prune untouched files).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import read_table_version, write_table_version
+from simpleetlpipeline_spark.streaming.windows import read_events_stream
+
+
+def streaming_totals_to_table(spark: SparkSession, sf_dir: str,
+                              table_root: str | None = None) -> DataFrame:
+    """Run the events stream to completion, foreachBatch-merging
+    per-user totals into a versioned warehouse table; returns the
+    final committed snapshot (rounded for the oracle — raw double
+    partials are what the table stores, so multi-batch replays
+    accumulate exactly)."""
+    table_root = table_root or tempfile.mkdtemp(prefix="stream_totals_")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        inc = (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+        )
+        if os.path.exists(os.path.join(table_root, "_CURRENT")):
+            cur = read_table_version(spark, table_root)
+            merged = (
+                cur.select("user_id",
+                           F.col("n_events").alias("n0"),
+                           F.col("total_value").alias("t0"))
+                .join(inc, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce("n0", F.lit(0))
+                     + F.coalesce("n_events", F.lit(0))).alias("n_events"),
+                    (F.coalesce("t0", F.lit(0.0))
+                     + F.coalesce("total_value", F.lit(0.0)))
+                    .alias("total_value"),
+                )
+            )
+        else:
+            merged = inc
+        write_table_version(merged, table_root)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(table_root, "_chk"))
+        .start()
+    )
+    q.awaitTermination()
+    return read_table_version(spark, table_root).select(
+        "user_id", "n_events",
+        F.round("total_value", 2).alias("total_value"))
+
+
+QUERIES = {
+    "streaming_totals_to_table": streaming_totals_to_table,
+}
+
+ORACLE_SQL = {
+    "streaming_totals_to_table": """
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+}
