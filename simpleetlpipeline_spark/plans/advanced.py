@@ -422,3 +422,48 @@ ORACLE_SQL = {
         ASOF JOIN p ON e.user_id = p.user_id AND e.ts > p.ts
     """,
 }
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str,
+                   z_threshold: float = 3.0) -> DataFrame:
+    """Per-type z-score outlier detection over event values — the
+    telemetry anomaly scan a monitoring pipeline runs after rollups.
+
+    Shape: one hash aggregate for per-type (mean, sample stddev) —
+    |event_type| rows — broadcast back across the stream, then a
+    narrow filter. No window over the raw events (a per-type window
+    partition would funnel each type through one reducer at scale;
+    the agg+broadcast-join form is two scans and zero wide state).
+    z is floored to 4dp in both engines for stable comparison.
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    stats = (events.groupBy("event_type")
+             .agg(F.avg("value").alias("__mean"),
+                  F.stddev_samp("value").alias("__std")))
+    z = (F.col("value") - F.col("__mean")) / F.col("__std")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) >= z_threshold)
+        .select("event_id", "event_type", "value",
+                (F.floor(z * 10000) / 10000).alias("z_score"))
+    )
+
+
+QUERIES["events_anomaly"] = events_anomaly
+
+ORACLE_SQL["events_anomaly"] = """
+    WITH s AS (
+        SELECT event_type,
+               avg(value) AS m,
+               stddev_samp(value) AS sd
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           floor((e.value - s.m) / s.sd * 10000) / 10000 AS z_score
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) >= 3.0
+"""
