@@ -40,6 +40,7 @@ def streaming_totals_to_table(spark: SparkSession, sf_dir: str,
     final committed snapshot (rounded for the oracle — raw double
     partials are what the table stores, so multi-batch replays
     accumulate exactly)."""
+    caller_owns_root = table_root is not None
     table_root = table_root or tempfile.mkdtemp(prefix="stream_totals_")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -76,9 +77,19 @@ def streaming_totals_to_table(spark: SparkSession, sf_dir: str,
         .start()
     )
     q.awaitTermination()
-    return read_table_version(spark, table_root).select(
+    out = read_table_version(spark, table_root).select(
         "user_id", "n_events",
         F.round("total_value", 2).alias("total_value"))
+    if caller_owns_root:
+        return out
+    # Scratch warehouse: materialize the (per-user, tiny) result and
+    # delete the temp table + checkpoint so repeated driver/bench runs
+    # don't accumulate /tmp dirs — same protocol as etl_pipeline_run.
+    import shutil
+
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(table_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 QUERIES = {
