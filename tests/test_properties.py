@@ -88,3 +88,67 @@ def test_tolerance_filter_monotone_in_epsilon(spark, rows, eps_small, eps_big):
     kept_big = filter_tolerance(
         df, "actual", F.col("expected"), tolerance=eps_big).count()
     assert kept_small <= kept_big
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=200),
+    min_size=1, max_size=10))
+@SET
+def test_chunking_tiles_any_corpus(spark, texts):
+    """doc_chunk invariants hold for arbitrary whitespace shapes:
+    chunks start at stride multiples, every chunk is 1..ctx tokens,
+    and the last chunk ends exactly at the doc's token count."""
+    from simpleetlpipeline_spark.functions.text import (
+        CHUNK_CTX, CHUNK_STRIDE, tokens_col,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks).cast("long")
+    base = df.select("doc_id", toks.alias("toks"), n.alias("n_tokens"))
+    idx = F.sequence(
+        F.lit(0), F.floor((F.col("n_tokens") - 1) / CHUNK_STRIDE).cast("long"))
+    ch = base.select(
+        "doc_id", "n_tokens", F.explode(idx).alias("chunk_idx"),
+    ).withColumn("start_tok", F.col("chunk_idx") * CHUNK_STRIDE)
+    chunk_len = F.least(F.lit(CHUNK_CTX).cast("long"),
+                        F.col("n_tokens") - F.col("start_tok"))
+    rows = ch.withColumn("chunk_tokens", chunk_len).collect()
+    per_doc: dict = {}
+    for r in rows:
+        assert 1 <= r["chunk_tokens"] <= CHUNK_CTX
+        assert r["start_tok"] == r["chunk_idx"] * CHUNK_STRIDE
+        end = r["start_tok"] + r["chunk_tokens"]
+        cur = per_doc.setdefault(r["doc_id"], [0, 0])
+        cur[0] = max(cur[0], end)
+        cur[1] = r["n_tokens"]
+    for doc_id, (max_end, n_tokens) in per_doc.items():
+        assert max_end == n_tokens, f"doc {doc_id} tail not covered"
+
+
+@given(vecs=st.lists(
+    st.lists(st.floats(-10, 10, allow_nan=False, allow_infinity=False),
+             min_size=4, max_size=4)
+    .filter(lambda v: max(abs(x) for x in v) > 1e-6),
+    min_size=1, max_size=10))
+@SET
+def test_quantize_levels_bounded_any_vectors(spark, vecs):
+    """int8 quantization invariants for arbitrary non-zero vectors:
+    levels within [-128, 127], extreme level magnitude >= 126,
+    positive scale."""
+    from simpleetlpipeline_spark.functions.similarity import QUANT_LEVELS
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, e array<double>")
+    absmax = F.array_max(F.transform("e", F.abs))
+    scale = absmax / QUANT_LEVELS
+    q = F.transform("e", lambda x: F.floor(x / scale).cast("long"))
+    rows = df.select(
+        F.array_min(q).alias("q_min"), F.array_max(q).alias("q_max"),
+        scale.alias("scale")).collect()
+    for r in rows:
+        assert -128 <= r["q_min"] and r["q_max"] <= 127
+        assert max(r["q_max"], -r["q_min"]) >= 126
+        assert r["scale"] > 0
