@@ -15,7 +15,7 @@ Operators (north-star inventory):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
@@ -449,4 +449,90 @@ ORACLE_SQL["term_frequencies"] = """
     GROUP BY 1
     ORDER BY n_occurrences DESC, token ASC
     LIMIT 100
+"""
+
+
+#: Vocabulary size for dictionary-encoding tokenization.
+VOCAB_N = 100
+
+
+def tokenize_ids(spark: SparkSession, sf_dir: str,
+                 vocab_n: int = VOCAB_N) -> DataFrame:
+    """Dictionary-encoding tokenization: map every token to its rank
+    in the corpus top-N vocabulary (1-based by count desc, token asc;
+    out-of-vocabulary -> 0) — the distributed shape of applying a
+    fixed tokenizer vocabulary to a corpus.
+
+    The vocab is |N| rows — broadcast as a map literal via a join-free
+    path would need a UDF; instead the token stream equi-joins the
+    broadcast vocab (left join, OOV null -> 0) and reassembles each
+    document IN ORDER (posexplode position carries the original slot).
+    Emits per doc: token count, OOV count, and an md5 of the
+    comma-joined id sequence so the oracle verifies the exact encoded
+    stream, not just counts.
+
+    Scale: explode -> broadcast-hash-join -> (doc_id) hash agg with
+    map-side combine; the only shuffle is corpus-linear on doc_id.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(vocab_n)
+        .select("token",
+                F.row_number().over(
+                    Window.orderBy(F.desc("n"), F.asc("token"))).alias("id"))
+    )
+    stream = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token"))
+    encoded = (
+        stream.join(F.broadcast(vocab), "token", "left")
+        .select("doc_id", "pos",
+                F.coalesce("id", F.lit(0)).alias("id"))
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
+            F.md5(F.concat_ws(",", F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"].cast("string"))).cast("binary"))
+            .alias("ids_md5"),
+        )
+    )
+
+
+QUERIES["tokenize_ids"] = tokenize_ids
+
+ORACLE_SQL["tokenize_ids"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token,
+               generate_subscripts(
+                   string_split_regex(lower(trim(text)), '\\s+'), 1) AS pos
+        FROM documents
+    ), vocab AS (
+        SELECT token,
+               row_number() OVER (ORDER BY count(*) DESC, token ASC) AS id
+        FROM toks WHERE token != ''
+        GROUP BY token
+        ORDER BY count(*) DESC, token ASC
+        LIMIT {VOCAB_N}
+    ), enc AS (
+        SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+        FROM toks t LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+    FROM enc
+    GROUP BY doc_id
 """

@@ -467,3 +467,90 @@ ORACLE_SQL["events_anomaly"] = """
     FROM events e JOIN s USING (event_type)
     WHERE abs((e.value - s.m) / s.sd) >= 3.0
 """
+
+
+def fuzzy_name_neighbors(spark: SparkSession, sf_dir: str,
+                         max_lev: int = 2) -> DataFrame:
+    """Blocked fuzzy string-match self-join over part names: for every
+    part, how many other parts sit within Levenshtein distance
+    `max_lev`, and the deterministic nearest one (min distance, ties
+    to the lower key) — the entity-resolution shape (candidate
+    blocking -> cheap prefilter -> exact edit distance -> per-entity
+    aggregate).
+
+    Scale shape: the self-join is an EQUI-join on the blocking key
+    (first name token) with a length-difference prefilter applied
+    before the edit distance (|len diff| > max_lev can never match).
+    The testdata's name vocabulary gives only 8 blocks — at real
+    scale the blocking key must be finer (first token + length band,
+    or q-gram LSH as in dedup.py) so block sizes stay bounded; the
+    aggregate output is one row per entity regardless of pair count.
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    parts = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.split("p_name", " ")[0].alias("blk"),
+        F.length("p_name").alias("ln"))
+    a = parts.select(F.col("p_partkey").alias("a_id"),
+                     F.col("p_name").alias("a_name"), "blk",
+                     F.col("ln").alias("a_ln"))
+    b = parts.select(F.col("p_partkey").alias("b_id"),
+                     F.col("p_name").alias("b_name"), "blk",
+                     F.col("ln").alias("b_ln"))
+    pairs = (
+        a.join(b, "blk")
+        .filter((F.col("a_id") != F.col("b_id"))
+                & (F.abs(F.col("a_ln") - F.col("b_ln")) <= max_lev))
+        .withColumn("lev", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("lev") <= max_lev)
+    )
+    agg = (
+        pairs.groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n_neighbors"),
+             F.min(F.struct("lev", "b_id")).alias("m"))
+    )
+    return (
+        parts.select(F.col("p_partkey").alias("a_id"))
+        .join(agg, "a_id", "left")
+        .select(
+            F.col("a_id").alias("p_partkey"),
+            F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+            F.coalesce(F.col("m.lev"), F.lit(-1)).cast("int")
+            .alias("best_lev"),
+            F.coalesce(F.col("m.b_id"), F.lit(-1)).alias("nearest_id"),
+        )
+    )
+
+
+QUERIES["fuzzy_name_neighbors"] = fuzzy_name_neighbors
+
+ORACLE_SQL["fuzzy_name_neighbors"] = """
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[1] AS blk,
+               length(p_name) AS ln
+        FROM part
+    ), pairs AS (
+        SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+               levenshtein(a.p_name, b.p_name) AS lev
+        FROM p a JOIN p b
+          ON a.blk = b.blk AND a.p_partkey != b.p_partkey
+        WHERE abs(a.ln - b.ln) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
+    ), ranked AS (
+        SELECT a_id, b_id, lev,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY lev, b_id) AS rn,
+               count(*) OVER (PARTITION BY a_id) AS n
+        FROM pairs
+    )
+    SELECT p.p_partkey,
+           CAST(coalesce(r.n, 0) AS BIGINT) AS n_neighbors,
+           CAST(coalesce(r.lev, -1) AS INTEGER) AS best_lev,
+           CAST(coalesce(r.b_id, -1) AS BIGINT) AS nearest_id
+    FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+      ON r.a_id = p.p_partkey
+"""

@@ -106,3 +106,28 @@ def test_dedup_incremental_flags_planted_dup(spark, tmp_path):
            for r in dedup_incremental(spark, str(tmp_path)).collect()}
     # batch = doc_id % 5 == 0 -> {0, 5, 10}; base = {1, 3}
     assert out == {0: True, 5: False, 10: False}
+
+
+def test_tokenize_ids_oov_and_counts(spark, sf_dir):
+    from simpleetlpipeline_spark.functions.text import tokenize_ids
+
+    out = tokenize_ids(spark, sf_dir)
+    assert out.filter(F.col("n_oov") > F.col("n_tokens")).count() == 0
+    assert out.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_fuzzy_neighbors_symmetric_and_blocked(spark, sf_dir):
+    from simpleetlpipeline_spark.plans.advanced import fuzzy_name_neighbors
+
+    out = fuzzy_name_neighbors(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, "self-join must block on a key"
+    rows = {r["p_partkey"]: r for r in out.collect()}
+    # neighbor relation is symmetric: if a's nearest is b with lev L,
+    # then b has >= 1 neighbor too
+    for r in rows.values():
+        if r["n_neighbors"] > 0:
+            assert rows[r["nearest_id"]]["n_neighbors"] > 0
+            assert 0 <= r["best_lev"] <= 2
+        else:
+            assert r["best_lev"] == -1 and r["nearest_id"] == -1
