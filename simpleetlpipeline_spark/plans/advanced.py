@@ -554,3 +554,65 @@ ORACLE_SQL["fuzzy_name_neighbors"] = """
     FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
       ON r.a_id = p.p_partkey
 """
+
+
+#: Fixed bucket count for the value histogram.
+HIST_BUCKETS = 20
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str,
+                           n_buckets: int = HIST_BUCKETS) -> DataFrame:
+    """Equal-width histogram of event values per event type — the
+    distribution profile behind any monitoring chart or data-quality
+    drift check.
+
+    Two-pass shape that scales: pass 1 is a per-type (min, max)
+    aggregate (|types| rows, broadcast back); pass 2 buckets each
+    value with pure arithmetic and hash-aggregates (type, bucket).
+    No sort, no window, no driver loop; both shuffles are tiny-keyed
+    and map-side combined. The max value clamps into the last bucket
+    (floor((v-min)/w) == n for v == max).
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    rng = (events.groupBy("event_type")
+           .agg(F.min("value").alias("__lo"), F.max("value").alias("__hi")))
+    width = (F.col("__hi") - F.col("__lo")) / n_buckets
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col("value") - F.col("__lo")) / width).cast("int"))
+    return (
+        events.join(F.broadcast(rng), "event_type")
+        .select("event_type", bucket.alias("bucket"), "value")
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.floor(F.min("value") * 100) / 100).alias("bucket_min"),
+             (F.floor(F.max("value") * 100) / 100).alias("bucket_max"))
+    )
+
+
+QUERIES["events_value_histogram"] = events_value_histogram
+
+ORACLE_SQL["events_value_histogram"] = f"""
+    WITH r AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY 1
+    ), b AS (
+        SELECT e.event_type,
+               CAST(least({HIST_BUCKETS} - 1,
+                    floor((e.value - r.lo)
+                          / ((r.hi - r.lo) / {HIST_BUCKETS}))) AS INTEGER)
+                   AS bucket,
+               e.value
+        FROM events e JOIN r USING (event_type)
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(min(value) * 100) / 100 AS bucket_min,
+           floor(max(value) * 100) / 100 AS bucket_max
+    FROM b
+    GROUP BY 1, 2
+"""
