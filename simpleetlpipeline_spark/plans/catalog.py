@@ -34,6 +34,9 @@ for _mod in (advanced, text, dedup, similarity, multimodal, curation, pretrain,
 
 
 def _etl_pipeline_run(spark, sf_dir):
+    """Full generate -> extract/transform/load -> rollup cycle into a
+    throwaway warehouse, returning the deterministic lineage columns
+    (see pipeline.etl_pipeline_run)."""
     from simpleetlpipeline_spark.pipeline import etl_pipeline_run
     return etl_pipeline_run(spark, sf_dir)
 
