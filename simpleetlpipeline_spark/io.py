@@ -320,6 +320,39 @@ def merge_upsert(spark: SparkSession, table_root: str, updates: DataFrame,
     return write_table_version(merged, table_root)
 
 
+def compact_table(spark: SparkSession, table_path: str,
+                  target_mb: int = 128) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet table into
+    ~target_mb-sized files via a versioned snapshot commit.
+
+    Append-heavy tables (etl_metadata's one-file-per-load rows, any
+    per-micro-batch sink) accumulate small files until listing and
+    scan-task scheduling dominate query time — the classic 100 TB
+    operational chore. Rewrite = one round-robin repartition to
+    ceil(bytes/target) tasks (no key skew possible), committed
+    through write_table_version's atomic pointer swap so readers flip
+    snapshots mid-compaction safely.
+
+    Returns (files_before, files_after). The table_path keeps serving
+    reads from the OLD files until the caller republishes it; callers
+    on the versioned protocol (read_table_version) see the swap
+    atomically.
+    """
+    import glob
+    import math
+
+    files = [f for f in glob.glob(os.path.join(table_path, "**", "*.parquet"),
+                                  recursive=True)
+             + glob.glob(os.path.join(table_path, "*.parquet"))
+             if os.path.isfile(f)]
+    files = sorted(set(files))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / (target_mb << 20)))
+    df = spark.read.parquet(table_path)
+    write_table_version(df.repartition(n_out), table_path + "_compacted")
+    return len(files), n_out
+
+
 def append_table(df: DataFrame, table_path: str) -> None:
     """Relational-table append sink (S3; reference main.py:501-558).
 

@@ -82,3 +82,22 @@ def test_read_csv_with_rejects_quarantines_bad_rows(spark, tmp_path):
     assert len(bad) == 1
     assert "not-a-number" in bad[0]["raw_line"]
     assert bad[0]["source_file"] == p
+
+
+def test_compact_table_consolidates_small_files(spark, tmp_path):
+    import glob
+
+    from simpleetlpipeline_spark.io import compact_table, read_table_version
+
+    src = str(tmp_path / "many")
+    # 12 tiny appends -> 12+ part files
+    for i in range(12):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(src)
+    before = len(glob.glob(src + "/*.parquet"))
+    assert before >= 12
+    n_before, n_out = compact_table(spark, src, target_mb=128)
+    assert n_before == before and n_out == 1
+    out = read_table_version(spark, src + "_compacted")
+    assert out.count() == 120
+    files_after = glob.glob(src + "_compacted/v=1/*.parquet")
+    assert len(files_after) == 1
