@@ -233,6 +233,22 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return spark.sql(sql)
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet sink (`path/col=value/...`).
+
+    The other half of the reference's secondary-index intent (S6)
+    besides bucketing: a predicate on the partition column prunes
+    entire directories BEFORE any file is opened — at 100 TB the
+    difference between scanning a day and scanning a decade. Shows up
+    in `.explain` as PartitionFilters (guarded in
+    tests/test_plans.py); high-cardinality keys do NOT belong here
+    (one directory per value — date/region/source are right, user_id
+    is wrong; bucket those instead).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
                    n_buckets: int = 16, sort_col: str | None = None) -> None:
     """Bucketed catalog-table sink: co-locates rows by hash(bucket_col)

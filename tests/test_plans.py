@@ -285,3 +285,30 @@ def test_shard_manifest_plan_partial_agg(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan, \
         "shard rollup must combine map-side"
     assert "Join" not in plan
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A predicate on the partition column must become a
+    PartitionFilter (directory pruning), not a data filter: the scan
+    lists only matching partitions and reads no other files."""
+    from simpleetlpipeline_spark.io import read_table, write_partitioned
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(events, out, ["day"])
+
+    days = [r["day"] for r in
+            spark.read.parquet(out).select("day").distinct().limit(2).collect()]
+    one = spark.read.parquet(out).filter(F.col("day") == days[0])
+    plan = _plan(one)
+    assert "PartitionFilters: [" in plan and "day" in plan.split(
+        "PartitionFilters")[1][:120], "day predicate must prune partitions"
+    # the day filter must NOT appear as a post-scan data filter
+    pushed = plan.split("PartitionFilters")[0]
+    assert "Filter (day" not in pushed
+    # and the pruned read returns exactly that day's rows
+    n_day = one.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_day < n_all
+    assert n_day == events.filter(F.col("day") == days[0]).count()
