@@ -269,3 +269,68 @@ ORACLE_SQL = {
                    ELSE {MIX_DEFAULT} END
     """,
 }
+
+
+def corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus health report — the dashboard a
+    data-curation team watches: volume, token budget, quality mass,
+    and exact-duplicate pressure per slice.
+
+    Every measure is an INTEGER aggregate (quality rides as the
+    4dp-floored score scaled to int, summed exactly; duplicates as
+    docs minus distinct fingerprints), so the result is bit-stable
+    across engines and partitionings — no float-sum ordering anywhere.
+    One hash aggregate over a narrow projection; distinct fingerprints
+    via count_distinct on the 128-bit md5 (uniform, no skew).
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    from simpleetlpipeline_spark.functions.text import STOPWORDS, tokens_col
+
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    quality_i4 = F.floor(
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+        * (1 - stop_hits / n_tokens) * 10000).cast("long")
+    base = docs.select(
+        "source", "lang", n_tokens.alias("n"),
+        quality_i4.alias("q4"),
+        F.md5(F.col("text").cast("binary")).alias("fp"))
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum("q4").alias("quality_sum_4dp"),
+            (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_dup_rows"),
+        )
+    )
+
+
+QUERIES["corpus_health"] = corpus_health
+
+ORACLE_SQL["corpus_health"] = f"""
+    WITH t AS (
+        SELECT source, lang, text,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT source, lang,
+               CAST(len(toks) AS BIGINT) AS n,
+               CAST(floor(least(1.0, len(toks) / 50.0)
+                    * (1 - len(list_filter(toks,
+                          x -> x IN {_STOPWORDS_SQL})) * 1.0 / len(toks))
+                    * 10000) AS BIGINT) AS q4,
+               md5(text) AS fp
+        FROM t
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(q4) AS BIGINT) AS quality_sum_4dp,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_rows
+    FROM s
+    GROUP BY 1, 2
+"""

@@ -171,11 +171,47 @@ def streaming_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_df(agg)
 
 
+def streaming_purchase_view_join(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each purchase matched
+    with the same user's views from the preceding hour.
+
+    The stateful-join design the batch as-of/conversion queries only
+    simulate: both sides carry watermarks and the join condition
+    bounds both event times, so the state store can expire rows older
+    than (watermark - interval) on each side — bounded state on an
+    infinite stream. Append output: a match emits exactly once, when
+    the watermark passes its join window.
+    """
+    events = read_events_stream(spark, sf_dir)
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_event_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_event_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr("p_user = v_user AND v_ts <= p_ts "
+               "AND v_ts >= p_ts - INTERVAL 1 HOUR"),
+    ).select("purchase_event_id", "view_event_id")
+    return run_stream_to_df(joined, output_mode="append")
+
+
 QUERIES = {
     "streaming_events_hourly": streaming_events_hourly,
     "streaming_events_sliding": streaming_events_sliding,
     "streaming_user_sessions": streaming_user_sessions,
     "streaming_enrich_customers": streaming_enrich_customers,
+    "streaming_purchase_view_join": streaming_purchase_view_join,
 }
 
 # Batch twins for the finite replay. The streaming session_window
@@ -183,6 +219,14 @@ QUERIES = {
 # same via gap-based grouping (lag + cumulative sum), with
 # session_end = last_ts + gap.
 ORACLE_SQL = {
+    "streaming_purchase_view_join": """
+        SELECT p.event_id AS purchase_event_id,
+               v.event_id AS view_event_id
+        FROM events p JOIN events v
+          ON v.user_id = p.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
     "streaming_enrich_customers": """
         SELECT c.c_mktsegment,
                count(*) AS n_events,
