@@ -71,21 +71,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+#: State-store partition count for finite replays. A streaming query
+#: bakes numShufflePartitions into its checkpoint at start; for the
+#: bounded testdata replay 32 state tasks per micro-batch are pure
+#: scheduling overhead (measured ~25% of each query's wall time). A
+#: production deployment sizes this to sustained throughput instead —
+#: it is a per-query decision, which is why it's set here per start
+#: rather than session-wide.
+REPLAY_STATE_PARTITIONS = 8
+
+
 def run_stream_to_df(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a finite streaming query to completion into a memory sink
     and return the result table. trigger(availableNow) processes all
     currently-visible files in bounded batches then stops — the
     replay-to-catch-up pattern."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(min(int(before), REPLAY_STATE_PARTITIONS)))
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
 
 
 def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
