@@ -118,3 +118,52 @@ def test_orphan_items_golden(spark, ref):
     orders = T.transform_orders(ref["orders"])
     items = T.transform_order_items(ref["items"])
     assert orphan_rows(items, orders, "order_id", "order_id").count() == 372
+
+
+def test_monthly_sales_analytics_golden(spark, ref):
+    """A1 golden from the committed DB (BASELINE.md): 13 month groups
+    over Completed orders, 915 orders / 492,040.34 revenue total,
+    first group 2024-07 = 74 orders / 36,943.30."""
+    orders = T.transform_orders(ref["orders"]).filter(
+        F.col("order_status") == "Completed")
+    rows = {r["month"]: r for r in (
+        orders.groupBy(F.date_format("order_date", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("total_amount"), 2).alias("rev"))
+        .collect())}
+    assert len(rows) == 13
+    assert sum(r["n"] for r in rows.values()) == 915
+    assert abs(sum(r["rev"] for r in rows.values()) - 492040.34) < 0.05
+    assert rows["2024-07"]["n"] == 74
+    assert abs(rows["2024-07"]["rev"] - 36943.30) < 0.01
+
+
+def test_segment_rollup_analytics_golden(spark, ref):
+    """A2 golden from the committed DB (BASELINE.md): per-segment
+    customer counts and totals AFTER the J2 per-customer rollup."""
+    from simpleetlpipeline_spark.operators.joins import rollup_update
+
+    customers = T.transform_customers(ref["customers"])
+    completed = T.transform_orders(ref["orders"]).filter(
+        F.col("order_status") == "Completed")
+    enriched = rollup_update(
+        customers.drop("total_orders", "total_spent"), completed,
+        dim_key="customer_id", fact_key="customer_id",
+        count_col="order_id", sum_col="total_amount")
+    seg = {r["customer_segment"]: r for r in (
+        enriched.groupBy("customer_segment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg("total_spent").alias("avg_spent"),
+             F.sum("total_spent").alias("sum_spent"))
+        .collect())}
+    golden = {
+        "Regular": (990, 250.758485, 248250.90),
+        "Budget": (585, 230.432855, 134803.22),
+        "Premium": (221, 277.568145, 61342.56),
+        "VIP": (204, 233.547353, 47643.66),
+    }
+    assert set(seg) == set(golden)
+    for name, (n, avg_s, sum_s) in golden.items():
+        assert seg[name]["n"] == n
+        assert abs(seg[name]["avg_spent"] - avg_s) < 1e-4
+        assert abs(seg[name]["sum_spent"] - sum_s) < 0.05
