@@ -536,3 +536,64 @@ ORACLE_SQL["tokenize_ids"] = f"""
     FROM enc
     GROUP BY doc_id
 """
+
+
+def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document: the mean log
+    probability of its tokens under the corpus unigram distribution
+    (the cheap end of perplexity-based quality filtering — docs far
+    below the corpus mean are gibberish or boilerplate candidates).
+
+    Shape: one token-count aggregate (vocabulary-sized, map-side
+    combined), joined back onto the token stream by token (hash join;
+    at 100 TB the unigram table is still tiny relative to the corpus
+    and typically broadcast), then a per-doc mean. Floored to 4dp in
+    both engines; ln() agrees to the ulp and the mean divides by an
+    exact integer count.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    terms = (docs.select("doc_id",
+                         F.explode(tokens_col(F.col("text"))).alias("token"))
+             .filter(F.col("token") != ""))
+    counts = terms.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("__total"))
+    scored = (
+        terms.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id",
+                F.log(F.col("c") / F.col("__total")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.floor(F.sum("lp") / F.count(F.lit(1)) * 10000) / 10000)
+            .alias("mean_logprob"),
+        )
+    )
+
+
+QUERIES["doc_logprob"] = doc_logprob
+
+ORACLE_SQL["doc_logprob"] = """
+    WITH terms AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    ), t AS (
+        SELECT doc_id, token FROM terms WHERE token != ''
+    ), counts AS (
+        SELECT token, count(*) AS c FROM t GROUP BY token
+    ), total AS (
+        SELECT sum(c) AS tot FROM counts
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(sum(ln(c * 1.0 / tot)) / count(*) * 10000) / 10000
+               AS mean_logprob
+    FROM t JOIN counts USING (token) CROSS JOIN total
+    GROUP BY doc_id
+"""
