@@ -106,6 +106,12 @@ def main() -> None:
             compact["queries_omitted"] = omitted
             line = json.dumps(compact, separators=(",", ":"))
     print(line)
+    # End-of-run cache governance: release every registry-tracked
+    # persist (cross-query reuse caches from the dedup/CC family) so
+    # a long-lived session embedding this harness ends storage-clean.
+    from simpleetlpipeline_spark.cache import release_caches
+
+    release_caches()
     spark.stop()
 
 

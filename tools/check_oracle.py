@@ -102,6 +102,9 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(srows)} rows)")
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    from simpleetlpipeline_spark.cache import release_caches
+
+    release_caches()
     return 1 if failed else 0
 
 
