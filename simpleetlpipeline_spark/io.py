@@ -224,6 +224,39 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None) -> DataFrame:
+    """ORC scan (declared schema when given — same no-inference rule
+    as every other reader here). ORC is the other columnar format a
+    drop-in engine meets in the wild (Hive-era warehouses); Spark's
+    reader gives it the same pushdown/pruning treatment as parquet.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Source file not found: {path}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink; one file per partition like every Spark sink."""
+    df.write.mode(mode).orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: merge the schemas of EVERY file in the
+    table (mergeSchema) so rows written before a column existed read
+    as null instead of silently dropping the new column (the default
+    reader takes one footer's schema — whichever file it samples).
+
+    The explicit opt-in matters at 100 TB: mergeSchema reads every
+    footer, so it belongs on evolving append tables, not hot-path
+    scans of stable ones (declare the superset schema there instead).
+    """
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """SQL query source (S4; reference pd.read_sql_query main.py:648):
     register the testdata tables as views and hand the string to

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
 )
@@ -105,3 +106,29 @@ def test_merge_upsert(spark, tmp_path):
                    3: ("c", 30.0), 4: ("d", 40.0)}
     # prior snapshot untouched
     assert eio.read_table_version(spark, root, version=1).count() == 3
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from simpleetlpipeline_spark.io import read_orc, write_orc
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2.5)
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    assert {f.name for f in back.schema.fields} == {"id", "v"}
+    assert back.agg(F.sum("v")).first()[0] == sum(i * 2.5 for i in range(100))
+
+
+def test_parquet_schema_evolution_merges_columns(spark, tmp_path):
+    from simpleetlpipeline_spark.io import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id")).write.mode("append").parquet(path)
+    spark.range(5, 10).select(
+        "id", F.lit("new").alias("tag")).write.mode("append").parquet(path)
+    merged = read_parquet_evolved(spark, path)
+    assert {f.name for f in merged.schema.fields} == {"id", "tag"}
+    assert merged.count() == 10
+    # pre-evolution rows surface the new column as null
+    assert merged.filter(F.col("tag").isNull()).count() == 5
