@@ -349,10 +349,12 @@ def prune_metadata(spark: SparkSession, config: ETLConfig,
     older than the horizon are dropped and the table rewritten.
 
     Returns the number of rows pruned. Rewrite protocol: filtered
-    snapshot lands in a fresh sibling dir, then an atomic swap
-    (os.replace of a dir works only when empty, so swap via rename
-    dance) — readers mid-prune see either the old or the new
-    snapshot, never a partial delete.
+    snapshot lands in a fresh sibling dir, then two renames swap it
+    live. Readers never see a PARTIAL table, but there is a
+    microsecond window between the renames where the path is absent
+    (plain directories cannot be replaced atomically); a reader that
+    must never miss uses the versioned-table protocol
+    (io.write_table_version) instead, which swaps a pointer file.
     """
     import shutil
     from datetime import datetime, timedelta, timezone

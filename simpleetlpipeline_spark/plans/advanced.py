@@ -616,3 +616,63 @@ ORACLE_SQL["events_value_histogram"] = f"""
     FROM b
     GROUP BY 1, 2
 """
+
+
+#: Pricing-summary cutoff (TPC-H Q1's DATE '1998-12-01' - 90 days
+#: analog for the testdata's 1995-2001 shipdate range).
+PRICING_CUTOFF = "2001-09-01"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: per
+    (returnflag, linestatus), quantity/price/discounted/charged sums
+    and averages for rows shipped before the cutoff.
+
+    The canonical scan-heavy aggregate: one pass, six groups, every
+    measure a map-side partial — the query whole-stage codegen and
+    parquet pushdown exist for. The shipdate predicate reaches the
+    scan (PushedFilters); sums are rounded to 2dp in both engines.
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+QUERIES["pricing_summary"] = pricing_summary
+
+ORACLE_SQL["pricing_summary"] = f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
