@@ -70,3 +70,36 @@ def salted_agg(df: DataFrame, keys: list[str],
             out, F.col(f"__{out}_sum") / F.col(f"__{out}_cnt")
         ).drop(f"__{out}_sum", f"__{out}_cnt")
     return merged
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Skew diagnosis for a prospective shuffle key: the top-N
+    heaviest key values with their share of all rows and the running
+    cumulative share.
+
+    This is the report you run BEFORE picking a partitioning/salting
+    strategy: a top key owning >1/executor-count of the rows means
+    its reducer becomes the stage's straggler, and salted_agg (or
+    AQE skew-join splitting) is warranted. Cost: one map-side-combined
+    count per key + a broadcast of the single-row total; the top-N
+    plans as TakeOrderedAndProject.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_rows"), F.asc(key))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share",
+                    F.floor(F.col("n_rows") / F.col("__total") * 1000000)
+                    / 1000000)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .withColumn("cum_share",
+                    F.floor(F.sum("n_rows").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0))
+                        / F.col("__total") * 1000000) / 1000000)
+        .select(F.col(key).alias("key"), "rank", "n_rows", "share",
+                "cum_share")
+    )

@@ -676,3 +676,39 @@ ORACLE_SQL["pricing_summary"] = f"""
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis of events.event_type (the catalog's worked
+    example of operators/aggregates.key_skew_report): top keys by row
+    share plus cumulative share — the numbers that decide between a
+    plain groupBy, salting, and AQE skew handling.
+
+    NOTE: the ranking window is a deliberate exception to the
+    'no single-reducer windows' rule — it runs over the per-KEY count
+    table (cardinality of the key, already reduced), not the raw rows.
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.operators.aggregates import key_skew_report
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    return key_skew_report(read_table(spark, sf_dir, "events"), "event_type")
+
+
+QUERIES["events_key_skew"] = events_key_skew
+
+ORACLE_SQL["events_key_skew"] = """
+    WITH c AS (
+        SELECT event_type AS key, count(*) AS n_rows FROM events GROUP BY 1
+    ), t AS (SELECT sum(n_rows) AS tot FROM c)
+    SELECT key,
+           CAST(row_number() OVER w AS INT) AS rank,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           floor(n_rows * 1000000.0 / tot) / 1000000 AS share,
+           floor(sum(n_rows) OVER w * 1000000.0 / tot) / 1000000
+               AS cum_share
+    FROM c CROSS JOIN t
+    WINDOW w AS (ORDER BY n_rows DESC, key ASC ROWS UNBOUNDED PRECEDING)
+    QUALIFY rank <= 10
+"""
