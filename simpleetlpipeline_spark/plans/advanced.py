@@ -712,3 +712,71 @@ ORACLE_SQL["events_key_skew"] = """
     WINDOW w AS (ORDER BY n_rows DESC, key ASC ROWS UNBOUNDED PRECEDING)
     QUALIFY rank <= 10
 """
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: users who viewed, then
+    clicked AFTER their first view, then purchased AFTER that first
+    qualifying click. The product-analytics staple that needs
+    sequential (not just co-occurrence) semantics.
+
+    Shape: three stage aggregates, each a map-side-combined min over
+    a filtered scan, chained by equi-joins on user_id — every stage's
+    cardinality is |users|, never |events|, and nothing sorts raw
+    events. Emits one row of funnel counts (integer-exact).
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    views = (events.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    n_users = events.select("user_id").distinct().count()
+    return views.agg(F.count(F.lit(1)).alias("n_viewed")).crossJoin(
+        clicks.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
+    ).crossJoin(
+        purchases.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+    ).select(
+        F.lit(n_users).cast("long").alias("n_users"),
+        "n_viewed", "n_clicked_after_view", "n_purchased_after_click",
+    )
+
+
+QUERIES["events_funnel"] = events_funnel
+
+ORACLE_SQL["events_funnel"] = """
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS n_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM c)
+               AS n_clicked_after_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM p)
+               AS n_purchased_after_click
+"""
