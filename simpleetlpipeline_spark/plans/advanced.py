@@ -744,14 +744,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
     )
-    n_users = events.select("user_id").distinct().count()
-    return views.agg(F.count(F.lit(1)).alias("n_viewed")).crossJoin(
-        clicks.agg(F.count(F.lit(1)).alias("n_clicked_after_view"))
-    ).crossJoin(
-        purchases.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
-    ).select(
-        F.lit(n_users).cast("long").alias("n_users"),
-        "n_viewed", "n_clicked_after_view", "n_purchased_after_click",
+    # all four counts stay IN the plan (single-row aggregates cross-
+    # joined) — no driver-side action at construction time, which the
+    # no-jobs-on-construction plan test enforces for every batch query
+    return (
+        events.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(views.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(clicks.agg(
+            F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(purchases.agg(
+            F.count(F.lit(1)).alias("n_purchased_after_click")))
     )
 
 
