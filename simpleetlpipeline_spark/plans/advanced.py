@@ -782,3 +782,105 @@ ORACLE_SQL["events_funnel"] = """
            (SELECT CAST(count(*) AS BIGINT) FROM p)
                AS n_purchased_after_click
 """
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event, counted as active in each subsequent week offset —
+    the product-analytics retention triangle.
+
+    Shape: first-event aggregate (|users| rows) joined back onto the
+    weekly activity pairs, then one hash aggregate on (cohort_week,
+    week_offset). Distinct (user, week) pairs are reduced BEFORE the
+    join, so the join input is bounded by users x active-weeks, not
+    raw events.
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    # to_date: Spark's date_trunc returns TIMESTAMP while the oracle's
+    # returns DATE — normalize so the schemas compare equal.
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    firsts = (events.select("user_id", week.alias("w"))
+              .groupBy("user_id").agg(F.min("w").alias("cohort_week")))
+    active = (events.select("user_id", week.alias("active_week"))
+              .distinct())
+    return (
+        active.join(firsts, "user_id")
+        .select("cohort_week",
+                (F.datediff("active_week", "cohort_week") / 7)
+                .cast("int").alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + trailing-7-day active users (DAU/WAU) per day.
+
+    Rolling DISTINCT does not decompose into partial aggregates, so
+    the scale-honest form EXPLODES each distinct (user, day) pair
+    into the 7 report days it contributes to, then hash-aggregates —
+    shuffle volume is 7x the distinct pairs (bounded), with no
+    re-scan per window and no holistic state. Report days are
+    restricted to days that actually have events (no dense calendar
+    spine needed).
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    pairs = (events.select("user_id", F.to_date("ts").alias("day"))
+             .distinct())
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"), F.date_add("day", 6))).alias("report_day"))
+    wau = (contrib.distinct()
+           .groupBy("report_day").agg(F.count(F.lit(1)).alias("wau")))
+    return (
+        dau.join(wau, dau.day == wau.report_day)
+        .select("day", "dau", "wau")
+    )
+
+
+QUERIES["events_cohort_retention"] = events_cohort_retention
+QUERIES["events_wau"] = events_wau
+
+ORACLE_SQL["events_cohort_retention"] = """
+    WITH f AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ), a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INT)
+               AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+"""
+
+ORACLE_SQL["events_wau"] = """
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), dau AS (
+        SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY 1
+    ), contrib AS (
+        SELECT DISTINCT user_id,
+               day + CAST(o.x AS INTEGER) AS report_day
+        FROM pairs CROSS JOIN (
+            SELECT unnest(range(0, 7)) AS x) o
+    ), wau AS (
+        SELECT report_day, CAST(count(*) AS BIGINT) AS wau
+        FROM contrib GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w ON w.report_day = d.day
+"""
