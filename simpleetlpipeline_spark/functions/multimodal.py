@@ -319,6 +319,32 @@ def media_feature_extract(spark: SparkSession, sf_dir: str,
     )
 
 
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: canonical item per (media_type, payload
+    md5) with copy count — byte-identical dedup is the first pass of
+    any media ingest (cheap, catches re-uploads/mirrors) before
+    perceptual hashing. One hash aggregate on the 128-bit
+    fingerprint; scale-identical to text dedup_exact.
+    """
+    media = media_table(spark, sf_dir)
+    return (
+        media.groupBy("media_type",
+                      F.md5("payload").alias("payload_md5"))
+        .agg(F.min("media_id").alias("keep_media_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+QUERIES["media_dedup"] = media_dedup
+
+ORACLE_SQL["media_dedup"] = f"""
+    SELECT media_type, md5(text) AS payload_md5,
+           min(media_id) AS keep_media_id,
+           count(*) AS n_copies
+    FROM ({_MEDIA_SQL})
+    GROUP BY 1, 2
+"""
+
 QUERIES["media_resize"] = media_resize
 QUERIES["media_feature_extract"] = media_feature_extract
 
