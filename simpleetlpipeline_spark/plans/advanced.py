@@ -942,3 +942,63 @@ ORACLE_SQL["ship_latency_monthly"] = """
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
 """
+
+
+def supplier_geo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geography dimension rollup: per region, its nation count and
+    the supplier/customer population — the reference-data sanity view
+    over the full region→nation→{supplier, customer} star arm.
+
+    All four inputs are dimensions; every join broadcasts and the
+    final aggregate is |regions| rows. Counting suppliers and
+    customers as separate pre-aggregated branches (then joining)
+    keeps each count exact — a single flattened join would multiply
+    suppliers × customers per nation.
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    region = read_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    supp = (read_table(spark, sf_dir, "supplier")
+            .groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp")))
+    cust = (read_table(spark, sf_dir, "customer")
+            .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust")))
+    per_nation = (
+        nation.join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+        .join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .select("n_regionkey",
+                F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+                F.coalesce("n_cust", F.lit(0)).alias("n_cust"))
+    )
+    return (
+        per_nation.join(F.broadcast(region),
+                        per_nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"),
+             F.sum("n_supp").alias("n_suppliers"),
+             F.sum("n_cust").alias("n_customers"))
+    )
+
+
+QUERIES["supplier_geo_rollup"] = supplier_geo_rollup
+
+ORACLE_SQL["supplier_geo_rollup"] = """
+    WITH s AS (
+        SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1
+    ), c AS (
+        SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1
+    )
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(coalesce(s.n_supp, 0)) AS BIGINT) AS n_suppliers,
+           CAST(sum(coalesce(c.n_cust, 0)) AS BIGINT) AS n_customers
+    FROM nation n
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    LEFT JOIN s ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN c ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+"""
