@@ -20,6 +20,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+#: Stdout-line byte budget: the driver captures only the last ~2000
+#: bytes of output, so the final JSON line must fit inside that
+#: window with margin (round 2's 66-query line overran it and the
+#: driver recorded "parsed": null).
+LINE_BUDGET = 1900
+
+
+def bounded_line(result: dict, budget: int = LINE_BUDGET) -> str:
+    """Compact single-line JSON for `result`, guaranteed <= budget
+    bytes: per-query timings round to 2dp; if the line still overruns,
+    the cheapest queries are dropped (count recorded as
+    queries_omitted) — the full-precision dict is always in
+    BENCH_FULL.json."""
+    timings = result["queries"]
+    compact = dict(result)
+    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    by_cost = sorted(timings, key=timings.get)
+    omitted = 0
+    while len(line) > budget and omitted < len(by_cost):
+        omitted += 1
+        compact["queries"] = {k: round(v, 2) for k, v in timings.items()
+                              if k not in set(by_cost[:omitted])}
+        compact["queries_omitted"] = omitted
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from simpleetlpipeline_spark.plans import catalog
@@ -89,23 +117,7 @@ def main() -> None:
         json.dump(result, fh, indent=1)
         fh.write("\n")
 
-    compact = dict(result)
-    compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    line = json.dumps(compact, separators=(",", ":"))
-    budget = 1900
-    if len(line) > budget:
-        # Drop the cheapest queries from the stdout line until it fits;
-        # the full dict is always in BENCH_FULL.json.
-        by_cost = sorted(timings, key=timings.get)
-        omitted = 0
-        while len(line) > budget and omitted < len(by_cost):
-            omitted += 1
-            kept = {k: round(v, 2) for k, v in timings.items()
-                    if k not in set(by_cost[:omitted])}
-            compact["queries"] = kept
-            compact["queries_omitted"] = omitted
-            line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(bounded_line(result))
     # End-of-run cache governance: release every registry-tracked
     # persist (cross-query reuse caches from the dedup/CC family) so
     # a long-lived session embedding this harness ends storage-clean.
