@@ -298,7 +298,8 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
 
 
 def write_table_version(df: DataFrame, table_root: str,
-                        keep_versions: int = 2) -> str:
+                        keep_versions: int = 2,
+                        commit_meta: dict | None = None) -> str:
     """Atomic table publish via version-directory + pointer swap.
 
     A plain .mode('overwrite') deletes the old files before the new
@@ -312,8 +313,18 @@ def write_table_version(df: DataFrame, table_root: str,
     only ever see complete snapshots; previous versions remain
     readable (time travel) until pruned down to `keep_versions`.
 
+    commit_meta, when given, is written as `_META.json` INSIDE the
+    version directory BEFORE the pointer swap — so it commits
+    atomically with the data (underscore files are invisible to
+    Spark's parquet reader). This is how a writer makes retried
+    commits idempotent: stamp the batch/job id into the snapshot and
+    check the current snapshot's stamp before re-applying (see
+    streaming.sinks.streaming_totals_to_table).
+
     Returns the committed version directory path.
     """
+    import json
+
     os.makedirs(table_root, exist_ok=True)
     existing = sorted(
         int(d[2:]) for d in os.listdir(table_root)
@@ -321,6 +332,9 @@ def write_table_version(df: DataFrame, table_root: str,
     version = (existing[-1] + 1) if existing else 1
     vdir = os.path.join(table_root, f"v={version}")
     df.write.mode("errorifexists").parquet(vdir)
+    if commit_meta is not None:
+        with open(os.path.join(vdir, "_META.json"), "w") as fh:
+            json.dump(commit_meta, fh)
 
     pointer, tmp = (os.path.join(table_root, n)
                     for n in ("_CURRENT", "_CURRENT.tmp"))
@@ -344,6 +358,23 @@ def read_table_version(spark: SparkSession, table_root: str,
     else:
         vname = f"v={version}"
     return spark.read.parquet(os.path.join(table_root, vname))
+
+
+def read_version_meta(table_root: str) -> dict | None:
+    """The commit_meta stamped into the CURRENT version, or None if
+    the table doesn't exist / carries no stamp."""
+    import json
+
+    pointer = os.path.join(table_root, "_CURRENT")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as fh:
+        vname = fh.read().strip()
+    meta_path = os.path.join(table_root, vname, "_META.json")
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        return json.load(fh)
 
 
 def merge_upsert(spark: SparkSession, table_root: str, updates: DataFrame,

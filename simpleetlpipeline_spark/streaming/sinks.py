@@ -11,10 +11,11 @@ job feeds a warehouse table that batch queries then read:
 - foreachBatch merges the increments into the current table snapshot
   (full-outer on the key, sums added) and commits a NEW version via
   the atomic _CURRENT pointer swap — readers never see a half-merged
-  table, and a failed batch leaves the previous version intact
-  (foreachBatch retries re-run the merge from the last committed
-  snapshot; with availableNow + checkpointing the batch is not
-  re-fed after success).
+  table, and a failed batch leaves the previous version intact.
+- foreachBatch delivery is at-least-once, so the applied batch id is
+  stamped into each snapshot commit (_META.json, atomic with the
+  pointer swap): a retried batch whose commit already landed is
+  skipped, never double-applied.
 
 Scale: the merge shuffles |keys| + |batch keys| rows, not the
 stream; the versioned rewrite is the honest cost of format-free
@@ -29,7 +30,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simpleetlpipeline_spark.io import read_table_version, write_table_version
+from simpleetlpipeline_spark.io import (
+    read_table_version,
+    read_version_meta,
+    write_table_version,
+)
 from simpleetlpipeline_spark.streaming.windows import read_events_stream
 
 
@@ -44,6 +49,15 @@ def streaming_totals_to_table(spark: SparkSession, sf_dir: str,
     table_root = table_root or tempfile.mkdtemp(prefix="stream_totals_")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotence under foreachBatch's at-least-once retries: the
+        # applied batch id is stamped INSIDE each snapshot commit
+        # (write_table_version commit_meta), so a retry of a batch
+        # whose commit already landed — crash between the pointer swap
+        # and the streaming checkpoint — is detected and skipped
+        # instead of double-adding the increments.
+        meta = read_version_meta(table_root)
+        if meta is not None and meta.get("batch_id", -1) >= batch_id:
+            return
         inc = (
             batch_df.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -67,7 +81,8 @@ def streaming_totals_to_table(spark: SparkSession, sf_dir: str,
             )
         else:
             merged = inc
-        write_table_version(merged, table_root)
+        write_table_version(merged, table_root,
+                            commit_meta={"batch_id": batch_id})
 
     q = (
         read_events_stream(spark, sf_dir)

@@ -101,3 +101,21 @@ def test_compact_table_consolidates_small_files(spark, tmp_path):
     assert out.count() == 120
     files_after = glob.glob(src + "_compacted/v=1/*.parquet")
     assert len(files_after) == 1
+
+
+def test_streaming_sink_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running an already-committed batch (foreachBatch's
+    at-least-once retry after a crash between snapshot commit and
+    checkpoint write) must not double-apply the increments."""
+    from simpleetlpipeline_spark.io import read_version_meta
+
+    root = str(tmp_path / "t")
+    out1 = streaming_totals_to_table(spark, sf_dir, root).collect()
+    assert read_version_meta(root) is not None
+    # simulate the retry: replay the same stream with a FRESH
+    # checkpoint (so the batch re-fires with the same batch_id 0)
+    # against the already-committed table
+    import shutil
+    shutil.rmtree(root + "/_chk")
+    out2 = streaming_totals_to_table(spark, sf_dir, root).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
