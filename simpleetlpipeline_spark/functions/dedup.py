@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.cache import track
@@ -270,14 +270,115 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     )
 
 
-def band_candidates(sig: DataFrame) -> DataFrame:
+#: Bucket-membership cap for the seeded-hash LSH families (MinHash,
+#: SimHash; the SRP embedding families carry their own constant).
+#: Band-bucket keys are uniformly distributed over DISTINCT contents,
+#: but a near-identical flood (thousands of slightly-varied copies of
+#: one template — exactly what dedup exists to find) lands in ONE
+#: (band, bucket) key and the candidate self-join would emit C(n, 2)
+#: pairs on one reducer. Capping membership at the BUCKET_CAP smallest
+#: ids bounds the fan-out at C(BUCKET_CAP, 2) per bucket — the analog
+#: of DF_CAP stop-shingles for the exact path. Recall trade-off:
+#: members beyond the cap lose candidacy IN THAT BUCKET (they still
+#: get MINHASH_BANDS other chances, and the capped survivor set is
+#: identical across bands by construction, so a capped mega-cluster
+#: still surfaces as a C(cap, 2) core that connected components can
+#: grow from). EXACT duplicates never reach this cap: they are
+#: collapsed to one representative per distinct text upstream
+#: (dedup_minhash_lsh / dedup_simhash) and re-expanded as star pairs.
+BUCKET_CAP = 100
+
+
+def cap_bucket_members(df: DataFrame, key_cols: list,
+                       id_col: str, cap: int) -> DataFrame:
+    """Keep at most `cap` members per bucket key — the `cap` smallest
+    ids, so the survivor set is deterministic across runs and
+    partitionings (no sampling, no hash tie-breaks).
+
+    row_number over (bucket key, order by id) rather than a grouped
+    collect_list+slice: the window sorter streams and SPILLS a hot
+    bucket instead of materializing an unbounded array in one
+    aggregation buffer, and the window's hash partitioning on the
+    bucket key is exactly the partitioning the downstream candidate
+    self-join needs, so the exchange is reused, not added.
+    """
+    if cap is None:
+        return df
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def collapse_exact_groups(df: DataFrame, id_col: str,
+                          content_col: str) -> DataFrame:
+    """One representative row per distinct content: (id, content,
+    fp, n_copies) where id is the group MINIMUM.
+
+    The exact-duplicate collapse that keeps LSH linear on
+    duplicate-heavy corpora: identical contents have identical
+    signatures, so without this every copy of a hot document lands in
+    the same (band, bucket) key in EVERY band and the candidate
+    self-join goes quadratic in the copy count. Grouping on the
+    64-bit content fingerprint is one hash aggregate with map-side
+    combine (duplicate-heavy corpora collapse before the shuffle);
+    min(struct(id, content)) keeps the representative's id and
+    content paired even under a 2^-64 fingerprint collision.
+    """
+    return (
+        df.groupBy(F.xxhash64(content_col).alias("fp"))
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col(content_col))).alias("rep"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col(f"rep.{id_col}").alias(id_col),
+            F.col(f"rep.{content_col}").alias(content_col),
+            "fp", "n_copies",
+        )
+    )
+
+
+def star_pairs(df: DataFrame, groups: DataFrame, id_col: str,
+               content_col: str) -> DataFrame:
+    """(a_id, b_id) star edges for every exact-duplicate group:
+    group-min representative -> each other member.
+
+    The star replaces the clique: a group of n exact copies emits
+    n - 1 edges instead of C(n, 2), and connected components over
+    star edges yields IDENTICAL clusters (the representative is
+    reachable from every member). Cross-group near-dup edges connect
+    representatives, so the closure over (star + representative
+    pairs) equals the closure over all-pairs. The join is an
+    equi-join on the 64-bit fingerprint; only groups with n_copies>1
+    participate, so on a mostly-distinct corpus the build side is
+    tiny (AQE broadcasts it)."""
+    dup_reps = (groups.filter(F.col("n_copies") > 1)
+                .select("fp", F.col(id_col).alias("a_id")))
+    return (
+        df.select(F.xxhash64(content_col).alias("fp"),
+                  F.col(id_col).alias("b_id"))
+        .join(dup_reps, "fp")
+        .filter(F.col("b_id") != F.col("a_id"))
+        .select("a_id", "b_id")
+    )
+
+
+def band_candidates(sig: DataFrame,
+                    bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Candidate pairs from banded LSH: explode each signature into
-    (band, bucket) keys, self-equi-join on them, distinct pairs.
+    (band, bucket) keys, cap bucket membership, self-equi-join on the
+    keys, distinct pairs.
 
     The self-join is the operation that keeps LSH linear: it MUST
     plan as an equi-join shuffled on (band, bucket) — 64-bit hash
     keys, uniformly distributed — never a cartesian/nested-loop over
-    doc pairs (plan-shape guarded in test_plans.py).
+    doc pairs (plan-shape guarded in test_plans.py). The membership
+    cap (see BUCKET_CAP) bounds the per-bucket fan-out at
+    C(bucket_cap, 2) so a near-identical flood cannot go quadratic
+    on one reducer.
     """
     bands = sig.select(
         "doc_id",
@@ -292,6 +393,8 @@ def band_candidates(sig: DataFrame) -> DataFrame:
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
+    bands = cap_bucket_members(bands, ["band", "bucket"], "doc_id",
+                               bucket_cap)
     left = bands.select(F.col("doc_id").alias("a_id"), "band", "bucket")
     right = bands.select(F.col("doc_id").alias("b_id"), "band", "bucket")
     return (
@@ -306,22 +409,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
                       threshold: float = 0.15) -> DataFrame:
     """MinHash + banded LSH near-dup pipeline with exact verify.
 
-    shingle -> 32-hash minhash signature -> 8 band keys -> self-join
-    on (band index, band hash) -> distinct candidate pairs -> exact
-    Jaccard on candidates only -> filter by threshold.
+    exact-fingerprint collapse -> shingle -> 32-hash minhash
+    signature -> 8 band keys -> capped self-join on (band index, band
+    hash) -> distinct candidate pairs -> exact Jaccard on candidates
+    only -> filter by threshold -> union the exact-duplicate stars.
 
-    Scale: the only wide ops are the band-bucket self-join (shuffle
-    keyed by 64-bit band hash — uniformly distributed, no skew) and
-    the candidate verify join; nothing is quadratic in corpus size.
+    Duplicate-skew safety (the 100 TB story): exact copies are
+    collapsed to one representative per distinct text BEFORE any
+    signature work, so a corpus that is 90% copies of hot documents
+    shrinks 10x map-side and cannot flood a band bucket; within-group
+    pairs come back as star edges (group min -> member, jaccard 1.0
+    — texts are identical, so this IS the exact value), which keeps
+    the connected-components closure (dedup_clusters) identical to
+    the clique while emitting n-1 rows per group instead of C(n, 2).
+    Residual near-identical (non-exact) skew is bounded by the
+    BUCKET_CAP membership cap inside band_candidates. The remaining
+    wide ops — fingerprint collapse, band self-join, candidate verify
+    — are all linear in DISTINCT corpus size.
     Deterministic: seeded xxhash64, no sampled projection matrices.
     """
     ensure_session_conf(spark)
     minhash = minhash_from_gram_hashes_udf()
+    raw = fan_out(read_table(spark, sf_dir, "documents"))
+    groups = collapse_exact_groups(raw, "doc_id", "text")
+    star = star_pairs(raw, groups, "doc_id", "text").withColumn(
+        "jaccard", F.lit(1.0))
     # The shingled view is read three times (signature build + both
     # sides of the exact verify); persist it so the gram computation
     # runs once. MEMORY_AND_DISK: gram arrays spill instead of OOM at
     # large corpus sizes.
-    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+    docs = groups.select(
         "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"))
     docs = docs.persist()
     sig = docs.select("doc_id", "grams", minhash("grams").alias("sig"))
@@ -346,6 +463,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
         .withColumn("jaccard", F.floor(inter / union * 10000) / 10000)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+        .unionByName(star)
         .persist()
     )
     pairs.count()
@@ -359,12 +477,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     equality of one of four 16-bit bands (any pair within Hamming
     distance 3 shares a band by pigeonhole; wider distances are
     caught probabilistically), verified by exact popcount distance.
+
+    Duplicate-skew safety mirrors dedup_minhash_lsh: exact copies
+    collapse to one representative per distinct text before hashing
+    (identical texts share all four bands, so an uncollapsed hot
+    document would go quadratic in its copy count), re-expanded as
+    star edges with hamming 0; residual near-identical skew is
+    bounded by the BUCKET_CAP band-membership cap. The groups
+    aggregate feeds both the simhash pipeline and the star join —
+    one exchange, reused by both branches of the union.
     """
     ensure_session_conf(spark)
     from simpleetlpipeline_spark.functions.text import tokens_col
 
     simhash = simhash_from_hashes_udf()
-    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+    raw = fan_out(read_table(spark, sf_dir, "documents"))
+    groups = collapse_exact_groups(raw, "doc_id", "text")
+    star = star_pairs(raw, groups, "doc_id", "text").withColumn(
+        "hamming", F.lit(0))
+    docs = groups.select(
         "doc_id",
         F.transform(tokens_col(F.col("text")),
                     lambda t: F.xxhash64(t)).alias("hs"),
@@ -381,6 +512,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
             for b in range(4)
         ])).alias("bb"),
     ).select("doc_id", "sh", "bb.band", "bb.bucket")
+    bands = cap_bucket_members(bands, ["band", "bucket"], "doc_id",
+                               BUCKET_CAP)
 
     left = bands.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"),
                         "band", "bucket")
@@ -397,6 +530,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
         .distinct()
+        .unionByName(star.select("a_id", "b_id",
+                                 F.col("hamming").cast("int")))
     )
 
 
@@ -647,10 +782,17 @@ def dedup_pairs_all(spark: SparkSession, sf_dir: str, ngram: int = 3,
     # Shared persisted posting stream (see exploded_grams) — also the
     # cross-query cache dedup_ngram_jaccard deliberately skips.
     ex = exploded_grams(spark, sf_dir, ngram)
+    # df-filter BEFORE the list build: a window count over the gram
+    # key streams through a spillable sorter, so a hot stop-shingle
+    # costs disk, never an unbounded collect_list aggregation buffer;
+    # the groupBy then reuses the window's hash partitioning (no
+    # extra exchange) and only ever buffers lists <= df_cap.
     kg = track(
-        ex.groupBy("g")
+        ex.withColumn("__df",
+                      F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("__df") <= df_cap)
+        .groupBy("g")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") <= df_cap)
         .persist()
     )
     sizes = (kg.select(F.explode("ids").alias("doc_id"))

@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from simpleetlpipeline_spark.functions.dedup import (
+    cap_bucket_members, collapse_exact_groups, star_pairs)
 from simpleetlpipeline_spark.io import fan_out, read_table
 from simpleetlpipeline_spark.session import ensure_session_conf
 
@@ -50,6 +52,18 @@ N_SALTS = 32           # partial-top-k fan-out (scale with corpus size)
 #: instead of letting the job OOM mid-stage. Same reasoning as
 #: connected_components.driver_threshold.
 EXACT_NEARDUP_MAX_BYTES = 256 << 20
+
+#: Bucket-membership cap for the SRP band joins (ann_lsh_topk,
+#: embedding_neardup_lsh) — the embedding-space analog of
+#: dedup.BUCKET_CAP. Sign-pattern buckets are uniform over DISTINCT
+#: directions, but an embedding corpus with a hot near-identical
+#: cluster (re-encoded copies of one asset) puts every copy in the
+#: same 4-bit-band bucket and the candidate join goes quadratic in
+#: the cluster size. Capping at the ANN_BUCKET_CAP smallest vec_ids
+#: (deterministic; FAISS-style bounded visit list) bounds per-bucket
+#: fan-out; exact-identical vectors never reach the cap in the
+#: neardup path — they collapse to one representative upstream.
+ANN_BUCKET_CAP = 1000
 
 
 def _table_bytes(sf_dir: str, name: str) -> int:
@@ -193,15 +207,20 @@ def _lsh_bucket_udf(planes: int = LSH_PLANES, bands: int = LSH_BANDS,
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str,
-                 n_probes: int = N_PROBES, k: int = TOP_K) -> DataFrame:
+                 n_probes: int = N_PROBES, k: int = TOP_K,
+                 bucket_cap: int = ANN_BUCKET_CAP) -> DataFrame:
     """LSH-bucketed ANN: probe and corpus vectors meet only when they
     share a (band, bucket) key, then exact cosine re-ranks candidates.
 
     The scale path: candidate generation is an equi-join on bucket
     keys (uniformly distributed sign patterns), so shuffle volume is
     ~bands x corpus rows regardless of probe count — no quadratic
-    stage anywhere. Recall tuned by (planes, bands); verified against
-    ann_topk in tests/test_similarity.py.
+    stage anywhere; bucket membership is capped at bucket_cap (see
+    ANN_BUCKET_CAP) so a hot near-identical cluster cannot flood one
+    bucket's candidate fan-out. The cap keeps the SMALLEST vec_ids,
+    so probe rows (vec_id < n_probes) are never evicted. Recall
+    tuned by (planes, bands); verified against ann_topk in
+    tests/test_similarity.py.
     """
     ensure_session_conf(spark)
     vecs = _vectors(spark, sf_dir)
@@ -212,6 +231,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
     # vector crosses the wire once, keyed by its own id.
     bands = vecs.select(
         "vec_id", F.explode(_lsh_bucket_udf()(F.col("e"))).alias("bb"))
+    bands = cap_bucket_members(bands, ["bb"], "vec_id", bucket_cap)
     probe_bands = (bands.filter(F.col("vec_id") < n_probes)
                    .select(F.col("vec_id").alias("a_id"), "bb"))
     cand = (
@@ -281,11 +301,22 @@ def embedding_neardup(spark: SparkSession, sf_dir: str,
 
 
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
-                          threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
+                          threshold: float = NEARDUP_THRESHOLD,
+                          bucket_cap: int = ANN_BUCKET_CAP) -> DataFrame:
     """LSH-blocked near-dup: pairs meet only in shared (band, bucket)
     groups; exact cosine verifies candidates. Linear shuffle; the
     self-join fan-out per bucket is corpus/2^bits_per_band on random
     data. Recall vs the exact form is unit-tested.
+
+    Duplicate-skew safety mirrors dedup_minhash_lsh: bit-identical
+    vectors collapse to one representative per distinct embedding
+    before the SRP kernel (identical vectors share every band, so a
+    hot re-encoded asset would go quadratic in its copy count),
+    re-expanded as star edges (group min -> member) with
+    cosine_sim 1.0 — the mathematically exact value for identical
+    vectors, bypassing the 4dp-floored float fold. Residual
+    near-identical (non-bit-identical) skew is bounded by the
+    bucket_cap membership cap.
 
     The band frame is persisted (cache.track-governed): the
     self-join consumes it twice, and without the cache each side
@@ -298,10 +329,18 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     ensure_session_conf(spark)
     from simpleetlpipeline_spark.cache import track
 
-    vecs = _vectors(spark, sf_dir)
+    raw = fan_out(read_table(spark, sf_dir, "embeddings"))
+    groups = collapse_exact_groups(raw, "vec_id", "embedding")
+    star = star_pairs(raw, groups, "vec_id", "embedding").withColumn(
+        "cosine_sim", F.lit(1.0))
+    vecs = (groups
+            .select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
+            .withColumn("nrm", l2_norm(F.col("e"))))
     bands = track(
-        vecs.select("vec_id",
-                    F.explode(_lsh_bucket_udf()(F.col("e"))).alias("bb"))
+        cap_bucket_members(
+            vecs.select("vec_id",
+                        F.explode(_lsh_bucket_udf()(F.col("e"))).alias("bb")),
+            ["bb"], "vec_id", bucket_cap)
         .persist())
     cand = (
         bands.select(F.col("vec_id").alias("a_id"), "bb")
@@ -328,6 +367,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
                 cosine(F.col("a_e"), F.col("b_e"),
                        F.col("a_nrm"), F.col("b_nrm")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+        .unionByName(star)
     )
 
 
@@ -585,7 +625,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = as_double_vec(F.col("embedding"))
     absmax = F.array_max(F.transform(e, F.abs))
     scale = absmax / QUANT_LEVELS
-    q = F.transform(e, lambda x: F.floor(x / scale).cast("long"))
+    # Degenerate all-zero vector: scale would be 0 and 0.0/0.0 is
+    # engine-dependent (IEEE NaN vs NULL), so divide by a guarded
+    # scale instead — every component is 0, so q_i = floor(0/1) = 0
+    # in both engines by construction. Same guard in the oracle.
+    safe_scale = F.when(absmax == 0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(e, lambda x: F.floor(x / safe_scale).cast("long"))
     return emb.select(
         "vec_id",
         (F.floor(scale * 1000000) / 1000000).alias("scale6"),
@@ -610,7 +655,9 @@ ORACLE_SQL["embedding_quantize"] = f"""
         FROM v
     ), q AS (
         SELECT vec_id, scale,
-               list_transform(e, x -> CAST(floor(x / scale) AS BIGINT)) AS qv
+               list_transform(e, x -> CAST(floor(
+                   x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+               ) AS BIGINT)) AS qv
         FROM s
     )
     SELECT vec_id,

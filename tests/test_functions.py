@@ -111,6 +111,63 @@ def test_minhash_lsh_finds_exact_dups(spark):
     assert pairs.get((0, 100)) == 1.0
 
 
+def test_minhash_lsh_duplicate_heavy_star_not_clique(spark):
+    """A duplicate-heavy corpus (the workload dedup exists for) must
+    emit O(n) star edges for an n-copy group, never the C(n, 2)
+    clique — the quadratic-blowup guard for hot documents. The star
+    is rooted at the group-min doc and carries exact jaccard 1.0,
+    and connected components over it equals the clique's closure."""
+    from simpleetlpipeline_spark.functions import dedup as D
+    import tempfile, os
+    n = 2000
+    rows = [(i, "the exact same duplicated document body repeated")
+            for i in range(n)]
+    rows += [(10_000 + i, f"totally distinct filler item {i} about "
+                          f"topic{i} marker{i * 7} end{i * 13}")
+             for i in range(20)]
+    with tempfile.TemporaryDirectory() as td:
+        _docs(spark, rows).write.parquet(os.path.join(td, "documents.parquet"))
+        out = D.dedup_minhash_lsh(spark, td, threshold=0.9).collect()
+    grp = [r for r in out if r["b_id"] < 10_000]
+    assert len(grp) == n - 1, "n-copy group must emit n-1 star edges"
+    assert all(r["a_id"] == 0 and r["jaccard"] == 1.0 for r in grp)
+    assert len(out) < n + 50, "no quadratic candidate blow-up"
+
+
+def test_band_candidates_bucket_cap_bounds_hot_bucket(spark):
+    """Identical signatures all land in one (band, bucket) key per
+    band; membership capping must bound the self-join fan-out at
+    C(BUCKET_CAP, 2) instead of C(n, 2)."""
+    from simpleetlpipeline_spark.functions.dedup import (
+        BUCKET_CAP, band_candidates)
+    n = 3 * BUCKET_CAP
+    sig = spark.createDataFrame(
+        [(i, list(range(32))) for i in range(n)],
+        "doc_id long, sig array<long>")
+    got = band_candidates(sig).count()
+    cap_pairs = BUCKET_CAP * (BUCKET_CAP - 1) // 2
+    assert got == cap_pairs, f"expected C(cap,2)={cap_pairs}, got {got}"
+
+
+def test_simhash_duplicate_heavy_star(spark):
+    """Exact copies must collapse before band blocking and come back
+    as hamming-0 star edges on the group minimum."""
+    from simpleetlpipeline_spark.functions import dedup as D
+    import tempfile, os
+    n = 500
+    rows = [(i, "same simhash heavy duplicate text body here")
+            for i in range(n)]
+    rows += [(10_000 + i, f"unrelated piece {i} with words{i * 3} "
+                          f"suffix{i * 11}") for i in range(10)]
+    with tempfile.TemporaryDirectory() as td:
+        _docs(spark, rows).write.parquet(os.path.join(td, "documents.parquet"))
+        out = D.dedup_simhash(spark, td).collect()
+    grp = [r for r in out
+           if r["a_id"] < 10_000 and r["b_id"] < 10_000]
+    assert len(grp) == n - 1
+    assert all(r["a_id"] == 0 and r["hamming"] == 0 for r in grp)
+
+
 def test_lang_id_detects_markers(spark, sf_dir):
     out = TEXT_QUERIES["lang_id"](spark, sf_dir)
     dist = {r["detected_lang"] for r in out.collect()}

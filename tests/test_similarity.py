@@ -96,6 +96,43 @@ def test_label_centroids_shape(spark, sf_dir):
     assert all(r["n_vectors"] > 0 for r in rows)
 
 
+def test_embedding_neardup_lsh_duplicate_heavy_star(spark):
+    """Bit-identical vectors must collapse before the SRP band join
+    and come back as cosine-1.0 star edges on the group minimum —
+    O(n) rows for an n-copy group, not C(n, 2)."""
+    rng = random.Random(7)
+    n = 300
+    hot = [float(rng.gauss(0, 1)) for _ in range(64)]
+    rows = [(i, hot, 0) for i in range(n)]
+    rows += [(10_000 + i, [float(rng.gauss(0, 1)) for _ in range(64)], 1)
+             for i in range(20)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = S.embedding_neardup_lsh(spark, td, threshold=0.9).collect()
+    grp = [r for r in out if r["a_id"] < 10_000 and r["b_id"] < 10_000]
+    assert len(grp) == n - 1
+    assert all(r["a_id"] == 0 and r["cosine_sim"] == 1.0 for r in grp)
+
+
+def test_embedding_quantize_zero_vector_guard(spark):
+    """An all-zero vector must quantize to all-zero digits (guarded
+    divide), not NaN/NULL — and agree with the oracle's CASE guard."""
+    rows = [(0, [0.0] * 64, 0),
+            (1, [1.0, -2.0] + [0.0] * 62, 0)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = {r["vec_id"]: r
+               for r in S.embedding_quantize(spark, td).collect()}
+    assert out[0]["scale6"] == 0.0
+    assert out[0]["q_sum"] == 0
+    assert out[0]["q_min"] == 0 and out[0]["q_max"] == 0
+    assert out[1]["q_min"] == -127  # the regular path still scales
+
+
 def test_embedding_neardup_guard_refuses_oversized_corpus(spark, sf_dir):
     """The exact form broadcasts the whole corpus; above max_bytes it
     must fail fast with the scale-path alternative, not OOM."""
