@@ -547,9 +547,14 @@ def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one token-count aggregate (vocabulary-sized, map-side
     combined), joined back onto the token stream by token (hash join;
     at 100 TB the unigram table is still tiny relative to the corpus
-    and typically broadcast), then a per-doc mean. Floored to 4dp in
-    both engines; ln() agrees to the ulp and the mean divides by an
-    exact integer count.
+    and typically broadcast), then a per-doc mean. Bit-stability:
+    each token's ln() is floored to an int64 of 1e-7 units BEFORE the
+    per-doc sum, so the aggregate is an integer sum — exact and
+    partial-merge-order-independent, like the repo's other
+    hash-stable aggregates — instead of a float fold whose 4dp floor
+    could flip at a boundary under a different partitioning. ln()
+    itself agrees across engines to the ulp, and floor (unlike
+    round) has no tie-break to diverge on.
     """
     ensure_session_conf(spark)
     from simpleetlpipeline_spark.io import fan_out
@@ -564,14 +569,15 @@ def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.join(counts, "token")
         .crossJoin(F.broadcast(total))
         .select("doc_id",
-                F.log(F.col("c") / F.col("__total")).alias("lp"))
+                F.floor(F.log(F.col("c") / F.col("__total")) * 1e7)
+                .cast("long").alias("lp7"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (F.floor(F.sum("lp") / F.count(F.lit(1)) * 10000) / 10000)
-            .alias("mean_logprob"),
+            (F.floor(F.sum("lp7") / 1e7 / F.count(F.lit(1)) * 10000)
+             / 10000).alias("mean_logprob"),
         )
     )
 
@@ -592,7 +598,8 @@ ORACLE_SQL["doc_logprob"] = """
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           floor(sum(ln(c * 1.0 / tot)) / count(*) * 10000) / 10000
+           floor(sum(CAST(floor(ln(c * 1.0 / tot) * 1e7) AS BIGINT))
+                 / 1e7 / count(*) * 10000) / 10000
                AS mean_logprob
     FROM t JOIN counts USING (token) CROSS JOIN total
     GROUP BY doc_id

@@ -84,7 +84,12 @@ def read_csv_with_rejects(spark: SparkSession, path: str,
     with_corrupt = StructType(
         [*schema.fields,
          StructField("_corrupt_record", StringType(), True)])
-    parsed = (
+    from simpleetlpipeline_spark.cache import track
+
+    # track(): the cache must outlive this function (both returned
+    # frames read it lazily), so the registry owns its release —
+    # repeated ingests no longer pin executor storage for the session.
+    parsed = track(
         spark.read.schema(with_corrupt)
         .option("header", True)
         .option("mode", "PERMISSIVE")

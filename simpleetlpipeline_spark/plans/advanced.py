@@ -581,9 +581,13 @@ def events_value_histogram(spark: SparkSession, sf_dir: str,
     rng = (events.groupBy("event_type")
            .agg(F.min("value").alias("__lo"), F.max("value").alias("__hi")))
     width = (F.col("__hi") - F.col("__lo")) / n_buckets
+    # Constant-valued type: width would be 0 and 0.0/0.0 is
+    # engine-dependent (NaN vs NULL); a guarded width puts every row
+    # in bucket 0 in both engines by construction (v - lo = 0).
+    safe_width = F.when(width == 0, F.lit(1.0)).otherwise(width)
     bucket = F.least(
         F.lit(n_buckets - 1),
-        F.floor((F.col("value") - F.col("__lo")) / width).cast("int"))
+        F.floor((F.col("value") - F.col("__lo")) / safe_width).cast("int"))
     return (
         events.join(F.broadcast(rng), "event_type")
         .select("event_type", bucket.alias("bucket"), "value")
@@ -604,7 +608,9 @@ ORACLE_SQL["events_value_histogram"] = f"""
         SELECT e.event_type,
                CAST(least({HIST_BUCKETS} - 1,
                     floor((e.value - r.lo)
-                          / ((r.hi - r.lo) / {HIST_BUCKETS}))) AS INTEGER)
+                          / (CASE WHEN r.hi = r.lo THEN 1.0
+                             ELSE (r.hi - r.lo) / {HIST_BUCKETS} END)))
+                    AS INTEGER)
                    AS bucket,
                e.value
         FROM events e JOIN r USING (event_type)

@@ -55,6 +55,17 @@ def streaming_totals_to_table(spark: SparkSession, sf_dir: str,
         # whose commit already landed — crash between the pointer swap
         # and the streaming checkpoint — is detected and skipped
         # instead of double-adding the increments.
+        #
+        # Scope of the guard: it assumes the CHECKPOINTED batch plan —
+        # batch N retried is the same batch N (Structured Streaming's
+        # contract when the checkpoint directory is kept). Starting
+        # over with a FRESH checkpoint against an existing table_root
+        # renumbers batches from 0 with possibly different contents;
+        # the stamp cannot distinguish that and would skip/misapply.
+        # Restart-from-scratch therefore requires a fresh table_root
+        # (the default tmpdir path does this), matching the
+        # checkpoint-and-sink-move-together rule of every
+        # transactional foreachBatch sink.
         meta = read_version_meta(table_root)
         if meta is not None and meta.get("batch_id", -1) >= batch_id:
             return

@@ -131,3 +131,26 @@ def test_fuzzy_neighbors_symmetric_and_blocked(spark, sf_dir):
             assert 0 <= r["best_lev"] <= 2
         else:
             assert r["best_lev"] == -1 and r["nearest_id"] == -1
+
+
+def test_events_value_histogram_constant_type_guard(spark, tmp_path):
+    """A constant-valued event type (hi == lo, width 0) must land
+    every row in bucket 0 via the guarded width — not NaN/NULL."""
+    import datetime
+    import os
+
+    from simpleetlpipeline_spark.plans.advanced import events_value_histogram
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = ([(i, ts, 1, "flat", 5.0, "{}") for i in range(10)]
+            + [(100 + i, ts, 1, "vary", float(i), "{}") for i in range(10)])
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    out = events_value_histogram(spark, str(tmp_path)).collect()
+    flat = [r for r in out if r["event_type"] == "flat"]
+    assert len(flat) == 1
+    assert flat[0]["bucket"] == 0 and flat[0]["n_events"] == 10
+    assert flat[0]["bucket_min"] == 5.0 and flat[0]["bucket_max"] == 5.0
+    assert {r["bucket"] for r in out if r["event_type"] == "vary"} != {0}
