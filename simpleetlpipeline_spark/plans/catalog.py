@@ -46,32 +46,40 @@ QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # rows-only (driver loop)
 # The driver's correctness gate checks a bounded PREFIX of this dict
 # (it stops at entry 50), so ordering is part of the contract.
 # Three tiers:
-#   1. GATE_PREFIX — the 50 oracled entries the round-2 gate verified
-#      fully green (rows+schema+hash), pinned in that order so the
-#      bounded window keeps checking a proven-green set instead of
-#      churning whenever a new oracled query lands.
-#   2. remaining oracled entries (new this round) — verified by the
-#      local gate replica (tools/check_oracle.py) and pytest.
+#   1. GATE_PREFIX — 50 oracled entries pinned so the bounded window
+#      checks a deliberate set instead of churning whenever a new
+#      oracled query lands. Round-4 rotation: the 10 cheapest entries
+#      that had been driver-verified green in BOTH round 2 and round
+#      3 (segment_rollup, order_consistency, transform_customers,
+#      transform_parts, events_user_reach, token_count_bpe, lang_id,
+#      doc_fingerprint, corpus_mix_sample, pii_redact) moved to tier
+#      2, and the 10 float-stable round-3 queries that had only ever
+#      been verified by the local replica took their slots — so every
+#      catalog surface eventually accrues driver-grade evidence.
+#   2. remaining oracled entries — verified by the local gate replica
+#      (tools/check_oracle.py at sf0.01 and sf0.1) and pytest; the
+#      rotated-out tier-1 veterans live here with two rounds of
+#      driver-grade history behind them.
 #   3. rows-only family (seeded-hash LSH/SRP candidates, stateful
 #      streaming, the driver-loop ETL run) — covered by pytest
 #      (planted-cluster structure tests, recall-vs-exact tests).
 GATE_PREFIX = (
-    "top_products", "monthly_sales", "segment_rollup", "customer_rollup",
-    "orphan_lineitems", "order_consistency", "transform_customers",
-    "transform_parts", "quality_profile", "validation_rules",
+    "top_products", "monthly_sales", "pricing_summary", "customer_rollup",
+    "orphan_lineitems", "supplier_geo_rollup", "ship_latency_monthly",
+    "events_funnel", "quality_profile", "validation_rules",
     "events_hourly", "events_recent_24h", "events_sessionization",
     "sql_monthly_sales", "orders_sample_hash", "events_type_rollup",
-    "events_user_reach", "events_pivot_daily", "revenue_by_nation",
+    "dedup_incremental", "events_pivot_daily", "revenue_by_nation",
     "events_conversion_window", "repeat_status_customers",
     "order_value_percentiles", "sales_rollup", "customer_order_ranks",
     "monthly_revenue_running", "events_asof_purchase", "doc_stats",
-    "token_count_bpe", "lang_id", "doc_fingerprint", "term_frequencies",
+    "tokenize_ids", "quality_bins", "doc_logprob", "term_frequencies",
     "tfidf_top_terms", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_pairs_all", "dedup_clusters_exact", "ann_topk",
     "embedding_neardup", "label_centroids", "ann_ivf_topk",
     "media_catalog", "media_meta_extract", "media_frame_sample",
     "media_type_rollup", "media_resize", "media_feature_extract",
-    "corpus_curate", "decontaminate", "corpus_mix_sample", "pii_redact",
+    "corpus_curate", "decontaminate", "media_dedup", "corpus_health",
 )
 
 
