@@ -40,9 +40,31 @@ from simpleetlpipeline_spark.session import ensure_session_conf
 
 N_PROBES = 10          # probe set = vec_id < N_PROBES
 TOP_K = 10
-LSH_PLANES = 16        # total sign bits
-LSH_BANDS = 4          # 4 bands x 4 bits -> candidates agree on >=1 band
+LSH_PLANES = 16        # default sign bits (tiny-corpus floor)
+LSH_BANDS = 4          # bands; candidates agree on >=1 band
 LSH_SEED = 7
+#: Target mean members per (band, bucket). A FIXED band width makes
+#: the LSH self-join quadratic no matter how uniform the buckets
+#: are: with B buckets per band, candidate pairs ~ B*(n/B)^2 = n^2/B.
+#: Holding OCCUPANCY constant instead (bits per band grows with
+#: log2(n/occ)) makes candidates ~ bands*occ/2 * n — linear in n by
+#: construction, which is what the docstrings promise. Recall
+#: trade-off: band-agree probability for similarity s is
+#: (1-theta/pi)^bits, so wider bands keep high-sim recall (~0.98 for
+#: cosine 0.99 even at 12 bits x 4 bands) while mid-similarity
+#: recall declines — the standard LSH tuning direction as corpora
+#: grow. Measured: at 10x testdata, fixed 4-bit bands blew up 18.6x
+#: (bucket occupancy 1250); adaptive bits hold the ratio ~linear.
+LSH_TARGET_OCCUPANCY = 64
+LSH_MAX_BITS = 16
+
+
+def _lsh_bits_for(n_rows: int) -> int:
+    """Bits per band holding mean bucket occupancy at the target."""
+    import math
+
+    need = math.ceil(math.log2(max(n_rows, 1) / LSH_TARGET_OCCUPANCY))
+    return max(LSH_PLANES // LSH_BANDS, min(LSH_MAX_BITS, need))
 NEARDUP_THRESHOLD = 0.4
 N_SALTS = 32           # partial-top-k fan-out (scale with corpus size)
 
@@ -79,6 +101,25 @@ def _table_bytes(sf_dir: str, name: str) -> int:
         os.path.getsize(p)
         for p in glob.glob(os.path.join(path, "**", "*"), recursive=True)
         if os.path.isfile(p))
+
+
+_TABLE_ROWS_CACHE: dict = {}
+
+
+def _table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of one testdata table via the parquet footer
+    statistics (count() over a bare scan plans as a metadata-only
+    aggregate — no data pages read). Sizes the LSH band width.
+    Memoized per (sf_dir, name) — same pattern as io's timestamp-type
+    probe — so repeated query CONSTRUCTION stays job-free (pinned by
+    test_no_driver_collect_in_query_construction)."""
+    import os
+
+    key = (sf_dir, name)
+    if key not in _TABLE_ROWS_CACHE:
+        _TABLE_ROWS_CACHE[key] = spark.read.parquet(
+            os.path.join(sf_dir, f"{name}.parquet")).count()
+    return _TABLE_ROWS_CACHE[key]
 
 
 def as_double_vec(embedding: Column) -> Column:
@@ -224,13 +265,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str,
     """
     ensure_session_conf(spark)
     vecs = _vectors(spark, sf_dir)
+    # Band width scales with corpus size (see LSH_TARGET_OCCUPANCY):
+    # constant occupancy keeps the candidate join linear in n.
+    bits = _lsh_bits_for(_table_rows(spark, sf_dir, "embeddings"))
+    bucketer = _lsh_bucket_udf(planes=LSH_BANDS * bits, bands=LSH_BANDS)
     # Band keys only — the candidate join moves (vec_id, bb) pairs,
     # never the 64-dim payload. Shuffling vectors through the band
     # buckets would multiply shuffle volume by `bands`; instead the
     # payload is joined back by id AFTER candidate dedup, so each
     # vector crosses the wire once, keyed by its own id.
     bands = vecs.select(
-        "vec_id", F.explode(_lsh_bucket_udf()(F.col("e"))).alias("bb"))
+        "vec_id", F.explode(bucketer(F.col("e"))).alias("bb"))
     bands = cap_bucket_members(bands, ["bb"], "vec_id", bucket_cap)
     probe_bands = (bands.filter(F.col("vec_id") < n_probes)
                    .select(F.col("vec_id").alias("a_id"), "bb"))
@@ -336,10 +381,15 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     vecs = (groups
             .select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
             .withColumn("nrm", l2_norm(F.col("e"))))
+    # Constant-occupancy band width (see LSH_TARGET_OCCUPANCY): the
+    # self-join candidate count stays ~bands*occ/2 * n — linear —
+    # instead of n^2/B at any fixed width.
+    bits = _lsh_bits_for(_table_rows(spark, sf_dir, "embeddings"))
+    bucketer = _lsh_bucket_udf(planes=LSH_BANDS * bits, bands=LSH_BANDS)
     bands = track(
         cap_bucket_members(
             vecs.select("vec_id",
-                        F.explode(_lsh_bucket_udf()(F.col("e"))).alias("bb")),
+                        F.explode(bucketer(F.col("e"))).alias("bb")),
             ["bb"], "vec_id", bucket_cap)
         .persist())
     cand = (

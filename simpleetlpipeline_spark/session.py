@@ -76,6 +76,16 @@ def get_spark(app_name: str = "simpleetlpipeline-spark",
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or cpus))
+        # Local mode packs driver + all executor threads into ONE JVM
+        # whose default heap is 1g — 32 concurrent tasks moving Arrow
+        # batches starve the GC there (observed: GCLocker retry
+        # failures killing executor threads at 10x testdata scale).
+        # Size the heap like an executor would be sized on a real
+        # cluster (~0.5g/core + headroom). Launch-time-only conf, so
+        # it applies when this builder creates the JVM (bench, tests,
+        # tools) — an externally built session keeps its own sizing.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         # Keep stdout clean: the bench driver parses the LAST line of
