@@ -97,9 +97,21 @@ DECON_MIN_OVERLAP = 3
 BENCH_MOD, BENCH_REM = 20, 7
 
 
+#: Above this estimated blocklist size the decontamination gram join
+#: stops forcing a broadcast and lets the gram-keyed shuffle join
+#: plan instead (same threshold reasoning as similarity's
+#: EXACT_NEARDUP_MAX_BYTES: a forced broadcast of an unexpectedly
+#: huge build side OOMs executors mid-stage; a shuffle join just
+#: costs a shuffle). Estimated driver-side from the benchmark
+#: table's on-disk size — no job.
+DECON_BROADCAST_MAX_BYTES = 64 << 20
+
+
 def decontaminate(spark: SparkSession, sf_dir: str,
                   ngram: int = DECON_NGRAM,
-                  min_overlap: int = DECON_MIN_OVERLAP) -> DataFrame:
+                  min_overlap: int = DECON_MIN_OVERLAP,
+                  broadcast_max_bytes: int = DECON_BROADCAST_MAX_BYTES,
+                  ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share
     >= min_overlap distinct word n-grams with a held-out benchmark
     set — the overlap filter every serious pretraining pipeline runs
@@ -110,16 +122,22 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     eval-suite table — the plan is identical.
 
     Scale: the benchmark gram set is DISTINCT 8-byte hashes of a
-    benchmark suite (MBs even for all public evals), so it
+    benchmark suite (MBs even for all public evals), so it normally
     broadcasts; the corpus side is one narrow explode + broadcast
     semi-join + groupBy(doc_id) — linear, one shuffle keyed by
-    doc_id. If the blocklist ever outgrows broadcast, drop the hint
-    and the same plan shuffles on the gram hash instead.
+    doc_id. The broadcast is GUARDED, not assumed: past
+    broadcast_max_bytes (estimated driver-side from the benchmark
+    source's on-disk size, no job) the hint is dropped and the same
+    plan shuffles on the gram hash — a blocklist that quietly grew to
+    GBs costs a shuffle instead of OOMing every executor
+    (plan-shape pinned both ways in test_plans.py).
 
     Returns the full corpus manifest (doc_id, n_overlap,
     contaminated) so downstream filters can choose their own
     threshold.
     """
+    from simpleetlpipeline_spark.functions.similarity import _table_bytes
+
     ensure_session_conf(spark)
     docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
@@ -128,10 +146,15 @@ def decontaminate(spark: SparkSession, sf_dir: str,
     bench_grams = (
         docs.filter(is_bench)
         .select(F.explode("grams").alias("g")).distinct())
+    # The synthetic benchmark is a 1/BENCH_MOD slice of documents;
+    # a real eval-suite table would use its own footprint here.
+    if _table_bytes(sf_dir, "documents") // BENCH_MOD \
+            <= broadcast_max_bytes:
+        bench_grams = F.broadcast(bench_grams)
     corpus = docs.filter(~is_bench)
     overlap = (
         corpus.select("doc_id", F.explode("grams").alias("g"))
-        .join(F.broadcast(bench_grams), "g")
+        .join(bench_grams, "g")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("__n"))
     )

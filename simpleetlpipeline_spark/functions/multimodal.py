@@ -66,6 +66,49 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Extension -> media_type for directory ingest. Anything else is
+#: "other" (kept, not dropped — a curation filter decides later).
+MEDIA_EXTENSIONS = {
+    "jpg": "image", "jpeg": "image", "png": "image", "gif": "image",
+    "bmp": "image", "webp": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio", "ogg": "audio",
+    "mp4": "video", "mkv": "video", "avi": "video", "webm": "video",
+}
+
+
+def media_table_from_dir(spark: SparkSession, path: str,
+                         recursive: bool = True) -> DataFrame:
+    """Real binary-file ingest: a directory of media files becomes
+    the exact media_table schema contract (media_id, media_type,
+    payload) via Spark's binaryFile source.
+
+    The scale path the fabricated table stands in for: binaryFile
+    scans split per FILE (each row = one object's content), so a
+    bucket of millions of assets parallelizes across the cluster with
+    no driver listing loop, and pushed filters on path/length prune
+    at the source. media_id is the 64-bit xxhash of the file path —
+    stable across re-ingests, no driver-side id assignment;
+    media_type derives from the extension (MEDIA_EXTENSIONS).
+    Downstream queries (meta extract, frame sample, resize, features,
+    dedup) take either table interchangeably — pinned by
+    tests/test_multimodal.py::test_media_table_from_dir_contract.
+    """
+    ensure_session_conf(spark)
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    type_map = F.create_map(*[
+        F.lit(x) for kv in MEDIA_EXTENSIONS.items() for x in kv])
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.coalesce(type_map[ext], F.lit("other")).alias("media_type"),
+        F.col("content").alias("payload"),
+    )
+
+
 def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
     """STUB decode kernel (no codecs in this container).
 
@@ -92,15 +135,16 @@ def decode_media(payload: bytes, media_type: str) -> bytes:
         "_decode_stub instead")
 
 
-def media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-item metadata extraction through mapInPandas.
+def extract_meta(media: DataFrame) -> DataFrame:
+    """Per-item metadata extraction through mapInPandas, over ANY
+    frame honoring the media_table schema contract (fabricated table
+    or media_table_from_dir ingest).
 
     Arrow batches of (media_id, media_type, payload) flow into
     Python; the stub 'decodes' each payload; typed metadata batches
     flow out. Narrow (no shuffle), embarrassingly parallel — the hot
     pattern for 100 TB media feature extraction.
     """
-    media = media_table(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,6 +165,11 @@ def media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(extract, META_SCHEMA)
 
 
+def media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: extract_meta over the fabricated media table."""
+    return extract_meta(media_table(spark, sf_dir))
+
+
 def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-JVM catalog view of the media table: type, size, content
     fingerprint. No Python in the loop — the listing/dedup side of a
@@ -133,15 +182,13 @@ def media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def frame_sample(spark: SparkSession, sf_dir: str,
-                 frame_bytes: int = FRAME_BYTES,
-                 stride: int = FRAME_STRIDE) -> DataFrame:
-    """Frame sampling via mapInPandas: treat the payload as
-    fixed-size frames, keep every `stride`-th frame, emit the sampled
-    payload + counts. Stand-in for video keyframe extraction (same
-    batch shape and output contract; the frame splitter is the only
-    fake)."""
-    media = media_table(spark, sf_dir)
+def sample_frames(media: DataFrame, frame_bytes: int = FRAME_BYTES,
+                  stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling via mapInPandas over any media-contract frame:
+    treat the payload as fixed-size frames, keep every `stride`-th
+    frame, emit the sampled payload + counts. Stand-in for video
+    keyframe extraction (same batch shape and output contract; the
+    frame splitter is the only fake)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,6 +211,13 @@ def frame_sample(spark: SparkSession, sf_dir: str,
         sample,
         "media_id long, n_frames long, n_kept long, sampled_payload binary",
     )
+
+
+def frame_sample(spark: SparkSession, sf_dir: str,
+                 frame_bytes: int = FRAME_BYTES,
+                 stride: int = FRAME_STRIDE) -> DataFrame:
+    """sample_frames over the fabricated media table."""
+    return sample_frames(media_table(spark, sf_dir), frame_bytes, stride)
 
 
 def media_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -244,11 +244,19 @@ def quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def validation_rules(spark: SparkSession, sf_dir: str,
+                     config=None) -> DataFrame:
     """Business-rule validation (reference main.py:874-908: tolerance,
     future-date, price-inversion, email-format) mapped to testdata:
     each rule returns (rule_name, violation_count); counts only,
     rows are never dropped — report-only semantics (F10/F11).
+
+    With an ETLConfig (e.g. ETLConfig.from_yaml over the reference's
+    etl_config.yaml), the config's business-rule tolerance drives an
+    additional total_mismatch rule — the YAML's
+    valid_total_calculation (y:79-81) on the testdata star:
+    |o_totalprice - recomputed line net| >= tolerance. Default (no
+    config) output is the pinned 4-row gate shape.
     """
     ensure_session_conf(spark)
     customer = read_table(spark, sf_dir, "customer")
@@ -266,7 +274,7 @@ def validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
     )
-    return (
+    out = (
         one("negative_acctbal", customer, F.col("c_acctbal") < 0)
         .unionAll(one("nonpositive_quantity", lineitem, F.col("l_quantity") <= 0))
         .unionAll(one("discount_out_of_range", lineitem,
@@ -274,6 +282,20 @@ def validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("ship_before_order", ship_before_order,
                       F.col("l_shipdate") < F.col("o_orderdate")))
     )
+    if config is not None:
+        recomputed = (
+            lineitem.groupBy("l_orderkey")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                       * (1 + F.col("l_tax"))).alias("recomputed"))
+        )
+        joined = orders.select("o_orderkey", "o_totalprice").join(
+            recomputed, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        mismatch = (
+            F.abs(F.col("o_totalprice")
+                  - F.coalesce(F.col("recomputed"), F.lit(0.0)))
+            >= float(config.money_tolerance))
+        out = out.unionAll(one("total_mismatch", joined, mismatch))
+    return out
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,3 +70,47 @@ def test_resize_halves_decoded_dims(spark, sf_dir):
            for r in M.media_resize(spark, sf_dir).collect()}
     for mid, (w, h) in meta.items():
         assert res[mid] == (max(1, w // 2), max(1, h // 2))
+
+
+def test_media_table_from_dir_contract(spark, tmp_path):
+    """binaryFile ingest must produce the exact media_table schema
+    contract and feed the same downstream kernels as the fabricated
+    table (meta extract + frame sampling run unchanged on it)."""
+    from simpleetlpipeline_spark.functions.multimodal import (
+        extract_meta,
+        media_table_from_dir,
+        sample_frames,
+    )
+
+    files = {
+        "a.jpg": b"\xff\xd8fakejpegbytes" * 20,
+        "sub/b.mp3": b"ID3fakeaudio" * 40,
+        "sub/deep/c.mp4": b"\x00\x00ftypmp4" * 64,
+        "notes.txt": b"not media at all",
+    }
+    for rel, payload in files.items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(payload)
+
+    media = media_table_from_dir(spark, str(tmp_path))
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "media_type", "payload"]
+    rows = media.collect()
+    assert len(rows) == 4
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["media_type"], []).append(bytes(r["payload"]))
+    assert sorted(by_type) == ["audio", "image", "other", "video"]
+    assert by_type["image"] == [files["a.jpg"]]       # payload verbatim
+    assert by_type["audio"] == [files["sub/b.mp3"]]   # recursive lookup
+    assert len({r["media_id"] for r in rows}) == 4    # ids unique
+
+    meta = {r["media_id"]: r for r in extract_meta(media).collect()}
+    assert len(meta) == 4
+    for r in rows:
+        assert meta[r["media_id"]]["n_bytes"] == len(bytes(r["payload"]))
+
+    fs = sample_frames(media, frame_bytes=16, stride=2).collect()
+    for r in fs:
+        assert r["n_kept"] == (r["n_frames"] + 1) // 2

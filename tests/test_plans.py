@@ -312,3 +312,26 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(out).count()
     assert 0 < n_day < n_all
     assert n_day == events.filter(F.col("day") == days[0]).count()
+
+
+def test_decontaminate_broadcast_guard(spark, sf_dir):
+    """Below the size threshold the blocklist join carries a FORCED
+    broadcast hint; above it the hint is dropped so the optimizer
+    decides from statistics. Verified by disabling stats-based
+    broadcast (threshold -1): the hint must still force a broadcast,
+    and without it the join must fall back to a shuffled equi-join —
+    i.e. an oversized blocklist can never be force-broadcast."""
+    from simpleetlpipeline_spark.functions.curation import decontaminate
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        below = _plan(decontaminate(spark, sf_dir))
+        assert "BroadcastHashJoin" in below, \
+            "sub-threshold blocklist must be hint-forced broadcast"
+        above = _plan(decontaminate(spark, sf_dir, broadcast_max_bytes=0))
+        assert "BroadcastHashJoin" not in above.split("Exchange", 1)[0] \
+            and ("SortMergeJoin" in above or "ShuffledHashJoin" in above), \
+            "oversized blocklist must shuffle on the gram key"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
