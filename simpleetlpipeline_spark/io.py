@@ -355,14 +355,23 @@ def write_table_version(df: DataFrame, table_root: str,
 
 
 def read_table_version(spark: SparkSession, table_root: str,
-                       version: int | None = None) -> DataFrame:
-    """Read the committed (or an explicit historical) table version."""
+                       version: int | None = None,
+                       schema: StructType | None = None) -> DataFrame:
+    """Read the committed (or an explicit historical) table version.
+
+    Pass `schema` when the caller already holds it (e.g. it just
+    wrote the snapshot): a bare parquet read on a fresh path runs a
+    footer-inference job first.
+    """
     if version is None:
         with open(os.path.join(table_root, "_CURRENT")) as fh:
             vname = fh.read().strip()
     else:
         vname = f"v={version}"
-    return spark.read.parquet(os.path.join(table_root, vname))
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(os.path.join(table_root, vname))
 
 
 def read_version_meta(table_root: str) -> dict | None:

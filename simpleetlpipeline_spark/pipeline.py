@@ -201,7 +201,12 @@ def load_table(spark: SparkSession, table: str, source_path: str,
 
         raise EmptySourceError(f"Source file is empty: {source_path}")
 
-    written = spark.read.parquet(os.path.join(config.warehouse_dir, table))
+    # Re-read with the DECLARED schema (out.schema): a bare
+    # spark.read.parquet on a fresh path runs a footer-inference job
+    # first — one extra job per table per run for a schema we
+    # already hold.
+    written = spark.read.schema(out.schema).parquet(
+        os.path.join(config.warehouse_dir, table))
     report = report_from_observation(
         vals, out.columns, table,
         duplicate_rows=n_out - distinct_row_count(written))
@@ -271,7 +276,7 @@ def update_calculated_fields(spark: SparkSession, config: ETLConfig) -> DataFram
     )
     root = os.path.join(config.warehouse_dir, "customers_enriched")
     write_table_version(enriched, root)
-    return read_table_version(spark, root)
+    return read_table_version(spark, root, schema=enriched.schema)
 
 
 def run_full_pipeline(spark: SparkSession, source_dir: str,
@@ -399,7 +404,10 @@ def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     LAST_RUN_METRICS = metrics
     if metrics.failed_tables:
         raise RuntimeError(f"pipeline failures: {metrics.errors}")
-    meta = spark.read.parquet(os.path.join(cfg.warehouse_dir, "etl_metadata"))
+    # Declared schema: skips the footer-inference job on the freshly
+    # written lineage dir (same reasoning as load_table's re-read).
+    meta = spark.read.schema(ETL_METADATA).parquet(
+        os.path.join(cfg.warehouse_dir, "etl_metadata"))
     out = meta.select(
         "table_name", "records_processed", "records_inserted",
         "records_failed", "data_quality_score", "checksum")
