@@ -80,12 +80,14 @@ def get_spark(app_name: str = "simpleetlpipeline-spark",
         # whose default heap is 1g — 32 concurrent tasks moving Arrow
         # batches starve the GC there (observed: GCLocker retry
         # failures killing executor threads at 10x testdata scale).
-        # Size the heap like an executor would be sized on a real
-        # cluster (~0.5g/core + headroom). Launch-time-only conf, so
-        # it applies when this builder creates the JVM (bench, tests,
-        # tools) — an externally built session keeps its own sizing.
+        # 8g = 0.25g/core: measured A/B at sf0.1, 1g/4g/8g are within
+        # run-to-run noise of each other while 24g pays ~15-35% on
+        # short queries (cold heap pages + GC shape), so 8g buys the
+        # 10x-scale headroom for free. Launch-time-only conf — it
+        # applies when this builder creates the JVM (bench, tests,
+        # tools); an externally built session keeps its own sizing.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         # Keep stdout clean: the bench driver parses the LAST line of
