@@ -18,7 +18,7 @@ from simpleetlpipeline_spark.functions import (
     sketches,
     text,
 )
-from simpleetlpipeline_spark.plans import advanced, analytics
+from simpleetlpipeline_spark.plans import advanced, analytics, relational
 from simpleetlpipeline_spark.streaming import sinks as streaming_sinks
 from simpleetlpipeline_spark.streaming import stateful as streaming_stateful
 from simpleetlpipeline_spark.streaming import windows as streaming_windows
@@ -26,7 +26,8 @@ from simpleetlpipeline_spark.streaming import windows as streaming_windows
 QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
-for _mod in (advanced, text, dedup, similarity, multimodal, curation, pretrain,
+for _mod in (advanced, relational, text, dedup, similarity, multimodal,
+             curation, pretrain,
              sketches, streaming_windows, streaming_stateful,
              streaming_sinks):
     QUERIES.update(_mod.QUERIES)

@@ -1,0 +1,298 @@
+"""Relational depth: semi-joins, conditional aggregation, basket
+pairs, argmax-per-group, and semi-structured (JSON) extraction.
+
+The reference's relational surface stops at inner equi-joins and
+plain GROUP BY (SURVEY.md §2.4-2.5); these queries add the join and
+aggregate shapes its SQLite engine would have planned for free and
+any migrating analytics user will reach for on day one. All are
+DuckDB-oracle-checked.
+
+Scale notes (the 100 TB framing for each):
+- promo_revenue_monthly: lineitem⋈part is fact⋈dim — part broadcasts
+  (it is orders-of-magnitude smaller than lineitem at every TPC-H
+  SF), the conditional sums fold map-side, and the final agg is
+  |months| groups. One shuffle.
+- late_ship_orders: EXISTS plans as a LEFT SEMI join on the orderkey
+  equi-condition with the lateness predicate attached — the probe
+  side short-circuits on first match, no row explosion, and the count
+  agg is |priorities| groups. The date predicate cannot push below
+  the join (it spans both sides) but column pruning keeps the
+  shuffled payload to three columns.
+- large_volume_orders: aggregate lineitem FIRST (map-side partial
+  sums shrink the shuffle to |orderkeys|), filter the tiny survivor
+  set, then join orders. Filtering before the join is the
+  Q18 lesson: the join input is the 1% of orders that qualify, not
+  the full fact table.
+- copurchase_pairs: the within-group all-pairs fan-out is bounded by
+  per-order basket size (TPC-H max 7 distinct parts/order, so ≤ C(7,2)
+  = 21 pairs per order — linear in lineitem regardless of corpus
+  size). The pair-count agg has map-side combine; top-N plans as
+  TakeOrderedAndProject. The skew hazard of basket mining is giant
+  baskets, absent here by construction; for open-schema data apply a
+  per-basket distinct-item cap first (the DF_CAP analog used in
+  functions/dedup.py).
+- latest_event_per_user: single hash agg, max over a (ts, id, ...)
+  struct — the deterministic argmax (field-by-field struct ordering
+  breaks ties by event_id), no window over raw events (a per-user
+  window would sort the whole corpus; max() folds map-side).
+- events_props_stats: JSON field extraction stays JVM-side
+  (get_json_object, codegen'd); the agg is |event_type| groups.
+  At 100 TB you would materialize extracted columns once rather than
+  re-parse per query — the variant-shredding this query's SELECT
+  demonstrates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+PROMO_TYPE = "PROMO"
+
+
+def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional aggregation: per ship month, the
+    share of discounted revenue coming from PROMO-type parts.
+
+    Rounding contract: both engines round the two double sums to 2dp
+    first, then divide the identical rounded doubles (IEEE-identical)
+    and floor the share at 4dp — no float-accumulation-order hazard
+    reaches the hashed columns.
+    """
+    ensure_session_conf(spark)
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = (
+        lineitem.join(F.broadcast(part),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == PROMO_TYPE, rev)
+                          .otherwise(F.lit(0.0))), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+    share = F.col("promo_revenue") / F.col("total_revenue") * 100
+    return monthly.select(
+        "month", "promo_revenue", "total_revenue",
+        (F.floor(share * 10000) / 10000).alias("promo_share_pct"),
+    )
+
+
+LATE_DAYS = 60
+
+
+def late_ship_orders(spark: SparkSession, sf_dir: str,
+                     late_days: int = LATE_DAYS) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders having at least one lineitem
+    shipped more than `late_days` days after the order date, counted
+    per order priority — the fulfillment-SLA breach report. The
+    EXISTS is a LEFT SEMI join (first match wins, no duplication of
+    the probe side), the join shape the reference never used."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    lateness = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        orders.join(
+            lineitem,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (lateness > late_days),
+            "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+LARGE_VOLUME_QTY = 250.0
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str,
+                        min_qty: float = LARGE_VOLUME_QTY) -> DataFrame:
+    """TPC-H Q18-shaped agg-then-join: orders whose total lineitem
+    quantity exceeds `min_qty`, with order attributes attached.
+    The aggregate runs BEFORE the join so only the ~1% survivor set
+    is joined back — the canonical big-fact pattern."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    big = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey",
+                F.to_date("o_orderdate").alias("order_date"),
+                "o_totalprice", "total_qty")
+    )
+
+
+COPURCHASE_TOP_N = 100
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str,
+                     top_n: int = COPURCHASE_TOP_N) -> DataFrame:
+    """Market-basket pair mining: the top-N part pairs most often
+    bought in the same order. Within-order all-pairs via a self-join
+    on orderkey with a < guard (each unordered pair once); per-order
+    distinct parts bound the fan-out (see module docstring)."""
+    ensure_session_conf(spark)
+    items = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(top_n)
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax-per-group: each user's latest event
+    (ties on ts broken by highest event_id) via max() over a struct —
+    field-by-field struct comparison makes the winner well-defined,
+    unlike bare max_by under ties."""
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    last = F.max(F.struct("ts", "event_id", "event_type", "value")) \
+        .alias("last")
+    return (
+        events.groupBy("user_id").agg(last)
+        .select("user_id",
+                F.col("last.ts").alias("last_ts"),
+                F.col("last.event_id").alias("event_id"),
+                F.col("last.event_type").alias("event_type"),
+                F.col("last.value").alias("event_value"))
+    )
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` payload
+    per event, pull the integer field `k`, and profile it per event
+    type. Integer sums are exact, so the mean is one deterministic
+    division, floored at 4dp in both engines."""
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "event_type", "props")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count("k").alias("n_with_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"),
+             (F.floor(F.sum("k") / F.count("k") * 10000) / 10000)
+             .alias("mean_k"))
+    )
+
+
+QUERIES = {
+    "promo_revenue_monthly": promo_revenue_monthly,
+    "late_ship_orders": late_ship_orders,
+    "large_volume_orders": large_volume_orders,
+    "copurchase_pairs": copurchase_pairs,
+    "latest_event_per_user": latest_event_per_user,
+    "events_props_stats": events_props_stats,
+}
+
+ORACLE_SQL = {
+    "promo_revenue_monthly": f"""
+        WITH m AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   round(sum(CASE WHEN p_type = '{PROMO_TYPE}'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END), 2) AS promo_revenue,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        )
+        SELECT month, promo_revenue, total_revenue,
+               floor(promo_revenue / total_revenue * 100 * 10000) / 10000
+                   AS promo_share_pct
+        FROM m
+    """,
+    "late_ship_orders": f"""
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) > {LATE_DAYS}
+        )
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    "large_volume_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem
+            GROUP BY 1
+            HAVING round(sum(l_quantity), 2) > {LARGE_VOLUME_QTY}
+        )
+        SELECT o_orderkey, o_custkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_totalprice, total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+    """,
+    "copurchase_pairs": f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        LIMIT {COPURCHASE_TOP_N}
+    """,
+    "latest_event_per_user": """
+        SELECT user_id, ts AS last_ts, event_id, event_type,
+               value AS event_value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "events_props_stats": """
+        WITH e AS (
+            SELECT event_type, CAST(props->>'k' AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               count(k) AS n_with_k,
+               min(k) AS min_k,
+               max(k) AS max_k,
+               floor(CAST(sum(k) AS DOUBLE) / count(k) * 10000) / 10000
+                   AS mean_k
+        FROM e
+        GROUP BY 1
+    """,
+}

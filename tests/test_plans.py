@@ -335,3 +335,49 @@ def test_decontaminate_broadcast_guard(spark, sf_dir):
             "oversized blocklist must shuffle on the gram key"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_late_ship_orders_semi_join(spark, sf_dir):
+    """EXISTS must plan as a LEFT SEMI join (first match wins — no
+    probe-side duplication), with only the three needed order
+    columns read."""
+    plan = _plan(QUERIES["late_ship_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan, "EXISTS must become a semi join"
+    assert "o_comment" not in plan and "l_extendedprice" not in plan
+
+
+def test_promo_revenue_monthly_broadcast(spark, sf_dir):
+    """part is the dim side: must broadcast, never sort-merge; the
+    conditional sums must fold map-side (partial aggregation)."""
+    plan = _plan(QUERIES["promo_revenue_monthly"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "partial_sum" in plan, "conditional sums must combine map-side"
+
+
+def test_large_volume_orders_agg_below_join(spark, sf_dir):
+    """Q18 shape: lineitem must be aggregated+filtered BEFORE the
+    join so only the qualifying ~1% of orderkeys is joined."""
+    plan = _plan(QUERIES["large_volume_orders"](spark, sf_dir))
+    join_pos = plan.index("Join")
+    assert "HashAggregate" in plan[join_pos:], \
+        "lineitem side must be pre-aggregated under the join"
+
+
+def test_copurchase_pairs_topk(spark, sf_dir):
+    plan = _plan(QUERIES["copurchase_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "LIMIT must plan as top-k"
+
+
+def test_latest_event_per_user_single_shuffle(spark, sf_dir):
+    """The struct-argmax is one hash aggregate: exactly one exchange,
+    no window sort over the raw events."""
+    plan = _plan(QUERIES["latest_event_per_user"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+
+
+def test_events_props_stats_jvm_side(spark, sf_dir):
+    """JSON extraction must stay in codegen (get_json_object), never
+    a Python stage."""
+    plan = _plan(QUERIES["events_props_stats"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
