@@ -604,3 +604,118 @@ ORACLE_SQL["doc_logprob"] = """
     FROM t JOIN counts USING (token) CROSS JOIN total
     GROUP BY doc_id
 """
+
+
+PMI_MIN_COUNT = 10
+PMI_TOP_N = 100
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str,
+               min_count: int = PMI_MIN_COUNT,
+               top_n: int = PMI_TOP_N) -> DataFrame:
+    """Collocation mining: the top-N adjacent token pairs by PMI
+    lift — how much more often the pair co-occurs than its unigram
+    frequencies predict. The statistical upgrade of bpe_merge_pairs
+    (raw counts rank stopword pairs; lift ranks collocations).
+
+    The hashed score is the RAW lift ratio, not ln(lift): every
+    input is an exact integer count, so the ratio is a fixed chain
+    of IEEE mul/div (bit-identical in any engine), while ln() is
+    libm-dependent in its last ulp — a hash hazard the repo's
+    float-determinism rule (see doc_logprob) forbids. Same fixed
+    association order on both sides, floored at 4dp.
+
+    Plan: explode pairs -> hash agg with map-side combine (shuffle is
+    pair-vocab-sized), two token-keyed joins against the unigram
+    vocabulary (shuffle joins — at 100 TB the vocabulary outgrows a
+    broadcast), one-row totals broadcast. min_count prunes the long
+    tail BEFORE the joins, so the joined set is the frequent-pair
+    vocabulary only. Top-N plans as TakeOrderedAndProject.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    pair_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("tok_a"),
+                F.element_at(toks, i + 1).alias("tok_b")),
+        )).otherwise(F.array())
+    pairs = (
+        docs.select(F.explode(pair_structs).alias("p"))
+        .select("p.tok_a", "p.tok_b")
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    totals = uni.agg(
+        F.sum("n_tok").cast("double").alias("n_unigrams"))
+    pair_total = pairs.agg(
+        F.sum("n_pair").cast("double").alias("n_bigrams"))
+    # lift = (c_ab/N_b) / ((c_a/N_u) * (c_b/N_u)), associated left
+    # to right identically in the oracle SQL.
+    lift = (F.col("n_pair").cast("double") * F.col("n_unigrams")
+            / F.col("n_bigrams") * F.col("n_unigrams")
+            / F.col("n_a") / F.col("n_b"))
+    return (
+        pairs
+        .join(uni.select(F.col("tok").alias("tok_a"),
+                         F.col("n_tok").alias("n_a")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"),
+                         F.col("n_tok").alias("n_b")), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(pair_total))
+        .select("tok_a", "tok_b", "n_pair",
+                (F.floor(lift * 10000) / 10000).alias("pmi_lift"))
+        .orderBy(F.desc("pmi_lift"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(top_n)
+    )
+
+
+QUERIES["bigram_pmi"] = bigram_pmi
+
+ORACLE_SQL["bigram_pmi"] = f"""
+    WITH t AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), pr AS (
+        SELECT t.toks[i] AS tok_a, t.toks[i + 1] AS tok_b
+        FROM t, LATERAL (SELECT unnest(range(1, len(t.toks))) AS i)
+    ), pairs AS (
+        SELECT tok_a, tok_b, count(*) AS n_pair
+        FROM pr
+        WHERE tok_a <> '' AND tok_b <> ''
+        GROUP BY 1, 2
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    ), uni AS (
+        SELECT tok, count(*) AS n_tok
+        FROM (SELECT unnest(toks) AS tok FROM t)
+        WHERE tok <> ''
+        GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_tok) AS DOUBLE) AS n_unigrams FROM uni
+    ), ptot AS (
+        SELECT CAST(sum(n_pair) AS DOUBLE) AS n_bigrams FROM pairs
+    )
+    SELECT p.tok_a, p.tok_b, p.n_pair,
+           floor(CAST(p.n_pair AS DOUBLE) * n_unigrams / n_bigrams
+                 * n_unigrams / a.n_tok / b.n_tok * 10000) / 10000
+               AS pmi_lift
+    FROM pairs p
+    JOIN uni a ON p.tok_a = a.tok
+    JOIN uni b ON p.tok_b = b.tok
+    CROSS JOIN tot CROSS JOIN ptot
+    ORDER BY pmi_lift DESC, tok_a ASC, tok_b ASC
+    LIMIT {PMI_TOP_N}
+"""

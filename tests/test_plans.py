@@ -381,3 +381,12 @@ def test_events_props_stats_jvm_side(spark, sf_dir):
     a Python stage."""
     plan = _plan(QUERIES["events_props_stats"](spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_pmi_plan(spark, sf_dir):
+    """Pair agg must combine map-side; min_count prunes BEFORE the
+    vocabulary joins; top-N plans as TakeOrderedAndProject; all JVM."""
+    plan = _plan(QUERIES["bigram_pmi"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan, "pair counting must combine map-side"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

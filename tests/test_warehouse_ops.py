@@ -119,3 +119,81 @@ def test_streaming_sink_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
     shutil.rmtree(root + "/_chk")
     out2 = streaming_totals_to_table(spark, sf_dir, root).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+# --- SCD2 merge (operators/scd.py) ---------------------------------
+
+def _scd_base(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, attr string, bal double, valid_from int, valid_to int")
+
+
+def _scd_upd(spark, rows):
+    return spark.createDataFrame(rows, "k int, attr string, bal double")
+
+
+def test_scd2_change_new_nochange_and_passthrough(spark):
+    from simpleetlpipeline_spark.operators.scd import scd2_apply
+
+    base = _scd_base(spark, [
+        (1, "a", 10.0, 1, None),    # will change
+        (2, "b", 20.0, 1, None),    # update identical -> no churn
+        (3, "c", 30.0, 1, None),    # no update -> untouched
+        (1, "old", 5.0, 0, 1),      # closed history -> passthrough
+    ])
+    upd = _scd_upd(spark, [
+        (1, "a2", 11.0),
+        (2, "b", 20.0),
+        (9, "new", 90.0),
+    ])
+    out = scd2_apply(base, upd, ["k"], ["attr", "bal"], version=2)
+    rows = {(r.k, r.valid_from): r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[(1, 1)].valid_to == 2 and rows[(1, 1)].attr == "a"
+    assert rows[(1, 2)].valid_to is None and rows[(1, 2)].attr == "a2"
+    assert rows[(2, 1)].valid_to is None          # idempotent re-send
+    assert rows[(3, 1)].valid_to is None
+    assert rows[(9, 2)].attr == "new" and rows[(9, 2)].valid_to is None
+    assert rows[(1, 0)].valid_to == 1             # history untouched
+
+
+def test_scd2_chained_versions(spark):
+    """Applying two batches in sequence builds a 3-version chain with
+    exactly one current row per key."""
+    from simpleetlpipeline_spark.operators.scd import scd2_apply
+
+    base = _scd_base(spark, [(1, "v1", 1.0, 1, None)])
+    v2 = scd2_apply(base, _scd_upd(spark, [(1, "v2", 2.0)]),
+                    ["k"], ["attr", "bal"], version=2)
+    v3 = scd2_apply(v2, _scd_upd(spark, [(1, "v3", 3.0)]),
+                    ["k"], ["attr", "bal"], version=3)
+    rows = sorted(v3.collect(), key=lambda r: r.valid_from)
+    assert [(r.attr, r.valid_from, r.valid_to) for r in rows] == [
+        ("v1", 1, 2), ("v2", 2, 3), ("v3", 3, None)]
+
+
+def test_scd2_null_attr_transitions(spark):
+    """eqNullSafe comparison: null->value and value->null are real
+    changes; null->null is not."""
+    from simpleetlpipeline_spark.operators.scd import scd2_apply
+
+    base = _scd_base(spark, [
+        (1, None, 1.0, 1, None), (2, None, 2.0, 1, None)])
+    upd = _scd_upd(spark, [(1, "x", 1.0), (2, None, 2.0)])
+    out = scd2_apply(base, upd, ["k"], ["attr", "bal"], version=2)
+    rows = {(r.k, r.valid_from): r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[(1, 1)].valid_to == 2 and rows[(1, 2)].attr == "x"
+    assert rows[(2, 1)].valid_to is None   # null == null: no churn
+
+
+def test_scd2_single_join_plan(spark):
+    """The merge must be ONE join (full outer on the key) — no
+    second join sneaking in via the two output branches."""
+    from simpleetlpipeline_spark.operators.scd import scd2_apply
+
+    base = _scd_base(spark, [(1, "a", 1.0, 1, None)])
+    out = scd2_apply(base, _scd_upd(spark, [(1, "b", 2.0)]),
+                     ["k"], ["attr", "bal"], version=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1
