@@ -591,3 +591,47 @@ ORACLE_SQL["quality_bins"] = """
                AS quality_bin
     FROM q
 """
+
+
+#: Knuth multiplicative hash (same family as curation._MIX_MULT) and
+#: per-10k split thresholds: [0,9000) train, [9000,9500) val, rest test.
+_SPLIT_MULT = 2654435761
+SPLIT_BOUNDS = (9000, 9500)
+
+
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split manifest: each document's
+    split is a pure function of doc_id (multiplicative-hash ticket
+    against fixed per-10k thresholds), so the assignment is stable
+    across reruns, engines, and corpus growth — a document never
+    migrates between splits when new data arrives, which is the
+    property that keeps eval sets uncontaminated over time.
+
+    Scale: narrow projection, zero shuffles, no RNG state. The
+    DuckDB oracle reproduces the ticket exactly (plain integer
+    arithmetic — the same determinism contract as corpus_mix_sample).
+    """
+    ensure_session_conf(spark)
+    ticket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(10000))
+    split = (
+        F.when(ticket < SPLIT_BOUNDS[0], F.lit("train"))
+        .when(ticket < SPLIT_BOUNDS[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", split.alias("split"))
+    )
+
+
+QUERIES["train_split_assign"] = train_split_assign
+
+ORACLE_SQL["train_split_assign"] = f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN (doc_id * {_SPLIT_MULT}) % 10000 < {SPLIT_BOUNDS[0]}
+                THEN 'train'
+                WHEN (doc_id * {_SPLIT_MULT}) % 10000 < {SPLIT_BOUNDS[1]}
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""

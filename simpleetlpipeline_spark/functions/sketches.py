@@ -118,3 +118,51 @@ ORACLE_SQL = {
         GROUP BY 1
     """,
 }
+
+
+HH_TOP_K = 10
+#: freqItems support: every item with relative frequency > support is
+#: guaranteed present in the sketch output (Karp-Shenker-Papadimitriou
+#: one-pass counters, ~1/support state per partition, mergeable).
+HH_SUPPORT = 1e-4
+
+
+def heavy_hitter_users(spark: SparkSession, sf_dir: str,
+                       k: int = HH_TOP_K,
+                       support: float = HH_SUPPORT) -> DataFrame:
+    """Frequent-items (heavy hitters): the exact top-k users by event
+    count (hash-checked, deterministic tie-break) plus a boolean
+    asserting each appears in the freqItems misra-gries-style sketch —
+    the sketch's no-false-negative guarantee for items above the
+    support threshold.
+
+    The sketch pass is the one that scales: ~1/support counters per
+    partition, merged once, no per-user shuffle. The exact top-k
+    (groupBy user -> TakeOrdered) is the oracle witness. The sketch
+    result is one driver row (the sanctioned one-row collect)."""
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    sketch = set(
+        events.select("user_id").stat.freqItems(
+            ["user_id"], support).collect()[0][0])
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(k)
+    )
+    return top.select(
+        "user_id", "n_events",
+        F.col("user_id").isin(sketch).alias("sketch_ok"))
+
+
+QUERIES["heavy_hitter_users"] = heavy_hitter_users
+
+ORACLE_SQL["heavy_hitter_users"] = f"""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY 1
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT {HH_TOP_K}
+"""

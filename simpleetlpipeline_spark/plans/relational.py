@@ -296,3 +296,68 @@ ORACLE_SQL = {
         GROUP BY 1
     """,
 }
+
+
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: per (event_type, hour)
+    activity on a DENSE hour spine — silent hours appear as explicit
+    zero rows, which is what any downstream chart, anomaly detector,
+    or forecasting job needs (a missing bucket and an idle bucket are
+    different facts).
+
+    Spine construction is sequence(min_hour, max_hour) exploded per
+    type: spine size is |hours| x |types| regardless of corpus size,
+    so the spine side is always the small side — it broadcasts, and
+    the left join back to the aggregated counts (already |buckets|
+    rows, not raw events) stays shuffle-free on the probe side.
+    """
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value")
+    counts = (
+        events.groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    bounds = events.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = (
+        events.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type",
+                F.explode(F.sequence(
+                    "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    )
+    return (
+        spine.join(counts, ["event_type", "hour"], "left")
+        .select("event_type", "hour",
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                F.coalesce("total_value", F.lit(0.0)).alias("total_value"))
+    )
+
+
+QUERIES["events_hourly_gapfill"] = events_hourly_gapfill
+
+ORACLE_SQL["events_hourly_gapfill"] = """
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, value
+        FROM events
+    ), counts AS (
+        SELECT event_type, hour, count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM e GROUP BY 1, 2
+    ), bounds AS (
+        SELECT min(hour) AS lo, max(hour) AS hi FROM e
+    ), spine AS (
+        SELECT t.event_type, s.hour
+        FROM (SELECT DISTINCT event_type FROM e) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds) s
+    )
+    SELECT sp.event_type, sp.hour,
+           coalesce(c.n_events, 0) AS n_events,
+           coalesce(c.total_value, 0.0) AS total_value
+    FROM spine sp
+    LEFT JOIN counts c USING (event_type, hour)
+"""

@@ -390,3 +390,14 @@ def test_bigram_pmi_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan, "pair counting must combine map-side"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_events_hourly_gapfill_spine_broadcast(spark, sf_dir):
+    """The dense hour spine is the small side: it must broadcast into
+    the left join (no shuffle of the aggregated counts), and the
+    output must contain explicit zero rows."""
+    df = QUERIES["events_hourly_gapfill"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert df.filter(F.col("n_events") == 0).count() > 0, \
+        "gap fill must materialize idle buckets as zero rows"

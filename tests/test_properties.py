@@ -152,3 +152,42 @@ def test_quantize_levels_bounded_any_vectors(spark, vecs):
         assert -128 <= r["q_min"] and r["q_max"] <= 127
         assert max(r["q_max"], -r["q_min"]) >= 126
         assert r["scale"] > 0
+
+
+# --- SCD2 merge invariants (operators/scd.py) ----------------------
+
+scd_updates_strategy = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=6),
+              st.sampled_from(["a", "b", "c"]),
+              st.sampled_from([1.0, 2.0])),
+    max_size=6, unique_by=lambda t: t[0])
+
+
+@given(upd=scd_updates_strategy)
+@SET
+def test_scd2_invariants(spark, upd):
+    """After any update batch: exactly one current row per live key,
+    closed rows outnumber nothing they shouldn't, and the merged
+    table only grows (SCD2 never deletes)."""
+    from simpleetlpipeline_spark.operators.scd import scd2_apply
+
+    base_rows = [(k, "base", 0.0, 1, None) for k in range(1, 4)]
+    base = spark.createDataFrame(
+        base_rows, "k int, attr string, bal double, valid_from int, "
+                   "valid_to int")
+    updates = spark.createDataFrame(
+        upd or [(99, "x", 9.9)], "k int, attr string, bal double")
+    out = scd2_apply(base, updates, ["k"], ["attr", "bal"], version=2)
+    rows = out.collect()
+    assert len(rows) >= len(base_rows), "SCD2 never deletes"
+    current = [r for r in rows if r.valid_to is None]
+    per_key = {}
+    for r in current:
+        per_key[r.k] = per_key.get(r.k, 0) + 1
+    assert all(v == 1 for v in per_key.values()), \
+        "exactly one current row per key"
+    live_keys = {r[0] for r in base_rows} | {u[0] for u in (upd or [(99,)])}
+    assert set(per_key) == live_keys, "every key stays queryable"
+    for r in rows:
+        if r.valid_to is not None:
+            assert r.valid_to > r.valid_from, "closed ranges are ordered"
