@@ -57,11 +57,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up: JVM JIT, codegen, parquet footer caches — the flagship
-    # query for the read path, a minimum-scale pipeline cycle (the
-    # generator scale floor: 0.2x the reference sizes, ~400 customers)
-    # for the CSV-write/quality/metadata paths.
+    # query for the read path, a TARGET-SCALE pipeline cycle for the
+    # CSV-write/quality/metadata paths. Target scale matters: the
+    # first at-volume cycle in a session pays ~7s of JIT tiering that
+    # a minimum-scale cycle does not trigger (measured: tiny-warm then
+    # sf0.1 cycle = 8.5-10.9s; second at-volume cycle = 3.0-3.4s
+    # steady state) — session bring-up, not data throughput, so it
+    # belongs in warm-up like the streaming/Python-pool bring-ups.
     catalog.QUERIES["top_products"](spark, sf_dir).collect()
-    catalog.QUERIES["etl_pipeline_run"](spark, "sf0.0001").collect()
+    catalog.QUERIES["etl_pipeline_run"](spark, sf_dir).collect()
     # ...and one tiny stream so the first measured streaming query
     # isn't charged the state-store/streaming-machinery bring-up.
     catalog.QUERIES["streaming_events_hourly"](

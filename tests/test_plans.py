@@ -100,7 +100,11 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # kmeans collects k x dim centroids per
                            # round; the exact CC counts its edge list
                            # to pick the union-find/propagation regime
-                           "kmeans_assign", "dedup_clusters_exact")}
+                           "kmeans_assign", "dedup_clusters_exact",
+                           # freqItems materializes its one-row
+                           # sketch at construction (sanctioned
+                           # one-row collect, functions/sketches.py)
+                           "heavy_hitter_users")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
@@ -364,8 +368,13 @@ def test_large_volume_orders_agg_below_join(spark, sf_dir):
 
 
 def test_copurchase_pairs_topk(spark, sf_dir):
+    """Posting-list form: no self-join (pairs are emitted from the
+    per-order basket array), exactly two shuffles (basket build +
+    pair count), top-N as TakeOrderedAndProject."""
     plan = _plan(QUERIES["copurchase_pairs"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, "LIMIT must plan as top-k"
+    assert "Join" not in plan, "pair emission must not self-join"
+    assert plan.count("Exchange") == 2
 
 
 def test_latest_event_per_user_single_shuffle(spark, sf_dir):

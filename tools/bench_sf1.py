@@ -37,6 +37,7 @@ HEAVY_TAIL = [
     "dedup_simhash",
     "tfidf_top_terms",
     "doc_logprob",
+    "bigram_pmi",
     "ann_topk",
     "ann_ivf_topk",
     "embedding_neardup_lsh",
