@@ -48,7 +48,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
+    # Determinism sweep knob: running the whole gate under a hostile
+    # partitioning (e.g. SPARK_GRAFT_ORACLE_SHUFFLE=3) changes every
+    # aggregate's fold order — any query whose hashed floats depend on
+    # accumulation order (the doc_logprob bug class) fails HERE before
+    # the driver's gate can catch it under its own partitioning.
+    import os
+
+    spark = get_spark(
+        "oracle-check",
+        cpus=int(os.environ.get("SPARK_GRAFT_ORACLE_CPUS", "8")),
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_ORACLE_SHUFFLE", "8")))
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
