@@ -1,0 +1,148 @@
+"""Pluggable Python data source: a JSONL event-log reader.
+
+The reference's only external source is a CSV file handed to pandas
+(S1, main.py:377-400). A migrating pipeline's other ubiquitous feed
+is newline-delimited JSON logs; this module implements that feed as
+a FIRST-CLASS Spark source via the Python DataSource API (Spark 4):
+partition planning (one input partition per log file — the scan
+parallelism unit), declared schema, and genuine filter pushdown
+(`event_type` predicates are evaluated inside the source, so Spark
+never materializes the dropped rows, and file-name date filters
+prune whole files before they are opened — the Python-source analog
+of parquet row-group pruning and Hive partition pruning).
+
+At 100 TB this is the shape that matters: the source must expose
+enough partitions to saturate the cluster (per-file here; a real
+deployment splits by byte range), and pushdown must reach the
+source, because a Python source that ships every row to the JVM
+just to be filtered loses by the Arrow-transfer cost alone.
+
+Not a catalog query: the catalog reads driver testdata; this source
+is exercised end-to-end by tests/test_sources.py (write JSONL →
+register → read with pushed filters → compare against the DataFrame
+JSON reader).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+#: Declared schema of one JSONL event record (mirrors the events
+#: testdata table minus the nanos timestamp — ts rides as ISO string
+#: and is cast by the caller, keeping the source dependency-free).
+JSONL_EVENTS_SCHEMA = (
+    "event_id bigint, ts string, user_id bigint, "
+    "event_type string, value double"
+)
+
+#: Log files are named <anything>-YYYY-MM-DD.jsonl; an EqualTo/In
+#: filter on `day` prunes files without opening them.
+_FILE_DAY_RE = re.compile(r"(\d{4}-\d{2}-\d{2})\.jsonl$")
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonlEventsReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_events: option 'path' is required")
+        self.schema = schema
+        self.type_filter: set[str] | None = None
+        self.day_filter: set[str] | None = None
+
+    # -- pushdown ----------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb event_type equality/IN filters (row-level, applied
+        while parsing) and day equality/IN filters (file-level: whole
+        files are pruned in partitions()). Everything else is
+        returned for Spark to evaluate post-scan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                self.type_filter = {f.value}
+            elif isinstance(f, In) and f.attribute == ("event_type",):
+                self.type_filter = set(f.value)
+            elif isinstance(f, EqualTo) and f.attribute == ("day",):
+                self.day_filter = {f.value}
+            elif isinstance(f, In) and f.attribute == ("day",):
+                self.day_filter = set(f.value)
+            else:
+                yield f
+
+    # -- partition planning -----------------------------------------
+    def partitions(self) -> list[_FilePartition]:
+        files = sorted(
+            os.path.join(self.path, n) for n in os.listdir(self.path)
+            if n.endswith(".jsonl"))
+        if self.day_filter is not None:
+            files = [
+                p for p in files
+                if (m := _FILE_DAY_RE.search(p))
+                and m.group(1) in self.day_filter
+            ]
+        # One partition per file: the planning unit a real source
+        # would further split by byte range. Empty dir -> one empty
+        # partition (Spark requires >= 1).
+        return [_FilePartition(p) for p in files] or [_FilePartition("")]
+
+    # -- execution ---------------------------------------------------
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return
+        m = _FILE_DAY_RE.search(partition.path)
+        day = m.group(1) if m else None
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if (self.type_filter is not None
+                        and rec.get("event_type") not in self.type_filter):
+                    continue
+                yield (
+                    rec.get("event_id"), rec.get("ts"),
+                    rec.get("user_id"), rec.get("event_type"),
+                    rec.get("value"), day,
+                )
+
+
+class JsonlEventsDataSource(DataSource):
+    """`spark.read.format("jsonl_events").option("path", dir).load()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_events"
+
+    def schema(self) -> str:
+        return JSONL_EVENTS_SCHEMA + ", day string"
+
+    def reader(self, schema: StructType) -> JsonlEventsReader:
+        return JsonlEventsReader(self.options, schema)
+
+
+def register_jsonl_events(spark) -> None:
+    """Idempotent registration of the source with a session.
+
+    Python-source filter pushdown ships behind a conf flag (off by
+    default in Spark 4.1); a reader that implements pushFilters()
+    hard-errors without it, so registration turns it on (runtime-
+    settable SQL conf)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(JsonlEventsDataSource)

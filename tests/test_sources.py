@@ -1,0 +1,91 @@
+"""End-to-end tests for the pluggable JSONL event-log source
+(sources.py): schema contract, per-file partition planning, row-level
+event_type pushdown, and file-level day pruning."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.sources import register_jsonl_events
+
+ROWS = [
+    # (file_day, event_id, user_id, event_type, value)
+    ("2026-01-01", 1, 10, "view", 1.0),
+    ("2026-01-01", 2, 10, "click", 2.0),
+    ("2026-01-01", 3, 11, "purchase", 30.0),
+    ("2026-01-02", 4, 11, "view", 1.5),
+    ("2026-01-02", 5, 12, "view", 2.5),
+    ("2026-01-02", 6, 12, "error", 0.0),
+]
+
+
+def _write_logs(root) -> str:
+    d = str(root / "logs")
+    os.makedirs(d, exist_ok=True)
+    by_day: dict[str, list] = {}
+    for day, eid, uid, etype, val in ROWS:
+        by_day.setdefault(day, []).append(
+            {"event_id": eid, "ts": f"{day}T00:00:0{eid}",
+             "user_id": uid, "event_type": etype, "value": val})
+    for day, recs in by_day.items():
+        with open(os.path.join(d, f"app-{day}.jsonl"), "w") as fh:
+            for r in recs:
+                fh.write(json.dumps(r) + "\n")
+    return d
+
+
+def test_jsonl_source_reads_all(spark, tmp_path):
+    d = _write_logs(tmp_path)
+    register_jsonl_events(spark)
+    df = spark.read.format("jsonl_events").option("path", d).load()
+    rows = sorted(df.collect(), key=lambda r: r.event_id)
+    assert len(rows) == len(ROWS)
+    assert rows[0].event_type == "view" and rows[0].day == "2026-01-01"
+    assert rows[5].value == 0.0 and rows[5].day == "2026-01-02"
+    # one planned partition per file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_jsonl_source_type_pushdown(spark, tmp_path):
+    d = _write_logs(tmp_path)
+    register_jsonl_events(spark)
+    df = (spark.read.format("jsonl_events").option("path", d).load()
+          .filter(F.col("event_type") == "view"))
+    assert sorted(r.event_id for r in df.collect()) == [1, 4, 5]
+    # the equality predicate was absorbed by the source: the only
+    # Filter left above the scan is the residual isnotnull guard
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "= view" not in plan and "EqualTo" not in plan, plan
+    assert "isnotnull" in plan, "residual non-pushed guard stays with Spark"
+
+
+def test_jsonl_source_day_prunes_files(spark, tmp_path):
+    d = _write_logs(tmp_path)
+    register_jsonl_events(spark)
+    df = (spark.read.format("jsonl_events").option("path", d).load()
+          .filter(F.col("day") == "2026-01-02"))
+    assert sorted(r.event_id for r in df.collect()) == [4, 5, 6]
+    # file-level pruning: only the matching file is planned
+    assert df.rdd.getNumPartitions() == 1
+
+
+def test_jsonl_source_matches_native_json_reader(spark, tmp_path):
+    d = _write_logs(tmp_path)
+    register_jsonl_events(spark)
+    custom = (spark.read.format("jsonl_events").option("path", d).load()
+              .select("event_id", "user_id", "event_type", "value"))
+    native = (spark.read.json(os.path.join(d, "*.jsonl"))
+              .select("event_id", "user_id", "event_type", "value"))
+    assert sorted(map(tuple, custom.collect())) \
+        == sorted(map(tuple, native.collect()))
+
+
+def test_jsonl_source_empty_dir(spark, tmp_path):
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    register_jsonl_events(spark)
+    df = spark.read.format("jsonl_events").option("path", d).load()
+    assert df.count() == 0
