@@ -532,3 +532,59 @@ ORACLE_SQL["snapshot_diff"] = """
                WHEN n.c_custkey IS NULL THEN 'removed'
                WHEN o.bal != n.bal THEN 'changed' END IS NOT NULL
 """
+
+
+def user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining: the first-order Markov transition matrix over
+    per-user event paths — for each (from_type, to_type) pair of
+    CONSECUTIVE events of one user, the count and the conditional
+    transition probability. The behavioral model behind funnels,
+    next-action prediction, and bot detection.
+
+    Plan: one shuffle keyed by user for the lag() ordering (per-user
+    groups are bounded by per-user activity — no global sort), then a
+    hash agg to the |types|^2 matrix, then the probability division
+    on the tiny aggregated frame (window over from_type partitions of
+    at most |types| rows). Counts are exact ints, so the probability
+    is one deterministic division, floored at 4dp in both engines.
+    """
+    from pyspark.sql import Window
+
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_from = Window.partitionBy("from_type")
+    prob = (F.col("n_transitions")
+            / F.sum("n_transitions").over(w_from) * 10000)
+    return pairs.select(
+        "from_type", "to_type", "n_transitions",
+        (F.floor(prob) / 10000).alias("transition_prob"))
+
+
+QUERIES["user_path_transitions"] = user_path_transitions
+
+ORACLE_SQL["user_path_transitions"] = """
+    WITH p AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS from_type,
+               event_type AS to_type
+        FROM events
+    ), m AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM p WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           floor(CAST(n_transitions AS DOUBLE)
+                 / sum(n_transitions) OVER (PARTITION BY from_type)
+                 * 10000) / 10000 AS transition_prob
+    FROM m
+"""
