@@ -65,13 +65,23 @@ QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # rows-only (driver loop)
 #   3. rows-only family (seeded-hash LSH/SRP candidates, stateful
 #      streaming, the driver-loop ETL run) — covered by pytest
 #      (planted-cluster structure tests, recall-vs-exact tests).
+# Second-wave round-4 rotation (same policy, applied to the fresh
+# surface): six round-4 queries — all verified by the local replica
+# at sf0.01 AND sf0.1 AND under the hostile-partitioning sweep
+# (SPARK_GRAFT_ORACLE_SHUFFLE=3), all integer/pre-rounded-stable —
+# took the slots of six cheap veterans that were driver-green in
+# BOTH round 2 and round 3 (quality_profile, events_recent_24h,
+# sql_monthly_sales, orders_sample_hash, events_type_rollup,
+# events_pivot_daily), which retire to tier 2 with two rounds of
+# driver-grade history.
 GATE_PREFIX = (
     "top_products", "monthly_sales", "pricing_summary", "customer_rollup",
     "orphan_lineitems", "supplier_geo_rollup", "ship_latency_monthly",
-    "events_funnel", "quality_profile", "validation_rules",
-    "events_hourly", "events_recent_24h", "events_sessionization",
-    "sql_monthly_sales", "orders_sample_hash", "events_type_rollup",
-    "dedup_incremental", "events_pivot_daily", "revenue_by_nation",
+    "events_funnel", "promo_revenue_monthly", "validation_rules",
+    "events_hourly", "late_ship_orders", "events_sessionization",
+    "latest_event_per_user", "events_props_stats",
+    "monthly_sales_incremental",
+    "dedup_incremental", "user_path_transitions", "revenue_by_nation",
     "events_conversion_window", "repeat_status_customers",
     "order_value_percentiles", "sales_rollup", "customer_order_ranks",
     "monthly_revenue_running", "events_asof_purchase", "doc_stats",
