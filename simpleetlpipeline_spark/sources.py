@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -136,6 +137,9 @@ class JsonlEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> JsonlEventsReader:
         return JsonlEventsReader(self.options, schema)
 
+    def simpleStreamReader(self, schema: StructType):
+        return JsonlEventsStreamReader(self.options)
+
 
 def register_jsonl_events(spark) -> None:
     """Idempotent registration of the source with a session.
@@ -146,3 +150,68 @@ def register_jsonl_events(spark) -> None:
     settable SQL conf)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlEventsDataSource)
+
+
+class JsonlEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the JSONL log source: every NEW log file in
+    the directory becomes part of the next micro-batch — the
+    log-shipping pattern (rotated files are immutable once written,
+    which is exactly the determinism the offset contract needs).
+
+    Offset = the sorted list of fully-consumed file names. read()
+    consumes everything new and advances the offset;
+    readBetweenOffsets() replays the file-name difference for
+    recovery, byte-identical because files never mutate. At real
+    scale the offset would be a compacted high-watermark over
+    date-partitioned paths rather than an explicit list.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_events: option 'path' is required")
+
+    def initialOffset(self) -> dict:
+        return {"done": []}
+
+    def _files(self) -> list[str]:
+        return sorted(
+            n for n in os.listdir(self.path) if n.endswith(".jsonl"))
+
+    def _rows_of(self, names):
+        # A list ITERATOR, not a generator and not a bare list: the
+        # simple-stream wrapper next()s the returned object and
+        # pickles it into its prefetch/replay cache — generators
+        # don't pickle, bare lists aren't iterators, list iterators
+        # are both.
+        out = []
+        for name in names:
+            m = _FILE_DAY_RE.search(name)
+            day = m.group(1) if m else None
+            with open(os.path.join(self.path, name),
+                      encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    out.append((
+                        rec.get("event_id"), rec.get("ts"),
+                        rec.get("user_id"), rec.get("event_type"),
+                        rec.get("value"), day,
+                    ))
+        return iter(out)
+
+    def read(self, start: dict):
+        done = set(start.get("done", []))
+        new = [n for n in self._files() if n not in done]
+        end = {"done": sorted(done | set(new))}
+        return self._rows_of(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        done = set(start.get("done", []))
+        return self._rows_of(
+            [n for n in end.get("done", []) if n not in done])
+
+    def commit(self, end: dict) -> None:
+        pass  # files are never deleted by the reader
