@@ -410,3 +410,47 @@ def test_events_hourly_gapfill_spine_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert df.filter(F.col("n_events") == 0).count() > 0, \
         "gap fill must materialize idle buckets as zero rows"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session's skew-join conf must actually fire: a join where
+    one key owns ~all rows gets its hot partition split at runtime
+    (AQE rewrites the sort-merge join with skew=true). Thresholds are
+    lowered so the test corpus qualifies as 'skewed' without
+    generating gigabytes — the mechanism under test is identical."""
+    conf_keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin."
+            "skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        # force a shuffled join: broadcast would hide the skew path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # one key owns ~95% of rows and carries a fat payload; no
+        # keyed aggregate ABOVE the join (that would pin the join's
+        # hash distribution and make AQE decline the split)
+        hot = spark.range(200_000).selectExpr(
+            "CASE WHEN id % 20 != 0 THEN 0 ELSE id % 20 END AS k",
+            "repeat('x', CASE WHEN id % 20 != 0 THEN 120 ELSE 1 END) "
+            "AS payload")
+        dim = spark.range(20).selectExpr("id AS k", "id * 10 AS v")
+        joined = hot.join(dim, "k")
+        assert len(joined.collect()) == 200_000, "join stays correct"
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, \
+            f"AQE must split the hot partition; got:\n{plan[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
