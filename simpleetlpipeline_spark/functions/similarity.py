@@ -717,3 +717,62 @@ ORACLE_SQL["embedding_quantize"] = f"""
            CAST(list_max(qv) AS BIGINT) AS q_max
     FROM q
 """
+
+
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str,
+                            threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: cluster the embedding near-dup
+    pair graph into connected components and emit the keep/drop
+    manifest (canonical = min vec_id per component, full sorted
+    member list) — the embedding-space twin of the text pipeline's
+    dedup_clusters_exact, sharing its connected_components engine
+    (driver union-find below the edge threshold, distributed
+    min-label propagation above).
+
+    This composition is the capability a training-data pipeline
+    actually runs: near-dup PAIRS alone over-remove (dropping both
+    ends) or under-remove (keeping chains); the component manifest
+    keeps exactly one representative per semantic cluster. At scale
+    swap the exact pair stage for embedding_neardup_lsh — identical
+    pair contract, linear shuffle — with no change here.
+    """
+    from simpleetlpipeline_spark.functions.dedup import connected_components
+
+    pairs = embedding_neardup(spark, sf_dir, threshold)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(
+            F.min("node").alias("keep_vec_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.concat_ws(",", F.array_sort(F.collect_list("node"))
+                        .cast("array<string>")).alias("members"),
+        )
+        .select("keep_vec_id", "cluster_size", "members")
+    )
+
+
+QUERIES["semantic_dedup_clusters"] = semantic_dedup_clusters
+
+ORACLE_SQL["semantic_dedup_clusters"] = f"""
+    WITH RECURSIVE v AS ({_VECS_SQL}),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= {NEARDUP_THRESHOLD}
+    ), sym AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ), reach(n, m) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+        UNION
+        SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+    ), comp AS (
+        SELECT n, min(m) AS component FROM reach GROUP BY n
+    )
+    SELECT CAST(component AS BIGINT) AS keep_vec_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
+    FROM comp GROUP BY component
+"""
