@@ -101,6 +101,7 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # round; the exact CC counts its edge list
                            # to pick the union-find/propagation regime
                            "kmeans_assign", "dedup_clusters_exact",
+                           "semantic_dedup_clusters",
                            # freqItems materializes its one-row
                            # sketch at construction (sanctioned
                            # one-row collect, functions/sketches.py)
