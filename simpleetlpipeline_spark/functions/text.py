@@ -719,3 +719,74 @@ ORACLE_SQL["bigram_pmi"] = f"""
     ORDER BY pmi_lift DESC, tok_a ASC, tok_b ASC
     LIMIT {PMI_TOP_N}
 """
+
+
+def token_char_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) Pearson correlation between a document's
+    whitespace token count and its character count — the corpus-stats
+    sanity scan that catches tokenizer drift or a source whose
+    length distribution went weird.
+
+    Determinism by construction: both variables are INTEGERS, so the
+    five sufficient statistics (n, Sx, Sy, Sxy, Sxx, Syy) are exact
+    integer sums in any aggregation order; the closed-form
+    correlation is then a fixed chain of IEEE ops on identical
+    inputs in both engines (same reason the catalog's built-in
+    corr() is NOT used: engines disagree on the streaming/Welford
+    fold). One hash aggregate with map-side partials, floored 4dp.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    x = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    y = F.length("text")
+    stats = (
+        docs.select("source", "lang",
+                    x.cast("long").alias("x"), y.cast("long").alias("y"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+             F.sum(F.col("x") * F.col("y")).alias("sxy"),
+             F.sum(F.col("x") * F.col("x")).alias("sxx"),
+             F.sum(F.col("y") * F.col("y")).alias("syy"))
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    den = F.sqrt((F.col("n") * F.col("sxx")
+                  - F.col("sx") * F.col("sx")).cast("double")) \
+        * F.sqrt((F.col("n") * F.col("syy")
+                  - F.col("sy") * F.col("sy")).cast("double"))
+    corr = F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+    return stats.select(
+        "source", "lang", "n",
+        (F.floor(corr * 10000) / 10000).alias("token_char_corr"))
+
+
+QUERIES["token_char_correlation"] = token_char_correlation
+
+ORACLE_SQL["token_char_correlation"] = """
+    WITH s AS (
+        SELECT source, lang,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS x,
+               CAST(length(text) AS BIGINT) AS y
+        FROM documents
+    ), agg AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM s GROUP BY 1, 2
+    )
+    SELECT source, lang, n,
+           floor(CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0
+                      THEN 0.0
+                      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 END * 10000) / 10000 AS token_char_corr
+    FROM agg
+"""

@@ -588,3 +588,35 @@ ORACLE_SQL["user_path_transitions"] = """
                  * 10000) / 10000 AS transition_prob
     FROM m
 """
+
+
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap grid: event counts per (ISO weekday, hour of
+    day) — the seasonality view behind capacity planning and anomaly
+    baselines. One hash aggregate to a fixed 7x24-row grid; weekday
+    is ISO-numbered (1=Monday) explicitly because engines disagree on
+    the default (Spark dayofweek is 1=Sunday, DuckDB dayofweek is
+    0=Sunday — both avoided)."""
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+            "value")
+        .groupBy("iso_dow", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+QUERIES["events_dow_hour_heatmap"] = events_dow_hour_heatmap
+
+ORACLE_SQL["events_dow_hour_heatmap"] = """
+    SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
