@@ -191,3 +191,29 @@ def test_scd2_invariants(spark, upd):
     for r in rows:
         if r.valid_to is not None:
             assert r.valid_to > r.valid_from, "closed ranges are ordered"
+
+
+def test_float_queries_survive_hostile_partitioning():
+    """Gate replica under shuffle_partitions=3 for the most float-
+    sensitive oracled queries: a different partitioning changes every
+    aggregate's fold order, so any hashed column that depends on
+    float accumulation order (the doc_logprob bug class, ADVICE r3)
+    fails HERE before the driver's gate can see it. Subprocess so the
+    hostile session cannot leak conf into the shared fixture."""
+    import subprocess
+    import sys
+
+    queries = [
+        "doc_logprob", "bigram_pmi", "token_char_correlation",
+        "promo_revenue_monthly", "monthly_sales_incremental",
+        "order_value_percentiles",
+    ]
+    r = subprocess.run(
+        [sys.executable, "/root/repo/tools/check_oracle.py",
+         "/root/testdata/sf0.001", *queries],
+        env={**__import__("os").environ,
+             "SPARK_GRAFT_ORACLE_SHUFFLE": "3",
+             "SPARK_GRAFT_ORACLE_CPUS": "4"},
+        capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0 and "0 failures" in r.stdout, \
+        r.stdout[-1500:] + r.stderr[-500:]
