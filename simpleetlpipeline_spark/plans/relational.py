@@ -620,3 +620,69 @@ ORACLE_SQL["events_dow_hour_heatmap"] = """
     FROM events
     GROUP BY 1, 2
 """
+
+
+def order_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows: each order's percent_rank and
+    cume_dist within its status partition — the 'where does this
+    order sit in its cohort' scoring a pricing or fraud model
+    consumes. One shuffle keyed by status; both scores are ratios of
+    exact integer ranks ((rank-1)/(n-1), rows<=x / n), so the floored
+    doubles are engine-identical. Ties share ranks deterministically
+    (value ordering only — no arbitrary id tiebreak needed)."""
+    from pyspark.sql import Window
+
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        (F.floor(F.percent_rank().over(w) * 1_000_000) / 1_000_000)
+        .alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * 1_000_000) / 1_000_000)
+        .alias("cume_dist"),
+    )
+
+
+QUERIES["order_percentile_ranks"] = order_percentile_ranks
+
+ORACLE_SQL["order_percentile_ranks"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           floor(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000) / 1000000 AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+"""
+
+
+def events_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming_event_dedup: within each 30-minute
+    tumbling window, collapse repeated (user, event_type) activity to
+    one canonical row (min event_id) plus the duplicate count — the
+    backfill form of the same dedup the streaming state store runs
+    live, so a replayed history and the live stream agree. One hash
+    aggregate; window bucketing is epoch-aligned arithmetic, no
+    session state."""
+    ensure_session_conf(spark)
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "30 minutes").getField("start")
+            .alias("window_start"),
+            "user_id", "event_type")
+        .agg(F.min("event_id").alias("event_id"),
+             F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+QUERIES["events_dedup_batch"] = events_dedup_batch
+
+ORACLE_SQL["events_dedup_batch"] = """
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+           user_id, event_type,
+           min(event_id) AS event_id,
+           count(*) AS n_occurrences
+    FROM events
+    GROUP BY 1, 2, 3
+"""
