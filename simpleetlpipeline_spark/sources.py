@@ -30,14 +30,18 @@ import os
 import re
 from typing import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -140,6 +144,9 @@ class JsonlEventsDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType):
         return JsonlEventsStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return JsonlEventsWriter(self.options, overwrite)
+
 
 def register_jsonl_events(spark) -> None:
     """Idempotent registration of the source with a session.
@@ -215,3 +222,64 @@ class JsonlEventsStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # files are never deleted by the reader
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class JsonlEventsWriter(DataSourceWriter):
+    """Write side of the source, with the two-phase commit every
+    distributed file sink needs: each task streams its partition
+    into a STAGED file (invisible `.staging-*` name) and reports it
+    in its commit message; only the driver-side commit() renames the
+    staged files into place and writes a `_MANIFEST.json` listing
+    them — so readers never observe a half-written batch and a
+    failed/speculative task's output is just an orphan staging file
+    that abort() removes. The same protocol parquet's
+    FileOutputCommitter runs, in miniature and inspectable."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_events: option 'path' is required")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFile:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path,
+            f".staging-{ctx.taskAttemptId()}-part-{ctx.partitionId()}.jsonl")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {k: row[k] for k in
+                       ("event_id", "ts", "user_id", "event_type", "value")
+                       if k in row.__fields__}
+                fh.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return _StagedFile(staged=staged, rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl") and not name.startswith("."):
+                    os.remove(os.path.join(self.path, name))
+        final, total = [], 0
+        for i, m in enumerate(messages):
+            name = f"events-commit-{i:05d}.jsonl"
+            os.replace(m.staged, os.path.join(self.path, name))
+            final.append(name)
+            total += m.rows
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump({"files": final, "rows": total}, fh)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)

@@ -130,3 +130,46 @@ def test_jsonl_source_streaming_incremental(spark, tmp_path):
     assert sorted(r.event_id for r in both) == [1, 2, 3, 4, 5, 6, 7], \
         "resume must consume ONLY the new file (no replay, no loss)"
     assert {r.day for r in both if r.event_id == 7} == {"2026-01-03"}
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Write side: staged files + driver commit + manifest. After a
+    successful save there are no staging orphans, the manifest counts
+    match, and the source reads back exactly what was written."""
+    d = str(tmp_path / "sink")
+    register_jsonl_events(spark)
+    df = spark.createDataFrame(
+        [(1, "2026-01-01T00:00:01", 10, "view", 1.0),
+         (2, "2026-01-01T00:00:02", 11, "click", 2.0),
+         (3, "2026-01-01T00:00:03", 12, "purchase", 3.0)],
+        "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double").repartition(2)
+    df.write.format("jsonl_events").option("path", d).mode("append").save()
+
+    names = os.listdir(d)
+    assert not any(n.startswith(".staging") for n in names), \
+        "staged files must be renamed away by commit()"
+    manifest = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert manifest["rows"] == 3
+    assert all(f in names for f in manifest["files"])
+
+    back = (spark.read.format("jsonl_events").option("path", d).load()
+            .select("event_id", "ts", "user_id", "event_type", "value"))
+    assert sorted(map(tuple, back.collect())) \
+        == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_sink_overwrite(spark, tmp_path):
+    d = str(tmp_path / "sink2")
+    register_jsonl_events(spark)
+    schema = ("event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+    spark.createDataFrame(
+        [(1, "t", 1, "view", 1.0)], schema).write \
+        .format("jsonl_events").option("path", d).mode("append").save()
+    spark.createDataFrame(
+        [(9, "t", 9, "error", 9.0)], schema).write \
+        .format("jsonl_events").option("path", d).mode("overwrite").save()
+    back = spark.read.format("jsonl_events").option("path", d).load()
+    assert [r.event_id for r in back.collect()] == [9], \
+        "overwrite must replace previously committed files"
