@@ -610,9 +610,18 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: narrow projection, zero shuffles, no RNG state. The
     DuckDB oracle reproduces the ticket exactly (plain integer
     arithmetic — the same determinism contract as corpus_mix_sample).
+
+    doc_id is reduced mod 10000 BEFORE the multiply: (a mod m)*b mod m
+    == a*b mod m, so the ticket is unchanged, but the product is now
+    bounded by 9999*_SPLIT_MULT < 2^45 — without the reduction,
+    doc_id >~ 3.5e9 overflows int64, which Spark (non-ANSI) wraps
+    silently while DuckDB promotes to INT128, silently diverging the
+    split assignment at large corpus ids.
     """
     ensure_session_conf(spark)
-    ticket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MULT), F.lit(10000))
+    ticket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(10000)) * F.lit(_SPLIT_MULT),
+        F.lit(10000))
     split = (
         F.when(ticket < SPLIT_BOUNDS[0], F.lit("train"))
         .when(ticket < SPLIT_BOUNDS[1], F.lit("val"))
@@ -628,9 +637,11 @@ QUERIES["train_split_assign"] = train_split_assign
 
 ORACLE_SQL["train_split_assign"] = f"""
     SELECT doc_id, lang, source,
-           CASE WHEN (doc_id * {_SPLIT_MULT}) % 10000 < {SPLIT_BOUNDS[0]}
+           CASE WHEN ((doc_id % 10000) * {_SPLIT_MULT}) % 10000
+                     < {SPLIT_BOUNDS[0]}
                 THEN 'train'
-                WHEN (doc_id * {_SPLIT_MULT}) % 10000 < {SPLIT_BOUNDS[1]}
+                WHEN ((doc_id % 10000) * {_SPLIT_MULT}) % 10000
+                     < {SPLIT_BOUNDS[1]}
                 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents

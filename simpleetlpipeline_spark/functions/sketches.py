@@ -121,39 +121,61 @@ ORACLE_SQL = {
 
 
 HH_TOP_K = 10
-#: freqItems support: every item with relative frequency > support is
-#: guaranteed present in the sketch output (Karp-Shenker-Papadimitriou
-#: one-pass counters, ~1/support state per partition, mergeable).
+#: Default freqItems support (KSP one-pass counters, ~1/support state,
+#: mergeable): every item with relative frequency > support is
+#: guaranteed present. The guarantee is data-dependent, so the query
+#: tightens support per run (below) rather than trusting this default.
 HH_SUPPORT = 1e-4
+#: State bound: never run freqItems with more than 1/HH_SUPPORT_FLOOR
+#: counters (1e-5 -> 100k entries). If the k-th heavy hitter's share is
+#: below even this, the no-false-negative guarantee cannot be bought at
+#: bounded state and membership is NOT asserted for that run.
+HH_SUPPORT_FLOOR = 1e-5
 
 
 def heavy_hitter_users(spark: SparkSession, sf_dir: str,
-                       k: int = HH_TOP_K,
-                       support: float = HH_SUPPORT) -> DataFrame:
+                       k: int = HH_TOP_K) -> DataFrame:
     """Frequent-items (heavy hitters): the exact top-k users by event
     count (hash-checked, deterministic tie-break) plus a boolean
-    asserting each appears in the freqItems misra-gries-style sketch —
-    the sketch's no-false-negative guarantee for items above the
-    support threshold.
+    asserting each appears in the freqItems misra-gries-style sketch.
+
+    freqItems' no-false-negative guarantee only covers items with
+    relative frequency > support, so support is chosen FROM THE DATA:
+    half the k-th hitter's observed share (capped at HH_SUPPORT,
+    floored at HH_SUPPORT_FLOOR for bounded state). With support
+    strictly below the k-th share the guarantee provably applies to
+    all k rows; if the k-th share is at/below the floor (possible on
+    very flat distributions at large volume) the guarantee cannot be
+    bought at bounded state and sketch_ok degrades to TRUE-by-contract
+    for that run instead of asserting a property the sketch never
+    promised.
 
     The sketch pass is the one that scales: ~1/support counters per
     partition, merged once, no per-user shuffle. The exact top-k
-    (groupBy user -> TakeOrdered) is the oracle witness. The sketch
-    result is one driver row (the sanctioned one-row collect)."""
+    (groupBy user -> TakeOrdered) is the oracle witness; its k-row
+    collect (to learn the k-th share) is the sanctioned small collect.
+    """
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events")
-    sketch = set(
-        events.select("user_id").stat.freqItems(
-            ["user_id"], support).collect()[0][0])
     top = (
         events.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(k)
     )
-    return top.select(
-        "user_id", "n_events",
-        F.col("user_id").isin(sketch).alias("sketch_ok"))
+    top_rows = top.collect()
+    total = events.count()
+    kth_share = (top_rows[-1]["n_events"] / total) if top_rows else 0.0
+    support = min(HH_SUPPORT, kth_share / 2)
+    guaranteed = support > HH_SUPPORT_FLOOR and kth_share > support
+    if guaranteed:
+        sketch = set(
+            events.select("user_id").stat.freqItems(
+                ["user_id"], support).collect()[0][0])
+        ok = F.col("user_id").isin(sketch)
+    else:
+        ok = F.lit(True)
+    return top.select("user_id", "n_events", ok.alias("sketch_ok"))
 
 
 QUERIES["heavy_hitter_users"] = heavy_hitter_users

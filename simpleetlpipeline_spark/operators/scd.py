@@ -47,15 +47,33 @@ def scd2_apply(base: DataFrame, updates: DataFrame,
     - key only in updates           -> inserted as new current row,
     - key only in base              -> kept unchanged,
     - already-closed history rows   -> pass through, never joined.
-    """
+
+    The one-row-per-key contract on `updates` is ENFORCED, not
+    assumed: a duplicate-key batch would fan out the full-outer join
+    and silently emit multiple current rows per key, so the update
+    side carries a per-key window count and raises at execution time
+    on any duplicate (distributed, no driver-side pre-count; the
+    window partitions on the same keys the join shuffles on, and a
+    silent dropDuplicates would pick a nondeterministic winner)."""
+    from pyspark.sql.window import Window
+
     key_cols, attr_cols = list(key_cols), list(attr_cols)
     cur = base.filter(F.col(VALID_TO).isNull())
     closed = base.filter(F.col(VALID_TO).isNotNull())
 
+    kcnt = F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    dup_guard = (
+        F.when(kcnt > 1, F.raise_error(F.concat(
+            F.lit("scd2_apply: duplicate update rows for key ("),
+            F.concat_ws(",", *[F.col(k).cast("string")
+                               for k in key_cols]),
+            F.lit(") — one row per business key required"))))
+        .otherwise(F.lit(True))
+    )
     u = updates.select(
         *key_cols,
         *[F.col(c).alias(f"__u_{c}") for c in attr_cols],
-        F.lit(True).alias("__has_u"),
+        dup_guard.alias("__has_u"),
     )
     j = cur.withColumn("__has_c", F.lit(True)).join(u, key_cols, "full_outer")
 

@@ -478,7 +478,10 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic mutation (every 9th customer's balance credited,
     every 50th dropped, synthetic keys appended) so the diff output
     exercises all three verdicts and both engines rebuild it
-    identically."""
+    identically. Synthetic 'added' keys are the NEGATED custkey:
+    TPC-H custkeys are positive at every SF, so negation can never
+    collide with a real key (a fixed additive offset would collide
+    once 150k*SF crosses it, fanning out the full-outer join)."""
     ensure_session_conf(spark)
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", F.round("c_acctbal", 2).alias("bal"))
@@ -490,7 +493,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("bal")).alias("bal"))
         .unionByName(
             cust.filter(k % 100 == 7)
-            .select((k + 1_000_000).alias("c_custkey"), "bal"))
+            .select((-k).alias("c_custkey"), "bal"))
     )
     old_s = cust.select("c_custkey", F.struct("bal").alias("old"))
     new_s = new.select("c_custkey", F.struct("bal").alias("new"))
@@ -519,7 +522,7 @@ ORACLE_SQL["snapshot_diff"] = """
                     ELSE bal END AS bal
         FROM old WHERE c_custkey % 50 != 0
         UNION ALL
-        SELECT c_custkey + 1000000, bal FROM old
+        SELECT -c_custkey, bal FROM old
         WHERE c_custkey % 100 = 7
     )
     SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,

@@ -58,6 +58,22 @@ JSONL_EVENTS_SCHEMA = (
 _FILE_DAY_RE = re.compile(r"(\d{4}-\d{2}-\d{2})\.jsonl$")
 
 
+def _is_data_file(name: str) -> bool:
+    """Hidden-file filter shared by batch and stream readers.
+
+    '.'-prefixed names are in-flight staging files from the writer's
+    two-phase commit ('.staging-<attempt>-part-<n>.jsonl'); '_'-prefixed
+    names are metadata ('_MANIFEST.json'). A task that dies mid-write
+    leaves its staging file behind (no WriterCommitMessage reaches
+    commit()/abort()), so readers MUST skip them or a retried job's
+    success would silently surface the dead attempt's partial rows —
+    the same convention Hadoop's FileInputFormat hiddenFileFilter
+    enforces for _SUCCESS/_temporary."""
+    return (name.endswith(".jsonl")
+            and not name.startswith(".")
+            and not name.startswith("_"))
+
+
 class _FilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -94,7 +110,7 @@ class JsonlEventsReader(DataSourceReader):
     def partitions(self) -> list[_FilePartition]:
         files = sorted(
             os.path.join(self.path, n) for n in os.listdir(self.path)
-            if n.endswith(".jsonl"))
+            if _is_data_file(n))
         if self.day_filter is not None:
             files = [
                 p for p in files
@@ -183,7 +199,7 @@ class JsonlEventsStreamReader(SimpleDataSourceStreamReader):
 
     def _files(self) -> list[str]:
         return sorted(
-            n for n in os.listdir(self.path) if n.endswith(".jsonl"))
+            n for n in os.listdir(self.path) if _is_data_file(n))
 
     def _rows_of(self, names):
         # A list ITERATOR, not a generator and not a bare list: the
@@ -278,6 +294,15 @@ class JsonlEventsWriter(DataSourceWriter):
             total += m.rows
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
             json.dump({"files": final, "rows": total}, fh)
+        # Sweep staging files orphaned by failed/speculative attempts
+        # that never produced a commit message (abort() only sees
+        # messages from COMPLETED tasks, so a task killed mid-write is
+        # invisible to it). Safe here: at commit() every surviving
+        # task's output has already been os.replace()d to its final
+        # name above, so any remaining '.staging-*' is dead.
+        for name in os.listdir(self.path):
+            if name.startswith(".staging-"):
+                os.remove(os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
         for m in messages:

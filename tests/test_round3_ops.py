@@ -154,3 +154,39 @@ def test_events_value_histogram_constant_type_guard(spark, tmp_path):
     assert flat[0]["bucket"] == 0 and flat[0]["n_events"] == 10
     assert flat[0]["bucket_min"] == 5.0 and flat[0]["bucket_max"] == 5.0
     assert {r["bucket"] for r in out if r["event_type"] == "vary"} != {0}
+
+
+def test_heavy_hitter_support_adapts_to_data(spark, tmp_path, monkeypatch):
+    """freqItems' no-false-negative guarantee only holds for items with
+    share > support, so the query derives support from the k-th
+    hitter's observed share. Controlled skew: membership must be
+    asserted (and hold) for every top-k row. Flat regime (floor raised
+    above any attainable support): sketch_ok degrades to
+    TRUE-by-contract instead of asserting an unpromised property."""
+    import os
+    from datetime import datetime
+
+    from simpleetlpipeline_spark.functions import sketches
+
+    rows = []
+    eid = 0
+    # user 1: 400 events, user 2: 200, users 100..199: 4 each
+    for uid, n in [(1, 400), (2, 200)] + [(u, 4) for u in range(100, 200)]:
+        for _ in range(n):
+            rows.append((eid, datetime(2026, 1, 1), uid, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    out = sketches.heavy_hitter_users(spark, str(tmp_path), k=5).collect()
+    assert [r["user_id"] for r in out][:2] == [1, 2]
+    # k-th hitter share = 4/1000 = 0.004 > support = min(1e-4, 0.002)
+    # -> guarantee applies, membership genuinely asserted
+    assert all(r["sketch_ok"] for r in out)
+
+    # flat regime: raise the state floor above any attainable support
+    monkeypatch.setattr(sketches, "HH_SUPPORT_FLOOR", 1.0)
+    out2 = sketches.heavy_hitter_users(spark, str(tmp_path), k=5).collect()
+    assert all(r["sketch_ok"] for r in out2)

@@ -173,3 +173,44 @@ def test_jsonl_sink_overwrite(spark, tmp_path):
     back = spark.read.format("jsonl_events").option("path", d).load()
     assert [r.event_id for r in back.collect()] == [9], \
         "overwrite must replace previously committed files"
+
+
+def test_readers_skip_orphan_staging_files(spark, tmp_path):
+    """A task killed mid-write leaves a '.staging-*' file that neither
+    commit() nor abort() ever sees (no commit message was produced).
+    Batch and stream readers must treat it as hidden, or a retried
+    job's success would surface the dead attempt's partial rows."""
+    d = _write_logs(tmp_path)
+    # simulate the orphan: a dot-prefixed partial file with rows that
+    # would be duplicates/garbage if read
+    with open(os.path.join(d, ".staging-99-part-0.jsonl"), "w") as fh:
+        fh.write(json.dumps({"event_id": 999, "ts": "x",
+                             "user_id": 1, "event_type": "view",
+                             "value": 1.0}) + "\n")
+    # and writer metadata, which is '_'-prefixed but .json (guard the
+    # filter against a hypothetical '_foo.jsonl' too)
+    with open(os.path.join(d, "_sidecar.jsonl"), "w") as fh:
+        fh.write(json.dumps({"event_id": 998, "ts": "x",
+                             "user_id": 1, "event_type": "view",
+                             "value": 1.0}) + "\n")
+    register_jsonl_events(spark)
+    df = spark.read.format("jsonl_events").option("path", d).load()
+    ids = {r.event_id for r in df.collect()}
+    assert 999 not in ids and 998 not in ids
+    assert len(ids) == len(ROWS)
+
+
+def test_commit_sweeps_orphan_staging(spark, tmp_path):
+    """commit() removes staging leftovers from dead attempts so the
+    directory converges to committed-files-plus-manifest only."""
+    d = str(tmp_path / "sink3")
+    os.makedirs(d)
+    with open(os.path.join(d, ".staging-dead-part-7.jsonl"), "w") as fh:
+        fh.write("{\"event_id\": 1}\n")
+    register_jsonl_events(spark)
+    schema = ("event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double")
+    spark.createDataFrame(
+        [(1, "t", 1, "view", 1.0)], schema).write \
+        .format("jsonl_events").option("path", d).mode("append").save()
+    assert not any(n.startswith(".staging") for n in os.listdir(d))

@@ -197,3 +197,22 @@ def test_scd2_single_join_plan(spark):
                      ["k"], ["attr", "bal"], version=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Join") == 1
+
+
+def test_scd2_duplicate_update_batch_raises(spark):
+    """The one-row-per-business-key contract on the update batch is
+    enforced in-plan: a duplicate-key batch must raise at execution
+    instead of fanning out the full-outer join into multiple current
+    rows per key."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from simpleetlpipeline_spark.operators.scd import scd2_apply
+
+    base = _scd_base(spark, [(1, "a", 10.0, 1, None)])
+    upd = _scd_upd(spark, [(1, "x", 1.0), (1, "y", 2.0)])
+    out = scd2_apply(base, upd, ["k"], ["attr", "bal"], version=2)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as e:
+        out.collect()
+    assert "duplicate update rows" in str(e.value)
