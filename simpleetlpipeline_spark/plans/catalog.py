@@ -74,6 +74,17 @@ QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # rows-only (driver loop)
 # sql_monthly_sales, orders_sample_hash, events_type_rollup,
 # events_pivot_daily), which retire to tier 2 with two rounds of
 # driver-grade history.
+# Third-wave round-5 rotation: the two families that had ZERO
+# driver-grade history — all 8 streaming queries (batch-equivalent
+# plans of the streaming operators, streaming/*.py) and the 3 sketch
+# queries (functions/sketches.py) — take the slots of 11 veterans
+# that were driver-green in BOTH round 3 and round 4
+# (revenue_by_nation, events_conversion_window,
+# repeat_status_customers, order_value_percentiles, sales_rollup,
+# customer_order_ranks, monthly_revenue_running, events_asof_purchase,
+# doc_stats, term_frequencies, tfidf_top_terms -> tier 2). All 11
+# rotated-in entries pre-verified green under the hostile
+# SPARK_GRAFT_ORACLE_SHUFFLE=3 sweep at sf0.01 before rotation.
 GATE_PREFIX = (
     "top_products", "monthly_sales", "pricing_summary", "customer_rollup",
     "orphan_lineitems", "supplier_geo_rollup", "ship_latency_monthly",
@@ -81,12 +92,14 @@ GATE_PREFIX = (
     "events_hourly", "late_ship_orders", "events_sessionization",
     "latest_event_per_user", "events_props_stats",
     "monthly_sales_incremental",
-    "dedup_incremental", "user_path_transitions", "revenue_by_nation",
-    "events_conversion_window", "repeat_status_customers",
-    "order_value_percentiles", "sales_rollup", "customer_order_ranks",
-    "monthly_revenue_running", "events_asof_purchase", "doc_stats",
-    "tokenize_ids", "quality_bins", "doc_logprob", "term_frequencies",
-    "tfidf_top_terms", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_incremental", "user_path_transitions",
+    "streaming_events_hourly", "streaming_events_sliding",
+    "streaming_user_sessions", "streaming_enrich_customers",
+    "streaming_purchase_view_join", "streaming_event_dedup",
+    "streaming_user_totals_stateful", "streaming_totals_to_table",
+    "approx_distinct_users", "quantile_sketch", "heavy_hitter_users",
+    "tokenize_ids", "quality_bins", "doc_logprob",
+    "dedup_exact", "dedup_ngram_jaccard",
     "dedup_pairs_all", "dedup_clusters_exact", "ann_topk",
     "embedding_neardup", "label_centroids", "ann_ivf_topk",
     "media_catalog", "media_meta_extract", "media_frame_sample",

@@ -106,3 +106,72 @@ def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("window.start") == t(9)).first()["n"])
     assert batch == 3
+
+
+def test_totals_sink_restart_resume_idempotent(spark, tmp_path):
+    """The foreachBatch sink's crash-retry window: batch N's snapshot
+    commit lands (pointer swap + _META batch stamp) but the streaming
+    checkpoint commit is lost before it is written. On restart Spark
+    replays batch N with identical contents (same checkpoint => same
+    batch plan); the batch-id guard must SKIP the re-apply, leaving
+    the snapshot equal to the single-run result instead of
+    double-adding the increments."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from simpleetlpipeline_spark.io import read_version_meta
+    from simpleetlpipeline_spark.streaming.sinks import (
+        streaming_totals_to_table,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    rows = [(i, datetime(2026, 1, 1, 0, 0, i % 60), i % 3, "view",
+             float(i), "{}") for i in range(30)]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }),
+        os.path.join(sf_dir, "events.parquet"))
+
+    root = str(tmp_path / "table")
+    once = sorted(map(tuple,
+                      streaming_totals_to_table(spark, sf_dir, root)
+                      .collect()))
+    meta_before = read_version_meta(root)
+
+    # simulate the crash: sink commit kept, checkpoint commit lost
+    # (drop the Hadoop local-FS .crc sidecar too, or the replay's
+    # atomic rename trips over the stale checksum)
+    commits = os.path.join(root, "_chk", "commits")
+    committed = sorted(n for n in os.listdir(commits)
+                       if not n.startswith("."))
+    assert committed, "expected at least one committed batch"
+    os.remove(os.path.join(commits, committed[-1]))
+    crc = os.path.join(commits, f".{committed[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    again = sorted(map(tuple,
+                       streaming_totals_to_table(spark, sf_dir, root)
+                       .collect()))
+    assert again == once, "replayed batch must not double-apply"
+    assert read_version_meta(root) == meta_before, \
+        "skipped replay must not commit a new version"
+
+    # clean restart-from-scratch against a FRESH root matches too
+    fresh = str(tmp_path / "table2")
+    clean = sorted(map(tuple,
+                       streaming_totals_to_table(spark, sf_dir, fresh)
+                       .collect()))
+    assert clean == once
+    shutil.rmtree(root, ignore_errors=True)

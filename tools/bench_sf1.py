@@ -1,18 +1,23 @@
-"""Scale smoke: measure the bench heavy tail at sf0.1 AND the
-upsampled sf1 (tools/make_sf1.py) and record the growth ratio.
+"""Scale smoke: measure the FULL catalog at sf0.1 AND the upsampled
+sf1 (tools/make_sf1.py, all ten tables) and record per-query growth.
 
-The point is the DECADE, not the absolute numbers: every query below
-claims a linear (or n log n) scale story in its docstring, so its
-wall-clock at 10x the data should grow ~10x plus constant overheads.
-The recorded artifact (BENCH_sf1.json) carries both timings, the
-ratio, and a pass/fail flag at ratio <= 15 (10x data, 1.5x allowance
-for fixed per-query overheads, AQE re-planning, and this VM's
-documented 20% run-to-run variance).
+The point is the DECADE, not the absolute numbers: every query's
+docstring claims a linear (or n log n) scale story, so its wall-clock
+at 10x the data should grow ~10x plus constant overheads. The
+recorded artifact (BENCH_sf1.json) carries both timings, the ratio,
+and a pass/fail flag: ratio <= 15 (10x data, 1.5x allowance for fixed
+per-query overheads, AQE re-planning, and this VM's documented ~20%
+run-to-run variance), with an absolute escape at sf1 <= 2.0s —
+overhead-dominated sub-100ms queries can show a large RATIO while
+being trivially fine in absolute terms, and flagging those as
+non-linear would be noise, not signal.
 
-Excluded by design: embedding_neardup (exact all-pairs — quadratic
-by construction and guarded at scale; embedding_neardup_lsh is its
-scale path and IS measured), etl_pipeline_run (generator-driven, has
-its own sf knob).
+Excluded by design (documented, not silent caps):
+- embedding_neardup — exact all-pairs, quadratic by construction and
+  size-guarded; embedding_neardup_lsh is its scale path and IS
+  measured.
+- etl_pipeline_run — generator-driven with its own sf knob; measured
+  by bench.py's etl_records_per_sec instead.
 
 Usage: python tools/bench_sf1.py  (expects make_sf1.py output at
 $SPARK_GRAFT_SF1_DIR, default /tmp/spark_graft_sf1)
@@ -27,34 +32,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: The measured set: the most expensive catalog entries over the
-#: three upsampled tables (documents/embeddings/events).
-HEAVY_TAIL = [
-    "dedup_pairs_all",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_clusters_exact",
-    "dedup_simhash",
-    "tfidf_top_terms",
-    "doc_logprob",
-    "bigram_pmi",
-    "ann_topk",
-    "ann_ivf_topk",
-    "embedding_neardup_lsh",
-    "kmeans_assign",
-    "streaming_purchase_view_join",
-    "streaming_user_totals_stateful",
-]
+EXCLUDE = {"embedding_neardup", "etl_pipeline_run"}
 
 RATIO_LIMIT = 15.0
+ABS_OK_SEC = 2.0
 
 
-def run_set(spark, sf_dir: str) -> dict[str, dict]:
+def run_set(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
     from simpleetlpipeline_spark.cache import release_caches
     from simpleetlpipeline_spark.plans import catalog
 
     out: dict[str, dict] = {}
-    for name in HEAVY_TAIL:
+    for name in names:
         best, n = None, 0
         # Best of 2: a scale RATIO is meaningless if one side ate a
         # one-time cost (codegen for the new plan, GC growth from the
@@ -76,12 +65,14 @@ def run_set(spark, sf_dir: str) -> dict[str, dict]:
 def main() -> None:
     sf01 = "/root/testdata/sf0.1"
     sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
-    if not os.path.exists(os.path.join(sf1, "documents.parquet")):
-        raise SystemExit(f"run tools/make_sf1.py first (no data at {sf1})")
+    if not os.path.exists(os.path.join(sf1, "lineitem.parquet")):
+        raise SystemExit(
+            f"run tools/make_sf1.py first (no full table set at {sf1})")
 
     from simpleetlpipeline_spark.plans import catalog
     from simpleetlpipeline_spark.session import get_spark
 
+    names = [n for n in catalog.QUERIES if n not in EXCLUDE]
     spark = get_spark("bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up (JVM, codegen, Python worker pool, streaming machinery)
@@ -92,25 +83,32 @@ def main() -> None:
     catalog.QUERIES["streaming_events_hourly"](
         spark, "/root/testdata/sf0.001").collect()
 
-    t01 = run_set(spark, sf01)
-    t1 = run_set(spark, sf1)
+    t01 = run_set(spark, sf01, names)
+    t1 = run_set(spark, sf1, names)
 
     queries = {}
-    worst = 0.0
-    for name in HEAVY_TAIL:
+    for name in names:
         a, b = t01[name], t1[name]
         ratio = round(b["sec"] / max(a["sec"], 1e-3), 2)
-        worst = max(worst, ratio)
+        ok = ratio <= RATIO_LIMIT or b["sec"] <= ABS_OK_SEC
         queries[name] = {
             "sf0.1_sec": a["sec"], "sf1_sec": b["sec"],
             "sf0.1_rows": a["rows"], "sf1_rows": b["rows"],
-            "ratio": ratio, "linear_ok": ratio <= RATIO_LIMIT,
+            "ratio": ratio, "linear_ok": ok,
         }
+    # Headline = worst ratio among queries doing real sf1 work; the
+    # overhead-dominated tail would otherwise own the number.
+    heavy = [q["ratio"] for q in queries.values()
+             if q["sf1_sec"] > ABS_OK_SEC]
+    worst = max(heavy or [max(q["ratio"] for q in queries.values())])
     result = {
         "metric": "sf1_over_sf0.1_runtime_ratio",
         "value": worst,
         "unit": "ratio",
         "ratio_limit": RATIO_LIMIT,
+        "abs_ok_sec": ABS_OK_SEC,
+        "n_queries": len(names),
+        "excluded": sorted(EXCLUDE),
         "all_linear_ok": all(q["linear_ok"] for q in queries.values()),
         "queries": queries,
     }
@@ -118,7 +116,12 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_sf1.json"), "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")
-    print(json.dumps(result, separators=(",", ":")))
+    print(json.dumps({k: v for k, v in result.items() if k != "queries"},
+                     separators=(",", ":")))
+    worst_5 = sorted(queries.items(), key=lambda kv: -kv[1]["ratio"])[:5]
+    for n, q in worst_5:
+        print(f"  {n}: {q['sf0.1_sec']}s -> {q['sf1_sec']}s "
+              f"(x{q['ratio']}, ok={q['linear_ok']})")
     spark.stop()
 
 

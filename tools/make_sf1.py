@@ -93,6 +93,49 @@ def upsample_events(ev: DataFrame) -> DataFrame:
     return _union_copies(ev, copy_k)
 
 
+def upsample_keyed(key_cols: tuple[str, ...]):
+    """Generic TPC-H fact/dim upsampler: every copy offsets its id
+    columns by k*STRIDE CONSISTENTLY across tables (customer key k in
+    orders matches customer key k in customer), so join fan-in per key
+    is identical to sf0.1 and the total workload is exactly 10x — the
+    same null hypothesis as the documents upsampler. Non-key columns
+    (dates, amounts, enums) ride unchanged: per-group bucket counts
+    stay fixed while rows-per-bucket grow 10x, which is how TPC-H
+    itself scales."""
+    def up(df: DataFrame) -> DataFrame:
+        def copy_k(d, k):
+            if k == 0:
+                return d
+            return d.select(*[
+                (F.col(c) + k * STRIDE).alias(c) if c in key_cols
+                else F.col(c)
+                for c in d.columns])
+        return _union_copies(df, copy_k)
+    return up
+
+
+def passthrough(df: DataFrame) -> DataFrame:
+    """region/nation are constant-size at every TPC-H SF — copying
+    them unchanged IS the faithful scale behavior (and keeps the
+    nation/region broadcast joins broadcast-sized, as at 100 TB)."""
+    return df
+
+
+#: All ten driver tables; single-file layout matching the testdata.
+UPSAMPLERS = [
+    ("region", passthrough),
+    ("nation", passthrough),
+    ("customer", upsample_keyed(("c_custkey",))),
+    ("supplier", upsample_keyed(("s_suppkey",))),
+    ("part", upsample_keyed(("p_partkey",))),
+    ("orders", upsample_keyed(("o_orderkey", "o_custkey"))),
+    ("lineitem", upsample_keyed(("l_orderkey", "l_partkey", "l_suppkey"))),
+    ("documents", upsample_documents),
+    ("embeddings", upsample_embeddings),
+    ("events", upsample_events),
+]
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = (sys.argv[2] if len(sys.argv) > 2
@@ -103,9 +146,7 @@ def main() -> None:
     spark = get_spark("make-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
-    for name, up in [("documents", upsample_documents),
-                     ("embeddings", upsample_embeddings),
-                     ("events", upsample_events)]:
+    for name, up in UPSAMPLERS:
         # Single-FILE tables, exactly like the driver testdata layout:
         # the streaming source globs on the literal file name
         # (pathGlobFilter=events.parquet), so a directory table would
