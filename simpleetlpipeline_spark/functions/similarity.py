@@ -368,19 +368,39 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     re-runs the SRP kernel over the whole corpus. It is also the
     NARROW frame (vec_id, band-bucket) — the candidate self-join
     shuffles 16 bytes per row per band, never the 64-dim payload;
-    vectors join back by id only for the exact-cosine verify of the
-    surviving candidate pairs.
+    the 64-dim vectors are consulted only for the exact-cosine
+    verify of the surviving candidate pairs (broadcast matrix below
+    the size gate, id-joins above it).
     """
     ensure_session_conf(spark)
     from simpleetlpipeline_spark.cache import track
 
+    small = _table_bytes(sf_dir, "embeddings") <= EXACT_NEARDUP_MAX_BYTES
     raw = fan_out(read_table(spark, sf_dir, "embeddings"))
     groups = collapse_exact_groups(raw, "vec_id", "embedding")
-    star = star_pairs(raw, groups, "vec_id", "embedding").withColumn(
-        "cosine_sim", F.lit(1.0))
-    vecs = (groups
-            .select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
-            .withColumn("nrm", l2_norm(F.col("e"))))
+    vecs_n = track(
+        groups.select("vec_id",
+                      as_double_vec(F.col("embedding")).alias("e"),
+                      "n_copies")
+        .withColumn("nrm", l2_norm(F.col("e")))
+        .persist())
+    vecs = vecs_n.drop("n_copies")
+    pdf = None
+    if small:
+        # One materialization feeds everything below the gate: the
+        # collapse shuffle runs once into the cache, the collect is
+        # the verify matrix, and n_copies rides along so the
+        # exact-duplicate star join is SKIPPED entirely when the
+        # corpus has no bit-identical vectors (the common case) —
+        # previously that join ran unconditionally to produce zero
+        # rows.
+        pdf = vecs_n.select("vec_id", "e", "nrm", "n_copies").toPandas()
+        has_exact_dups = bool((pdf["n_copies"] > 1).any())
+    else:
+        has_exact_dups = True  # unknown without a pass; keep the join
+    star = (star_pairs(raw, groups, "vec_id", "embedding")
+            .withColumn("cosine_sim", F.lit(1.0))
+            if has_exact_dups else None)
     # Constant-occupancy band width (see LSH_TARGET_OCCUPANCY): the
     # self-join candidate count stays ~bands*occ/2 * n — linear —
     # instead of n^2/B at any fixed width.
@@ -392,25 +412,59 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
                         F.explode(bucketer(F.col("e"))).alias("bb")),
             ["bb"], "vec_id", bucket_cap)
         .persist())
-    cand = (
+    raw_pairs = (
         bands.select(F.col("vec_id").alias("a_id"), "bb")
         .join(bands.select(F.col("vec_id").alias("b_id"), "bb"), "bb")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
+    if small:
+        # Broadcast-matrix verify (the round-5 treatment that made
+        # dedup_minhash_lsh 4x faster): while the collapsed corpus
+        # fits the documented broadcast gate, ship the (n x dim)
+        # matrix once per executor and score candidate pairs with one
+        # vectorized numpy gather+einsum per Arrow batch — the verify
+        # stage then moves 16-byte id pairs only, never a 64-double
+        # payload, and skips BOTH the pre-verify distinct shuffle
+        # (scoring a band-duplicate pair is ~free; dedup happens
+        # AFTER the threshold filter on the few surviving rows) and
+        # the two payload joins that previously materialized
+        # |candidates| x dim doubles mid-plan.
+        from pyspark.sql.functions import pandas_udf
+
+        spdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids_sorted = spdf["vec_id"].to_numpy()
+        mat = np.stack(spdf["e"].to_numpy()).astype(np.float64)
+        nrms = spdf["nrm"].to_numpy().astype(np.float64)
+        bc = spark.sparkContext.broadcast((ids_sorted, mat, nrms))
+
+        @pandas_udf("double")
+        def pair_cos(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+            ids_b, m, nr = bc.value
+            ia = np.searchsorted(ids_b, a_s.to_numpy())
+            ib = np.searchsorted(ids_b, b_s.to_numpy())
+            d = np.einsum("ij,ij->i", m[ia], m[ib])
+            # same 4dp floor as cosine() for cross-path stability
+            return pd.Series(
+                np.floor(d / (nr[ia] * nr[ib]) * 10000) / 10000)
+
+        out = (
+            raw_pairs
+            .withColumn("cosine_sim", pair_cos("a_id", "b_id"))
+            .filter(F.col("cosine_sim") >= threshold)
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        return out.unionByName(star) if star is not None else out
+    # Past the broadcast gate the matrix cannot ship to every worker:
+    # dedup candidates first (the distinct pays for itself once each
+    # pair costs a payload join), then verify via two shuffled joins
+    # — candidate volume is corpus-linear and AQE picks the join
+    # strategy from runtime sizes.
+    cand = raw_pairs.distinct()
     a = vecs.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
                     F.col("nrm").alias("a_nrm"))
     b = vecs.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
                     F.col("nrm").alias("b_nrm"))
-    # The deduped candidate set is near-dup-pair-sized — orders of
-    # magnitude smaller than the corpus — so while the corpus itself
-    # is broadcastable-small the verify joins stream the vectors past
-    # a broadcast of the pairs (zero vector shuffles). Past the size
-    # gate, leave it to AQE: candidate volume is corpus-linear and a
-    # forced broadcast could OOM the driver.
-    if _table_bytes(sf_dir, "embeddings") <= EXACT_NEARDUP_MAX_BYTES:
-        cand = F.broadcast(cand)
     return (
         cand.join(a, "a_id").join(b, "b_id")
         .select("a_id", "b_id",
