@@ -24,6 +24,7 @@ md5(text) sees exactly the bytes Spark's payload column holds.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 from collections.abc import Iterator
@@ -436,4 +437,125 @@ ORACLE_SQL["media_feature_extract"] = f"""
            CAST(16 AS INT) AS n_dims,
            CAST(1.0 AS DOUBLE) AS l2_norm
     FROM ({_MEDIA_SQL})
+"""
+
+
+# --- real binaryFile ingest, benched end-to-end ---------------------
+
+#: (doc_id // 10) % 3 -> extension, mirrored in the oracle SQL.
+_INGEST_EXT = {0: "jpg", 1: "mp3", 2: "mp4"}
+
+
+def _ingest_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic on-disk media directory derived from the
+    documents table: one file per doc_id % 10 == 0 document (payload
+    = utf-8 text bytes, extension cycling jpg/mp3/mp4), plus a
+    byte-identical *_copy.* twin for every doc_id % 50 == 0 — planted
+    duplicates so the dedup rollup has real work.
+
+    Built once per (host, sf) under the system temp dir and reused;
+    the build is staged into a sibling dir and os.replace()d so a
+    crashed build can never be mistaken for a complete fixture. The
+    completeness marker lives NEXT TO the directory, not inside it —
+    binaryFile scans everything in the dir."""
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_media_ingest_"
+        + os.path.basename(os.path.normpath(sf_dir)))
+    marker = base + ".complete"
+    if os.path.exists(marker) and os.path.isdir(base):
+        return base
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    tmp = base + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ext = _INGEST_EXT[(doc_id // 10) % 3]
+        data = text.encode("utf-8")
+        with open(os.path.join(tmp, f"doc{doc_id}.{ext}"), "wb") as fh:
+            fh.write(data)
+        if doc_id % 50 == 0:
+            with open(os.path.join(tmp, f"doc{doc_id}_copy.{ext}"),
+                      "wb") as fh:
+                fh.write(data)
+    shutil.rmtree(base, ignore_errors=True)
+    os.replace(tmp, base)
+    with open(marker, "w") as fh:
+        fh.write(str(len(docs)))
+    return base
+
+
+def media_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of the REAL ingest path the 100 TB story
+    depends on: a directory of media files -> binaryFile scan
+    (media_table_from_dir) -> exact-dup detection + byte accounting
+    (one JVM hash aggregate) -> stub decode through the mapInPandas
+    kernel (extract_meta) -> per-type rollup.
+
+    Fully oracle-checkable despite the filesystem hop: the fixture
+    is a pure function of the documents table (see
+    _ingest_fixture_dir), payloads are the documents' utf-8 bytes
+    (so DuckDB's md5(text) sees the same bytes as Spark's
+    md5(payload)), and the decode stub's width formula is
+    reproduced hex-for-hex in SQL. media_id (a path hash, host-
+    dependent) deliberately never reaches the output.
+
+    Scale shape: binaryFile splits per file (no driver listing
+    loop), both aggregates are map-side-combined hash aggs on
+    media_type, and the two scans (dedup pass, decode pass) mirror
+    a real pipeline's separate listing and processing jobs.
+    """
+    ensure_session_conf(spark)
+    root = _ingest_fixture_dir(spark, sf_dir)
+    media = media_table_from_dir(spark, root)
+    base = (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.count_distinct(F.md5("payload"))
+            .alias("n_distinct_payloads"),
+            (F.count(F.lit(1))
+             - F.count_distinct(F.md5("payload"))).alias("n_dup_files"),
+            F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        )
+    )
+    widths = (
+        extract_meta(media)
+        .groupBy("media_type")
+        .agg(F.sum("width").cast("long").alias("total_width"))
+    )
+    return base.join(widths, "media_type")
+
+
+QUERIES["media_ingest_rollup"] = media_ingest_rollup
+
+ORACLE_SQL["media_ingest_rollup"] = f"""
+    WITH sel AS (
+        SELECT doc_id, text,
+               ['image','audio','video']
+                   [CAST((doc_id // 10) % 3 AS INT) + 1] AS media_type
+        FROM documents WHERE doc_id % 10 = 0
+    ), files AS (
+        SELECT media_type, text FROM sel
+        UNION ALL
+        SELECT media_type, text FROM sel WHERE doc_id % 50 = 0
+    )
+    SELECT media_type,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(DISTINCT md5(text)) AS BIGINT)
+               AS n_distinct_payloads,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+               AS n_dup_files,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(sum({_W}) AS BIGINT) AS total_width
+    FROM files
+    GROUP BY 1
 """

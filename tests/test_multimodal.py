@@ -114,3 +114,29 @@ def test_media_table_from_dir_contract(spark, tmp_path):
     fs = sample_frames(media, frame_bytes=16, stride=2).collect()
     for r in fs:
         assert r["n_kept"] == (r["n_frames"] + 1) // 2
+
+
+def test_media_ingest_rollup_binaryfile_path(spark, sf_dir):
+    """The real-ingest catalog entry: fixture dir built from the
+    documents table, scanned via binaryFile, rolled up per type with
+    planted byte-identical duplicates detected."""
+    from simpleetlpipeline_spark.functions.multimodal import (
+        _ingest_fixture_dir,
+        media_ingest_rollup,
+    )
+    import os
+
+    root = _ingest_fixture_dir(spark, sf_dir)
+    n_files = len(os.listdir(root))
+    # sf0.001: 500 docs -> 50 selected (doc_id%10==0) + 10 copies
+    assert n_files == 60
+    rows = {r["media_type"]: r for r in
+            media_ingest_rollup(spark, sf_dir).collect()}
+    assert sorted(rows) == ["audio", "image", "video"]
+    assert sum(r["n_files"] for r in rows.values()) == 60
+    # every planted *_copy.* twin is a duplicate payload
+    assert sum(r["n_dup_files"] for r in rows.values()) >= 10
+    assert all(r["total_bytes"] > 0 and r["total_width"] > 0
+               for r in rows.values())
+    # rebuild is a no-op when the completeness marker exists
+    assert _ingest_fixture_dir(spark, sf_dir) == root
