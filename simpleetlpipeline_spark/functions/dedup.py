@@ -608,17 +608,19 @@ def connected_components(edges: DataFrame, a: str = "a_id",
     The edge count itself is one aggregate over the (persisted) edge
     list, which every round would have to materialize anyway.
     """
-    # Persist the symmetric edge list: every propagation round joins
-    # against it, and without the cache each round would re-run the
-    # entire upstream pair-generation pipeline (MinHash-LSH over the
-    # full corpus) from the parquet scan up.
-    sym = (
+    # Persist the RAW edge list first: the pair-generation pipeline
+    # upstream (MinHash-LSH / blocked scoring over the full corpus)
+    # runs exactly once into this cache, and the regime probe's count
+    # doubles as the materialization. The symmetrized+distinct form
+    # is built only for the distributed regime — union-find merges
+    # both endpoints of a directed edge anyway, so symmetrizing for
+    # the driver path would just double the edge scan and add a
+    # distinct shuffle for nothing.
+    edges_p = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .distinct()
         .persist()
     )
-    n_edges = sym.count()
+    n_edges = edges_p.count()
     if n_edges <= driver_threshold:
         parent: dict = {}
 
@@ -635,7 +637,7 @@ def connected_components(edges: DataFrame, a: str = "a_id",
         # hold hundreds of MB; Arrow lands the edge list as two int64
         # numpy columns (~8 MB at the 500k-edge threshold). Only the
         # union-find dict (distinct nodes, not edges) stays per-object.
-        pdf = sym.toPandas()
+        pdf = edges_p.toPandas()
         for s, d in zip(pdf["src"].to_numpy().tolist(),
                         pdf["dst"].to_numpy().tolist()):
             parent.setdefault(s, s)
@@ -649,9 +651,19 @@ def connected_components(edges: DataFrame, a: str = "a_id",
                     parent[rs] = rd
         out = [(n, find(n)) for n in parent]
         spark = edges.sparkSession
-        sym.unpersist()
+        edges_p.unpersist()
         return spark.createDataFrame(out, "node long, component long")
 
+    # Distributed regime: every propagation round joins against the
+    # symmetric edge list, so IT carries the persist from here on
+    # (built from the already-cached raw edges — one upstream run).
+    sym = (
+        edges_p.union(
+            edges_p.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -689,9 +701,10 @@ def connected_components(edges: DataFrame, a: str = "a_id",
         if changed == 0:
             break
     # final labels are cached + materialized by the last probe, so the
-    # edge cache is no longer needed; the labels cache itself is
+    # edge caches are no longer needed; the labels cache itself is
     # consumed lazily by callers, so the registry owns its release.
     sym.unpersist()
+    edges_p.unpersist()
     return track(labels)
 
 

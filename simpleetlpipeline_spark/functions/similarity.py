@@ -773,6 +773,54 @@ ORACLE_SQL["embedding_quantize"] = f"""
 """
 
 
+def _exact_pairs_blocked(spark: SparkSession, sf_dir: str,
+                         threshold: float,
+                         max_bytes: int = EXACT_NEARDUP_MAX_BYTES
+                         ) -> DataFrame:
+    """Exact all-pairs threshold edges via blocked matrix product:
+    the corpus matrix broadcasts (size-gated, same contract as
+    embedding_neardup), each task scores an Arrow batch of row ids
+    against the whole matrix with one normalized BLAS product, and
+    only the surviving (a_id < b_id) edges come back.
+
+    Same O(n^2) compute as embedding_neardup but ~30x cheaper per
+    pair: one dgemm against 2 x n x dim interpreted JVM folds per
+    pair, and the only rows that ever cross the wire are actual
+    edges. Emits the THRESHOLD DECISION only (no cosine column):
+    callers that need hash-stable cosine values (the oracled
+    embedding_neardup) keep the JVM fold, whose float order DuckDB
+    reproduces exactly; a >= threshold decision is float-order-safe
+    for any threshold not sitting inside the two folds' noise band.
+    """
+    n_bytes = _table_bytes(sf_dir, "embeddings")
+    if n_bytes > max_bytes:
+        raise ValueError(
+            f"exact all-pairs scoring broadcasts the full corpus "
+            f"({n_bytes} bytes > max_bytes={max_bytes}); use "
+            f"embedding_neardup_lsh-shaped blocking at this scale")
+    vecs = _vectors(spark, sf_dir)
+    pdf = (vecs.select("vec_id", "e", "nrm").toPandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    ids_sorted = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+    mat = mat / pdf["nrm"].to_numpy().astype(np.float64)[:, None]
+    bc = spark.sparkContext.broadcast((ids_sorted, mat))
+
+    def score(batches):
+        ids_b, m = bc.value
+        for pdf_b in batches:
+            row_ids = pdf_b["vec_id"].to_numpy()
+            ia = np.searchsorted(ids_b, row_ids)
+            sims = m[ia] @ m.T
+            bi, bj = np.nonzero(sims >= threshold)
+            keep = ids_b[bj] > row_ids[bi]
+            yield pd.DataFrame({"a_id": row_ids[bi][keep],
+                                "b_id": ids_b[bj][keep]})
+
+    return vecs.select("vec_id").mapInPandas(
+        score, "a_id long, b_id long")
+
+
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str,
                             threshold: float = NEARDUP_THRESHOLD) -> DataFrame:
     """SemDeDup-shaped semantic dedup: cluster the embedding near-dup
@@ -786,13 +834,15 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str,
     This composition is the capability a training-data pipeline
     actually runs: near-dup PAIRS alone over-remove (dropping both
     ends) or under-remove (keeping chains); the component manifest
-    keeps exactly one representative per semantic cluster. At scale
-    swap the exact pair stage for embedding_neardup_lsh — identical
-    pair contract, linear shuffle — with no change here.
+    keeps exactly one representative per semantic cluster. The pair
+    stage is the blocked-BLAS exact scorer (_exact_pairs_blocked —
+    only membership matters here, not hash-stable cosine values); at
+    scale swap it for embedding_neardup_lsh — identical pair
+    contract, linear shuffle — with no change here.
     """
     from simpleetlpipeline_spark.functions.dedup import connected_components
 
-    pairs = embedding_neardup(spark, sf_dir, threshold)
+    pairs = _exact_pairs_blocked(spark, sf_dir, threshold)
     comps = connected_components(pairs)
     return (
         comps.groupBy("component")
