@@ -981,3 +981,88 @@ ORACLE_SQL["dedup_incremental"] = f"""
            (base.text_md5 IS NOT NULL) AS is_dup
     FROM batch b LEFT JOIN base USING (text_md5)
 """
+
+
+# ----------------------------------------------- shared-window dedup
+
+#: Window length (tokens) for exact-substring overlap detection. Long
+#: enough that a shared window is essentially never coincidence
+#: (boilerplate shorter than this is df-capped away anyway), short
+#: enough to catch partial-overlap duplication Jaccard dilutes.
+SUBSTR_WINDOW = 12
+
+
+def dedup_shared_windows(spark: SparkSession, sf_dir: str,
+                         window: int = SUBSTR_WINDOW,
+                         df_cap: int = DF_CAP) -> DataFrame:
+    """Exact-substring overlap pairs: documents sharing at least one
+    verbatim `window`-token run, with the count of distinct shared
+    windows — the window-granular approximation of suffix-array exact
+    substring dedup (the dedup class that catches a paragraph copied
+    into an otherwise-unrelated document, which whole-doc Jaccard
+    (dedup_pairs_all) dilutes below threshold and MinHash rarely
+    samples).
+
+    Same engine shape as dedup_pairs_all, reusing its bounded-memory
+    machinery on long windows instead of 3-gram shingles: chained
+    token-hash windows (O(tokens) arithmetic, no string building;
+    hash equality == window-string equality modulo 2^-64), df-capped
+    posting lists (windows in more than df_cap docs are boilerplate
+    and drop), C(df,2) ordered pair emission per list. One shuffle on
+    the 64-bit window hash, one on the pair key; fan-out bounded at
+    C(df_cap, 2) per window at any corpus size.
+    """
+    ensure_session_conf(spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        word_ngram_hashes_col(F.col("text"), window).alias("grams"))
+    ex = docs.select("doc_id", F.explode("grams").alias("g"))
+    kept = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= df_cap).select("g"))
+    kg = (
+        ex.join(kept, "g")
+        .groupBy("g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    )
+    pair_structs = F.flatten(F.transform(
+        "ids",
+        lambda a, i: F.transform(
+            F.slice("ids", i + 2, F.size("ids")),
+            lambda b: F.struct(a.alias("a_id"), b.alias("b_id")),
+        ),
+    ))
+    return (
+        kg.select(F.explode(pair_structs).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+QUERIES["dedup_shared_windows"] = dedup_shared_windows
+
+ORACLE_SQL["dedup_shared_windows"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - {SUBSTR_WINDOW}, 0) + 2),
+                   i -> array_to_string(
+                       list_slice(t, i, i + {SUBSTR_WINDOW - 1}), ' ')
+               )) AS g
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(g) AS gr FROM grams
+    ), kept AS (
+        SELECT gr FROM ex GROUP BY gr HAVING count(*) <= {DF_CAP}
+    ), kg AS (
+        SELECT doc_id, gr FROM ex JOIN kept USING (gr)
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(count(*) AS BIGINT) AS n_shared_windows
+    FROM kg a JOIN kg b ON a.gr = b.gr AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""

@@ -101,6 +101,10 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # round; the exact CC counts its edge list
                            # to pick the union-find/propagation regime
                            "kmeans_assign", "dedup_clusters_exact",
+                           # gate-sized verify matrix collected at
+                           # construction (broadcast-matrix verify;
+                           # same class as kmeans' kxdim centroids)
+                           "embedding_neardup_lsh",
                            "semantic_dedup_clusters",
                            # freqItems materializes its one-row
                            # sketch at construction (sanctioned

@@ -190,3 +190,27 @@ def test_heavy_hitter_support_adapts_to_data(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sketches, "HH_SUPPORT_FLOOR", 1.0)
     out2 = sketches.heavy_hitter_users(spark, str(tmp_path), k=5).collect()
     assert all(r["sketch_ok"] for r in out2)
+
+
+def test_dedup_shared_windows_planted_overlap(spark, tmp_path):
+    """A verbatim 12-token run copied between otherwise-different
+    documents must surface as a shared-window pair; unrelated docs
+    must not pair."""
+    import os
+
+    from simpleetlpipeline_spark.functions.dedup import (
+        dedup_shared_windows,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta {run} gamma"),
+         (2, f"{run} delta epsilon zeta"),
+         (3, "totally unrelated words only here"),
+         (4, "another disjoint document body text")],
+        "doc_id long, text string")
+    docs.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {(r.a_id, r.b_id): r.n_shared_windows
+           for r in dedup_shared_windows(spark, str(tmp_path)).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 1
+    assert all(k == (1, 2) for k in out)
