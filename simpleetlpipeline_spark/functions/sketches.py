@@ -126,11 +126,13 @@ HH_TOP_K = 10
 #: guaranteed present. The guarantee is data-dependent, so the query
 #: tightens support per run (below) rather than trusting this default.
 HH_SUPPORT = 1e-4
-#: State bound: never run freqItems with more than 1/HH_SUPPORT_FLOOR
-#: counters (1e-5 -> 100k entries). If the k-th heavy hitter's share is
-#: below even this, the no-false-negative guarantee cannot be bought at
-#: bounded state and membership is NOT asserted for that run.
-HH_SUPPORT_FLOOR = 1e-5
+#: Spark's freqItems API itself requires support in [1e-4, 1] (state
+#: bound: 1/support counters). If the k-th heavy hitter's share is
+#: below 2x this floor (found at 10x corpus in the sf1 scale run —
+#: flatter user distribution pushed kth_share/2 to 4.95e-5), the
+#: no-false-negative guarantee cannot be bought within the API's
+#: state bound and membership is NOT asserted for that run.
+HH_SUPPORT_FLOOR = 1e-4
 
 
 def heavy_hitter_users(spark: SparkSession, sf_dir: str,
@@ -167,7 +169,7 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str,
     total = events.count()
     kth_share = (top_rows[-1]["n_events"] / total) if top_rows else 0.0
     support = min(HH_SUPPORT, kth_share / 2)
-    guaranteed = support > HH_SUPPORT_FLOOR and kth_share > support
+    guaranteed = support >= HH_SUPPORT_FLOOR and kth_share > support
     if guaranteed:
         sketch = set(
             events.select("user_id").stat.freqItems(

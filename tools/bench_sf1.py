@@ -44,21 +44,27 @@ def run_set(spark, sf_dir: str, names: list[str]) -> dict[str, dict]:
 
     out: dict[str, dict] = {}
     for name in names:
-        best, n = None, 0
+        best, n, err = None, 0, None
         # Best of 2: a scale RATIO is meaningless if one side ate a
         # one-time cost (codegen for the new plan, GC growth from the
         # previous query, Python worker respawn) — observed as a
         # phantom 17x on a query that is flat when warm.
         for _ in range(2):
             t0 = time.perf_counter()
-            n = catalog.QUERIES[name](spark, sf_dir).count()
+            try:
+                n = catalog.QUERIES[name](spark, sf_dir).count()
+            except Exception as e:  # a crash at scale IS the finding
+                err = f"{type(e).__name__}: {e}"
+                release_caches()
+                break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             # Release cross-query caches between runs so each query is
             # charged its own full pipeline (the catalog bench
             # amortizes them; here isolation beats realism).
             release_caches()
-        out[name] = {"sec": round(best, 3), "rows": n}
+        out[name] = {"sec": round(best, 3) if best is not None else None,
+                     "rows": n, "error": err}
     return out
 
 
@@ -89,6 +95,13 @@ def main() -> None:
     queries = {}
     for name in names:
         a, b = t01[name], t1[name]
+        err = a.get("error") or b.get("error")
+        if err:
+            queries[name] = {
+                "sf0.1_sec": a["sec"], "sf1_sec": b["sec"],
+                "ratio": None, "linear_ok": False, "error": err,
+            }
+            continue
         ratio = round(b["sec"] / max(a["sec"], 1e-3), 2)
         ok = ratio <= RATIO_LIMIT or b["sec"] <= ABS_OK_SEC
         queries[name] = {
@@ -98,9 +111,10 @@ def main() -> None:
         }
     # Headline = worst ratio among queries doing real sf1 work; the
     # overhead-dominated tail would otherwise own the number.
-    heavy = [q["ratio"] for q in queries.values()
-             if q["sf1_sec"] > ABS_OK_SEC]
-    worst = max(heavy or [max(q["ratio"] for q in queries.values())])
+    rated = [q for q in queries.values() if q["ratio"] is not None]
+    heavy = [q["ratio"] for q in rated
+             if (q["sf1_sec"] or 0) > ABS_OK_SEC]
+    worst = max(heavy or [max(q["ratio"] for q in rated)])
     result = {
         "metric": "sf1_over_sf0.1_runtime_ratio",
         "value": worst,
@@ -118,7 +132,8 @@ def main() -> None:
         fh.write("\n")
     print(json.dumps({k: v for k, v in result.items() if k != "queries"},
                      separators=(",", ":")))
-    worst_5 = sorted(queries.items(), key=lambda kv: -kv[1]["ratio"])[:5]
+    worst_5 = sorted(queries.items(),
+                     key=lambda kv: -(kv[1]["ratio"] or 1e9))[:5]
     for n, q in worst_5:
         print(f"  {n}: {q['sf0.1_sec']}s -> {q['sf1_sec']}s "
               f"(x{q['ratio']}, ok={q['linear_ok']})")
