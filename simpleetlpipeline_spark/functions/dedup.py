@@ -992,6 +992,52 @@ ORACLE_SQL["dedup_incremental"] = f"""
 SUBSTR_WINDOW = 12
 
 
+def rolling_window_hashes_udf(n: int):
+    """Arrow-vectorized distinct rolling-window hashes over per-doc
+    token-hash arrays.
+
+    The chained-xxhash column form (word_ngram_hashes_col) costs n-1
+    interpreted zip_with passes per document — fine at n=3, dominant
+    at n=12 (measured ~3.5s of dedup_shared_windows' 4.2s at sf0.1).
+    Here each Arrow batch computes a degree-(n-1) polynomial hash of
+    every window with n vectorized multiply-adds in uint64 (mod 2^64
+    wraparound IS the hash), then np.unique for the per-doc distinct
+    set. Window-hash equality coincides with window-string equality
+    modulo ~2^-64 collisions — same contract as
+    word_ngram_hashes_col, different hash family (equality is all
+    the posting-list join consumes; the two families must simply not
+    be mixed). Docs shorter than n hash their whole token array
+    (w = len), mirroring the SQL slice-clamp semantics; different
+    window widths cannot collide except at hash-collision odds.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    base = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
+
+    @pandas_udf("array<long>")
+    def _roll(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            length = a.size
+            if length == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            w = min(n, length)
+            pows = np.empty(w, dtype=np.uint64)
+            pows[w - 1] = np.uint64(1)
+            for j in range(w - 2, -1, -1):
+                pows[j] = pows[j + 1] * base
+            k = length - w + 1
+            h = np.zeros(k, dtype=np.uint64)
+            for j in range(w):
+                h += a[j:j + k] * pows[j]
+            out.append(np.unique(h).view(np.int64))
+        return pd.Series(out)
+
+    return _roll
+
+
 def dedup_shared_windows(spark: SparkSession, sf_dir: str,
                          window: int = SUBSTR_WINDOW,
                          df_cap: int = DF_CAP) -> DataFrame:
@@ -1005,17 +1051,21 @@ def dedup_shared_windows(spark: SparkSession, sf_dir: str,
 
     Same engine shape as dedup_pairs_all, reusing its bounded-memory
     machinery on long windows instead of 3-gram shingles: chained
-    token-hash windows (O(tokens) arithmetic, no string building;
-    hash equality == window-string equality modulo 2^-64), df-capped
-    posting lists (windows in more than df_cap docs are boilerplate
-    and drop), C(df,2) ordered pair emission per list. One shuffle on
-    the 64-bit window hash, one on the pair key; fan-out bounded at
-    C(df_cap, 2) per window at any corpus size.
+    token-hash windows (tokens hashed once JVM-side, the 12-wide
+    polynomial combine vectorized in numpy — see
+    rolling_window_hashes_udf; hash equality == window-string
+    equality modulo 2^-64), df-capped posting lists (windows in more
+    than df_cap docs are boilerplate and drop), C(df,2) ordered pair
+    emission per list. One shuffle on the 64-bit window hash, one on
+    the pair key; fan-out bounded at C(df_cap, 2) per window at any
+    corpus size.
     """
     ensure_session_conf(spark)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     docs = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
-        word_ngram_hashes_col(F.col("text"), window).alias("grams"))
+        rolling_window_hashes_udf(window)(
+            F.transform(toks, lambda t: F.xxhash64(t))).alias("grams"))
     ex = docs.select("doc_id", F.explode("grams").alias("g"))
     kept = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= df_cap).select("g"))
