@@ -19,7 +19,12 @@ from simpleetlpipeline_spark.functions import (
     text,
 )
 from simpleetlpipeline_spark.operators import scd
-from simpleetlpipeline_spark.plans import advanced, analytics, relational
+from simpleetlpipeline_spark.plans import (
+    advanced,
+    analytics,
+    relational,
+    subqueries,
+)
 from simpleetlpipeline_spark.streaming import sinks as streaming_sinks
 from simpleetlpipeline_spark.streaming import stateful as streaming_stateful
 from simpleetlpipeline_spark.streaming import windows as streaming_windows
@@ -27,7 +32,8 @@ from simpleetlpipeline_spark.streaming import windows as streaming_windows
 QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
-for _mod in (advanced, relational, scd, text, dedup, similarity, multimodal,
+for _mod in (advanced, relational, subqueries, scd, text, dedup, similarity,
+             multimodal,
              curation, pretrain,
              sketches, streaming_windows, streaming_stateful,
              streaming_sinks):

@@ -1,0 +1,520 @@
+"""Subquery & decorrelation depth: the TPC-H shapes whose SQL forms
+are scalar/correlated subqueries — re-expressed as the joins Catalyst
+actually plans them into.
+
+The reference (SimpleETLPipeline main.py) never goes past inner
+equi-joins and plain GROUP BY; these eight queries cover the
+remaining classic decision-support shapes a migrating user writes on
+day one: multi-hop dimension stars (Q7/Q8), HAVING against a global
+scalar (Q11), outer-join count distributions (Q13), argmax against a
+scalar subquery (Q15), correlated-average filters (Q17), disjunctive
+OR-of-ANDs predicates (Q19), and anti-join + scalar-threshold
+screens (Q22). All DuckDB-oracle-checked.
+
+Float-determinism contract (stricter than round(sum(double))): every
+money sum in this module is an EXACT decimal aggregate — each term is
+cast to DECIMAL(18,2) per row (a double→decimal cast both engines
+round identically away from binary-unrepresentable ties), summed
+exactly, and only then surfaced as a double. Partial-aggregation
+merge order can never move a hashed value, and scalar thresholds
+(Q11's fraction-of-total, Q22's average balance) derived from these
+sums are bit-identical in both engines, so threshold *membership* —
+the thing a 1-ulp wiggle would silently flip — is deterministic too.
+
+Scale notes (the 100 TB framing):
+- cross_nation_trade / nation_market_share: lineitem is the only
+  fact; orders⋈customer shuffle on their keys while nation, region
+  and supplier broadcast (≤ thousands of rows at any SF). The final
+  aggregate is |nation-pairs|×|years| / |years| groups — map-side
+  combine collapses each partition first.
+- supplier_value_concentration: two aggregates over supplier (a
+  dimension), the global total broadcast back as a one-row scalar.
+  Never materializes anything bigger than |nations| groups.
+- customer_order_distribution: orders pre-aggregates to one row per
+  custkey BEFORE touching customer (the Q13 lesson: count the fact
+  table map-side, then outer-join the dimension), so the join input
+  is |customers|, not |orders|; the histogram agg is ≤ a few hundred
+  groups.
+- top_revenue_supplier: per-supplier revenue partials fold map-side;
+  the global max is a one-row broadcast joined back — no window over
+  the whole table, no second scan of lineitem.
+- small_order_part_revenue: the correlated AVG decorrelates into a
+  per-part aggregate joined back to the (brand-filtered) lineitems.
+  The brand filter reaches the part scan (PushedFilters) and the
+  filtered part side broadcasts; lineitem is scanned once.
+- disjunctive_promo_revenue: the OR-of-ANDs predicate stays inside
+  whole-stage codegen after a broadcast join on partkey; per-branch
+  part predicates are pushed into the part scan as one OR filter
+  (partition-pruning-friendly for a part table partitioned on brand).
+- idle_high_balance_customers: both scalars (threshold, cutoff) are
+  one-row broadcasts; the anti-join shuffles only (custkey) pairs
+  of the trailing-year orders — at 100 TB you'd pre-prune orders by
+  the date filter at the scan (it pushes down) before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.session import ensure_session_conf
+
+# Exact-money helper: per-row cast to DECIMAL(18,2), exact sum,
+# surfaced as double (≤2dp values are exact doubles within 2^53).
+_DEC = "decimal(18,2)"
+
+
+def _money_sum(col) -> F.Column:
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+def _rev_dec() -> F.Column:
+    """Exact decimal revenue: cast the 2dp INPUTS to decimal first
+    (a 2dp double is within 1 ulp of its decimal grid point, so the
+    cast is tie-free in both engines), then multiply in decimal —
+    the 4dp product is exact, never a double needing a lossy
+    re-round. Casting the double PRODUCT instead would hit .xx5
+    ties that Spark (shortest-repr HALF_UP) and DuckDB (binary
+    round-to-nearest) resolve differently."""
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    mult = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    return price * mult
+
+
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+
+
+def cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped cross-nation volume: revenue shipped between
+    two named nations (supplier side ↔ customer side, both
+    directions) per ship year. The supplier chain and the customer
+    chain each hop through the nation dimension — nation and
+    supplier broadcast; orders⋈customer and lineitem⋈orders shuffle
+    on their keys (the only big exchanges)."""
+    ensure_session_conf(spark)
+    pair = (TRADE_NATION_A, TRADE_NATION_B)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name").filter(F.col("n_name").isin(*pair))
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    supp = (supplier
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (customer
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    return (
+        lineitem
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+SHARE_REGION = "EUROPE"
+SHARE_NATION = "NATION_5"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one region's customer
+    revenue, the share supplied by one nation, per order year. The
+    numerator/denominator are exact decimal sums, so the floored
+    share is a fixed IEEE divide of identical doubles."""
+    ensure_session_conf(spark)
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == SHARE_REGION).select("r_regionkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    cust_nations = (nation.join(F.broadcast(region),
+                                F.col("n_regionkey") == F.col("r_regionkey"))
+                    .select(F.col("n_nationkey").alias("cn_key")))
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = (supplier.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                          F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    region_cust = customer.join(
+        F.broadcast(cust_nations),
+        F.col("c_nationkey") == F.col("cn_key")).select("c_custkey")
+    target_rev = F.when(F.col("supp_nation") == SHARE_NATION, _rev_dec()) \
+                  .otherwise(F.lit(0).cast("decimal(17,4)"))
+    yearly = (
+        lineitem
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(region_cust, F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(target_rev).cast("double").alias("nation_revenue"),
+             F.sum(_rev_dec()).cast("double").alias("total_revenue"))
+    )
+    share = F.col("nation_revenue") / F.col("total_revenue")
+    return yearly.select(
+        "order_year", "nation_revenue", "total_revenue",
+        (F.floor(share * 10000) / 10000).alias("market_share"),
+    )
+
+
+CONCENTRATION_FRACTION = 0.04
+
+
+def supplier_value_concentration(
+        spark: SparkSession, sf_dir: str,
+        fraction: float = CONCENTRATION_FRACTION) -> DataFrame:
+    """TPC-H Q11-shaped HAVING-against-global-scalar: nations whose
+    total supplier account balance exceeds `fraction` of the global
+    total. Both sides of the comparison are exact decimal sums, so
+    membership can't flip under re-partitioning."""
+    ensure_session_conf(spark)
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_nationkey", "s_acctbal")
+    per_nation = (
+        supplier.join(F.broadcast(nation),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_money_sum(F.col("s_acctbal")).alias("nation_value"),
+             F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    total = per_nation.agg(
+        F.sum(F.col("nation_value").cast(_DEC)).cast("double")
+        .alias("__total"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("nation_value") > F.col("__total") * fraction)
+        .select("n_name", "nation_value", "n_suppliers",
+                (F.floor(F.col("nation_value") / F.col("__total") * 10000)
+                 / 10000).alias("value_share"))
+    )
+
+
+def customer_order_distribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped outer-join count distribution: how many
+    customers placed exactly N orders (N=0 included via the left
+    join). Orders pre-aggregates to |custkeys| partials map-side
+    before the dimension join; the histogram agg is tiny."""
+    ensure_session_conf(spark)
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return (
+        customer.join(per_cust,
+                      F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
+
+
+TOP_SUPPLIER_START = "1997-01-01"
+TOP_SUPPLIER_END = "1997-04-01"
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped argmax against a scalar subquery: the
+    supplier(s) whose shipped revenue in one quarter equals the
+    global maximum. Per-supplier revenue is an exact decimal sum, so
+    the equality join against the broadcast max is deterministic."""
+    ensure_session_conf(spark)
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    lineitem = (read_table(spark, sf_dir, "lineitem")
+                .filter((F.col("l_shipdate") >= TOP_SUPPLIER_START)
+                        & (F.col("l_shipdate") < TOP_SUPPLIER_END))
+                .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = (lineitem.groupBy("l_suppkey")
+           .agg(F.sum(_rev_dec()).cast("double").alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name",
+                "total_revenue")
+    )
+
+
+SMALL_ORDER_BRAND = "Brand#1"
+SMALL_ORDER_FRACTION = 0.5
+
+
+def small_order_part_revenue(
+        spark: SparkSession, sf_dir: str,
+        brand: str = SMALL_ORDER_BRAND,
+        fraction: float = SMALL_ORDER_FRACTION) -> DataFrame:
+    """TPC-H Q17-shaped correlated-average filter: revenue from
+    lineitems of one brand's parts whose quantity is below
+    `fraction` × that part's average quantity. The correlated AVG
+    decorrelates into a per-part aggregate joined back. Quantities
+    are integral doubles, so the per-part average (exact integer sum
+    / count) is one IEEE divide — identical in both engines."""
+    ensure_session_conf(spark)
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == brand).select("p_partkey")
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    branded = lineitem.join(F.broadcast(part),
+                            F.col("l_partkey") == F.col("p_partkey"))
+    per_part = branded.groupBy("p_partkey").agg(
+        (F.sum(F.col("l_quantity").cast("long"))
+         / F.count(F.lit(1))).alias("avg_qty"))
+    small = (branded.join(F.broadcast(per_part.withColumnRenamed(
+                 "p_partkey", "ap_partkey")),
+                 F.col("l_partkey") == F.col("ap_partkey"))
+             .filter(F.col("l_quantity") < F.col("avg_qty") * fraction))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+        (F.floor(_money_sum(F.col("l_extendedprice")) / 7.0 * 100) / 100)
+        .alias("avg_yearly_revenue"),
+    )
+
+
+DISJUNCT_BRANDS = ("Brand#1", "Brand#2", "Brand#3")
+
+
+def disjunctive_promo_revenue(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs predicate: revenue from three
+    disjoint (brand, size-range, quantity-range) branches. The whole
+    disjunction evaluates inside whole-stage codegen after a
+    broadcast join on partkey; the per-branch part predicates push
+    into the part scan as one OR filter."""
+    ensure_session_conf(spark)
+    b1, b2, b3 = DISJUNCT_BRANDS
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size").filter(
+        ((F.col("p_brand") == b1) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == b2) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == b3) & F.col("p_size").between(1, 15)))
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    joined = lineitem.join(F.broadcast(part),
+                           F.col("l_partkey") == F.col("p_partkey"))
+    qualifies = (
+        ((F.col("p_brand") == b1) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == b2) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == b3) & F.col("l_quantity").between(20, 30)))
+    return joined.filter(qualifies).agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(_rev_dec()).cast("double").alias("revenue"),
+    )
+
+
+IDLE_DAYS = 365
+
+
+def idle_high_balance_customers(spark: SparkSession, sf_dir: str,
+                                idle_days: int = IDLE_DAYS) -> DataFrame:
+    """TPC-H Q22-shaped anti-join + scalar-threshold screen:
+    customers whose balance exceeds the average positive balance and
+    who placed NO order in the trailing `idle_days` before the
+    dataset's last order date (anchored at max(o_orderdate) for
+    determinism — every test customer has at least one order, so the
+    classic 'no orders ever' form would be vacuous). The threshold
+    is an exact decimal sum / count, so membership is deterministic;
+    recent orders anti-join on custkey."""
+    ensure_session_conf(spark)
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate")
+    threshold = (customer.filter(F.col("c_acctbal") > 0)
+                 .agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                       / F.count(F.lit(1))).alias("__thr")))
+    cutoff = orders.agg(
+        F.date_sub(F.max(F.to_date("o_orderdate")), idle_days)
+        .alias("__cutoff"))
+    recent = (orders.crossJoin(F.broadcast(cutoff))
+              .filter(F.to_date("o_orderdate") > F.col("__cutoff"))
+              .select("o_custkey"))
+    return (
+        customer.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"),
+              "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             _money_sum(F.col("c_acctbal")).alias("total_balance"))
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES = {
+    "cross_nation_trade": cross_nation_trade,
+    "nation_market_share": nation_market_share,
+    "supplier_value_concentration": supplier_value_concentration,
+    "customer_order_distribution": customer_order_distribution,
+    "top_revenue_supplier": top_revenue_supplier,
+    "small_order_part_revenue": small_order_part_revenue,
+    "disjunctive_promo_revenue": disjunctive_promo_revenue,
+    "idle_high_balance_customers": idle_high_balance_customers,
+}
+
+_REV_DEC = ("(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* CAST(1 - l_discount AS DECIMAL(4,2)))")
+
+ORACLE_SQL = {
+    "cross_nation_trade": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+          AND cn.n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+          AND sn.n_name != cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "nation_market_share": f"""
+        WITH yearly AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+                   CAST(sum(CASE WHEN sn.n_name = '{SHARE_NATION}'
+                            THEN {_REV_DEC}
+                            ELSE CAST(0 AS DECIMAL(16,4)) END)
+                        AS DOUBLE) AS nation_revenue,
+                   CAST(sum({_REV_DEC}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                WHERE r_name = '{SHARE_REGION}')
+            GROUP BY 1
+        )
+        SELECT order_year, nation_revenue, total_revenue,
+               floor(nation_revenue / total_revenue * 10000) / 10000
+                   AS market_share
+        FROM yearly
+    """,
+    "supplier_value_concentration": f"""
+        WITH per_nation AS (
+            SELECT n_name,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2)))
+                        AS DOUBLE) AS nation_value,
+                   count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1
+        ), total AS (
+            SELECT CAST(sum(CAST(nation_value AS DECIMAL(18,2)))
+                        AS DOUBLE) AS tot
+            FROM per_nation
+        )
+        SELECT n_name, nation_value, n_suppliers,
+               floor(nation_value / tot * 10000) / 10000 AS value_share
+        FROM per_nation CROSS JOIN total
+        WHERE nation_value > tot * {CONCENTRATION_FRACTION}
+    """,
+    "customer_order_distribution": """
+        WITH per_cust AS (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+        )
+        SELECT coalesce(cnt, 0) AS n_orders,
+               count(*) AS n_customers
+        FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+        GROUP BY 1
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "top_revenue_supplier": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum({_REV_DEC}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_START}'
+              AND l_shipdate < TIMESTAMP '{TOP_SUPPLIER_END}'
+            GROUP BY 1
+        )
+        SELECT l_suppkey AS suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "small_order_part_revenue": f"""
+        WITH branded AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = '{SMALL_ORDER_BRAND}'
+        ), per_part AS (
+            SELECT l_partkey AS ap_partkey,
+                   sum(CAST(l_quantity AS BIGINT)) * 1.0 / count(*)
+                       AS avg_qty
+            FROM branded GROUP BY 1
+        )
+        SELECT count(*) AS n_small_lineitems,
+               floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0 * 100) / 100
+                   AS avg_yearly_revenue
+        FROM branded JOIN per_part ON l_partkey = ap_partkey
+        WHERE l_quantity < avg_qty * {SMALL_ORDER_FRACTION}
+    """,
+    "disjunctive_promo_revenue": f"""
+        SELECT count(*) AS n_lineitems,
+               CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = '{DISJUNCT_BRANDS[0]}'
+               AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = '{DISJUNCT_BRANDS[1]}'
+               AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = '{DISJUNCT_BRANDS[2]}'
+               AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "idle_high_balance_customers": f"""
+        WITH thr AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                        AS DOUBLE) / count(*) AS t
+            FROM customer WHERE c_acctbal > 0
+        ), cutoff AS (
+            SELECT CAST(max(o_orderdate) AS DATE)
+                   - INTERVAL {IDLE_DAYS} DAY AS c
+            FROM orders
+        ), recent AS (
+            SELECT DISTINCT o_custkey FROM orders CROSS JOIN cutoff
+            WHERE CAST(o_orderdate AS DATE) > CAST(c AS DATE)
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_balance
+        FROM customer CROSS JOIN thr
+        WHERE c_acctbal > t
+          AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+}

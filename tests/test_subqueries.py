@@ -1,0 +1,106 @@
+"""Plan contracts for the subquery/decorrelation catalog
+(plans/subqueries.py): the decorrelated shapes must actually plan as
+the joins they were designed into — broadcast dims, pre-aggregated
+fact sides, pushed disjunctive filters, anti/semi joins — and never
+fall back to a window or sort-merge join where a broadcast works.
+Values are covered by the DuckDB oracle gate; these tests pin the
+100 TB plan shape."""
+
+from __future__ import annotations
+
+from simpleetlpipeline_spark.plans import subqueries as S
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _executed(spark, sf_dir, name):
+    df = S.QUERIES[name](spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan on execution
+    return _plan(df)
+
+
+def test_cross_nation_trade_broadcasts_dims(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "cross_nation_trade")
+    assert "BroadcastHashJoin" in plan, "nation/supplier must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # nation name filter prunes the broadcast side before the join
+    assert plan.count("HashAggregate") >= 2, "map-side combine expected"
+
+
+def test_nation_market_share_semi_join_region(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "nation_market_share")
+    assert "LeftSemi" in plan, \
+        "region membership must plan as a semi join, not an inner fan-out"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_supplier_value_concentration_scalar_broadcast(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "supplier_value_concentration")
+    # the global total is a one-row broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan, \
+        "fraction-of-total must not plan as a global window"
+
+
+def test_customer_order_distribution_preaggregates_orders(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "customer_order_distribution")
+    # the Q13 lesson: orders collapse to per-custkey counts BEFORE the
+    # outer join with customer — the join input is an Aggregate
+    first_join = plan.index("Join")
+    assert "HashAggregate" in plan[first_join:], \
+        "orders must pre-aggregate below the join"
+    assert "partial_count" in plan, "count must combine map-side"
+
+
+def test_top_revenue_supplier_no_window(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "top_revenue_supplier")
+    assert "Window" not in plan, \
+        "global argmax must be a broadcast scalar, not a window sort"
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan, \
+        "quarter filter must reach the lineitem scan"
+
+
+def test_small_order_part_revenue_brand_pushdown(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "small_order_part_revenue")
+    assert "EqualTo(p_brand," in plan, \
+        "brand filter must push into the part scan"
+    assert "SortMergeJoin" not in plan, \
+        "the brand-filtered part side and per-part averages broadcast"
+
+
+def test_disjunctive_promo_revenue_or_pushdown(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "disjunctive_promo_revenue")
+    assert "Or(" in plan and "p_brand" in plan, \
+        "the OR-of-ANDs part predicate must push into the part scan"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_idle_high_balance_customers_anti_join(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "idle_high_balance_customers")
+    assert "LeftAnti" in plan, "the no-recent-order screen is an anti join"
+    assert "Window" not in plan
+
+
+def test_idle_customers_threshold_membership(spark, sf_dir):
+    """The screen's threshold semantics: every returned segment count
+    only covers customers strictly above the average positive
+    balance (recomputed here independently)."""
+    from simpleetlpipeline_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    out = {r["c_mktsegment"]: r["n_customers"]
+           for r in S.QUERIES["idle_high_balance_customers"](
+               spark, sf_dir).collect()}
+    cust = read_table(spark, sf_dir, "customer")
+    thr = (cust.filter(F.col("c_acctbal") > 0)
+           .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double") / F.count(F.lit(1))).alias("t"))
+           .collect()[0]["t"])
+    eligible = cust.filter(F.col("c_acctbal") > thr).count()
+    assert sum(out.values()) <= eligible
