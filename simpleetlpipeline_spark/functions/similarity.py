@@ -880,3 +880,95 @@ ORACLE_SQL["semantic_dedup_clusters"] = f"""
            string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
     FROM comp GROUP BY component
 """
+
+
+OUTLIER_TOP_K = 5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str,
+                       top_k: int = OUTLIER_TOP_K) -> DataFrame:
+    """Per-label embedding outliers: the `top_k` vectors farthest
+    (squared L2) from their label's centroid — the embedding-space QA
+    scan that surfaces mislabeled or corrupted vectors before they
+    poison a classifier or contaminate a semantic-dedup threshold.
+
+    Determinism: the centroid is the FLOORED (6dp) per-dim mean —
+    the same canonical value label_centroids publishes — so the
+    distance is a fixed in-order fold over identical doubles in both
+    engines (F.aggregate here, list_reduce in the oracle; 0.0+x == x
+    makes the two folds element-identical). Ranking breaks distance
+    ties on vec_id.
+
+    Plan: one posexplode agg builds |labels|x|dims| centroids, which
+    reassemble into |labels| array rows and BROADCAST onto the
+    corpus — the scan stays narrow (no shuffle of the vectors), and
+    the only wide op is the per-label top-k window over float
+    distances. At 100 TB that window is the bottleneck: each label's
+    vectors meet in one sort — swap in a two-phase top-k (per-
+    partition heads via groupBy(label, salt), then merge), the same
+    rewrite ann_topk ships; the window form is the oracle-checkable
+    tier.
+    """
+    ensure_session_conf(spark)
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    centroids = (
+        emb.select("label", F.posexplode(as_double_vec(F.col("embedding")))
+                   .alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg((F.floor(F.avg("v") * 1e6) / 1e6).alias("cv"))
+        .groupBy("label")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda s: s["cv"]).alias("centroid"))
+    )
+    diff2 = F.zip_with(
+        as_double_vec(F.col("embedding")), F.col("centroid"),
+        lambda x, c: (x - c) * (x - c))
+    dist2 = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        emb.join(F.broadcast(centroids), "label")
+        .select("label", "vec_id",
+                (F.floor(dist2 * 1e6) / 1e6).alias("dist2"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("label", "vec_id", "dist2",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+QUERIES["embedding_outliers"] = embedding_outliers
+
+ORACLE_SQL["embedding_outliers"] = f"""
+    WITH dims AS (
+        SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) AS r(i)
+    ), cent AS (
+        SELECT label, dim, floor(avg(v) * 1e6) / 1e6 AS cv
+        FROM dims GROUP BY 1, 2
+    ), carr AS (
+        SELECT label, list(cv ORDER BY dim) AS centroid
+        FROM cent GROUP BY 1
+    ), scored AS (
+        SELECT e.label, e.vec_id,
+               floor(list_reduce(
+                   list_transform(range(1, 65),
+                       i -> (CAST(e.embedding[i] AS DOUBLE)
+                             - c.centroid[i])
+                            * (CAST(e.embedding[i] AS DOUBLE)
+                               - c.centroid[i])),
+                   (acc, x) -> acc + x) * 1e6) / 1e6 AS dist2
+        FROM embeddings e JOIN carr c USING (label)
+    )
+    SELECT label, vec_id, dist2, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT label, vec_id, dist2,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY dist2 DESC, vec_id ASC)
+                   AS rank
+        FROM scored
+    ) WHERE rank <= {OUTLIER_TOP_K}
+"""

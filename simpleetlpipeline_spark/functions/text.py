@@ -790,3 +790,236 @@ ORACLE_SQL["token_char_correlation"] = """
                  END * 10000) / 10000 AS token_char_corr
     FROM agg
 """
+
+
+def bigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model score per document: the mean log of
+    P(w_i | w_{i-1}) under the corpus bigram MLE — the next step up
+    from doc_logprob's unigram model for perplexity-style quality
+    filtering (a doc of real phrases scores near the corpus mean;
+    shuffled-token gibberish falls off a cliff even when its unigram
+    score looks normal). Docs with fewer than two tokens have no
+    bigrams and are excluded, like the n-gram dedup family.
+
+    Conditional probability uses the CONTEXT count (bigrams starting
+    with w_{i-1}), not the unigram count, so each row's probability
+    is a proper distribution over successors.
+
+    Bit-stability: same integer-sum contract as doc_logprob — each
+    bigram's ln() is floored to int64 1e-7 units BEFORE the per-doc
+    sum, so partial-aggregation merge order can never move the
+    hashed 4dp mean.
+
+    Plan: one pair explode -> two hash aggregates (bigram vocab,
+    context vocab, both map-side combined) -> two token-keyed shuffle
+    joins back onto the pair stream (at 100 TB the bigram vocabulary
+    outgrows a broadcast) -> per-doc integer-sum aggregate.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = tokens_col(F.col("text"))
+    pair_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("tok_a"),
+                F.element_at(toks, i + 1).alias("tok_b")),
+        )).otherwise(F.array())
+    doc_pairs = (
+        docs.select("doc_id", F.explode(pair_structs).alias("p"))
+        .select("doc_id", "p.tok_a", "p.tok_b")
+        .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
+    )
+    bigrams = doc_pairs.groupBy("tok_a", "tok_b").agg(
+        F.count(F.lit(1)).alias("c_ab"))
+    contexts = bigrams.groupBy("tok_a").agg(
+        F.sum("c_ab").alias("c_a"))
+    scored = (
+        doc_pairs
+        .join(bigrams, ["tok_a", "tok_b"])
+        .join(contexts, "tok_a")
+        .select("doc_id",
+                F.floor(F.log(F.col("c_ab") / F.col("c_a")) * 1e7)
+                .cast("long").alias("lp7"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             (F.floor(F.sum("lp7") / 1e7 / F.count(F.lit(1)) * 10000)
+              / 10000).alias("mean_logprob"))
+    )
+
+
+QUERIES["bigram_doc_logprob"] = bigram_doc_logprob
+
+ORACLE_SQL["bigram_doc_logprob"] = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), pr AS (
+        SELECT doc_id, t.toks[i] AS tok_a, t.toks[i + 1] AS tok_b
+        FROM t, LATERAL (SELECT unnest(range(1, len(t.toks))) AS i)
+        WHERE t.toks[i] <> '' AND t.toks[i + 1] <> ''
+    ), bigrams AS (
+        SELECT tok_a, tok_b, count(*) AS c_ab FROM pr GROUP BY 1, 2
+    ), contexts AS (
+        SELECT tok_a, sum(c_ab) AS c_a FROM bigrams GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(sum(CAST(floor(ln(c_ab * 1.0 / c_a) * 1e7) AS BIGINT))
+                 / 1e7 / count(*) * 10000) / 10000 AS mean_logprob
+    FROM pr JOIN bigrams USING (tok_a, tok_b)
+    JOIN contexts USING (tok_a)
+    GROUP BY doc_id
+"""
+
+
+def ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity report per source: type-token ratio (distinct
+    tokens / total tokens) and hapax share (tokens seen exactly once)
+    — the corpus-stats screen that flags template-generated or
+    looping sources (low TTR) and OCR-noise sources (high hapax
+    share) before they hit training.
+
+    All inputs to the two ratios are exact integers, so the floored
+    4dp values are deterministic in any aggregation order. Plan: one
+    explode -> (source, token) hash agg (map-side combine collapses
+    each partition to its per-source vocabulary) -> per-source
+    re-aggregate, |sources| groups. At 100 TB, swap the exact
+    distinct for approx_count_distinct and keep hapax from a
+    count-min sketch — the exact form is the oracle-checkable tier.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    per_tok = (
+        docs.select("source", F.explode(tokens_col(F.col("text")))
+                    .alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_tok.groupBy("source")
+        .agg(F.sum("c").alias("n_tokens"),
+             F.count(F.lit(1)).alias("n_types"),
+             F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+             .alias("n_hapax"))
+        .select(
+            "source", "n_tokens", "n_types", "n_hapax",
+            (F.floor(F.col("n_types") / F.col("n_tokens") * 10000)
+             / 10000).alias("ttr"),
+            (F.floor(F.col("n_hapax") / F.col("n_types") * 10000)
+             / 10000).alias("hapax_share"))
+    )
+
+
+QUERIES["ttr_by_source"] = ttr_by_source
+
+ORACLE_SQL["ttr_by_source"] = """
+    WITH per_tok AS (
+        SELECT source, token, count(*) AS c FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS token
+            FROM documents
+        ) WHERE token <> ''
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           floor(count(*) * 1.0 / sum(c) * 10000) / 10000 AS ttr,
+           floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000) / 10000 AS hapax_share
+    FROM per_tok GROUP BY 1
+"""
+
+VOCAB_OVERLAP_MIN_JACCARD = 0.0
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard: for every pair of sources,
+    |shared distinct tokens| / |union| — the redundancy screen a
+    curation team runs to find mirror/scraper sources before mixing
+    weights are chosen (two sources with near-1 vocabulary Jaccard
+    are usually the same crawl twice).
+
+    Plan: distinct (source, token) pairs once, then a token-keyed
+    self-join counts intersections — candidates meet ONLY on shared
+    tokens (never an all-pairs source product), and the fan-out per
+    token is bounded by |sources| ( <= C(|sources|,2) pairs per
+    token). Per-source vocabulary sizes broadcast back onto the
+    |sources|^2-bounded pair table. Integer counts -> floored 4dp
+    ratio, deterministic in any fold order.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select("source", F.explode(tokens_col(F.col("text")))
+                    .alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"))
+    a = vocab.select(F.col("source").alias("source_a"), "token")
+    b = vocab.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sz_a = F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                    F.col("n_vocab").alias("vocab_a")))
+    sz_b = F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                    F.col("n_vocab").alias("vocab_b")))
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared")
+    return (
+        inter.join(sz_a, "source_a").join(sz_b, "source_b")
+        .select("source_a", "source_b", "n_shared",
+                "vocab_a", "vocab_b",
+                (F.floor(F.col("n_shared") / union * 10000) / 10000)
+                .alias("jaccard"))
+    )
+
+
+QUERIES["source_vocab_overlap"] = source_vocab_overlap
+
+ORACLE_SQL["source_vocab_overlap"] = """
+    WITH vocab AS (
+        SELECT DISTINCT source, token FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS token
+            FROM documents
+        ) WHERE token <> ''
+    ), sizes AS (
+        SELECT source, count(*) AS n_vocab FROM vocab GROUP BY 1
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared
+        FROM vocab a JOIN vocab b ON a.token = b.token
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b,
+           floor(n_shared * 1.0
+                 / (sa.n_vocab + sb.n_vocab - n_shared) * 10000)
+               / 10000 AS jaccard
+    FROM inter
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+"""

@@ -348,3 +348,27 @@ def test_dedup_pairs_all_df_cap_drops_stop_shingles(spark, monkeypatch):
         rows, "doc_id long, text string, lang string, source string")
     monkeypatch.setattr(dd, "read_table", lambda _s, _d, _n: df)
     assert dd.dedup_pairs_all(spark, "unused", df_cap=2).count() == 0
+
+
+def test_bigram_logprob_scores_phrases_above_gibberish(spark, monkeypatch):
+    """A document made of the corpus's dominant bigram must outscore
+    a shuffled-token document whose unigrams are identical — the
+    separation the bigram model exists to add over doc_logprob."""
+    import os
+    import tempfile
+
+    from simpleetlpipeline_spark.functions import text as T
+
+    docs = [(i, "alpha beta alpha beta alpha beta", "en", "s", 30)
+            for i in range(5)]
+    docs.append((99, "beta beta alpha alpha beta alpha", "en", "s", 30))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r["mean_logprob"]
+               for r in T.bigram_doc_logprob(spark, td).collect()}
+    assert out[0] > out[99], "phrase doc must outscore shuffled doc"
+    assert all(out[i] == out[0] for i in range(5))

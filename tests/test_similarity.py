@@ -138,3 +138,21 @@ def test_embedding_neardup_guard_refuses_oversized_corpus(spark, sf_dir):
     must fail fast with the scale-path alternative, not OOM."""
     with pytest.raises(ValueError, match="embedding_neardup_lsh"):
         S.embedding_neardup(spark, sf_dir, max_bytes=1)
+
+
+def test_embedding_outliers_finds_planted_outlier(spark):
+    """A vector far from its label's centroid must rank first; the
+    tight cluster members fill the remaining top-k slots with
+    strictly smaller distances."""
+    tight = [(i, [1.0, 0.0] + [0.0] * 62, 7) for i in range(6)]
+    planted = (99, [0.0, 50.0] + [0.0] * 62, 7)
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            tight + [planted],
+            "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = S.embedding_outliers(spark, td, top_k=3).collect()
+    assert len(out) == 3
+    top = sorted(out, key=lambda r: r["rank"])
+    assert top[0]["vec_id"] == 99 and top[0]["rank"] == 1
+    assert top[0]["dist2"] > top[1]["dist2"] >= top[2]["dist2"]
