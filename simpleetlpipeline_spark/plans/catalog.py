@@ -91,26 +91,34 @@ QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # rows-only (driver loop)
 # doc_stats, term_frequencies, tfidf_top_terms -> tier 2). All 11
 # rotated-in entries pre-verified green under the hostile
 # SPARK_GRAFT_ORACLE_SHUFFLE=3 sweep at sf0.01 before rotation.
+# Fourth-wave round-5 rotation (second half of the round): the 12
+# round-5 additions — the eight TPC-H subquery/decorrelation shapes
+# (plans/subqueries.py) and the four corpus-QA operators
+# (bigram_doc_logprob, ttr_by_source, source_vocab_overlap,
+# embedding_outliers) — take the slots of 12 veterans driver-green
+# in BOTH round 3 and round 4 (top_products, monthly_sales,
+# customer_rollup, orphan_lineitems, validation_rules, events_hourly,
+# events_sessionization, and five of the seven media entries —
+# media_catalog/media_dedup stay for family coverage). All 12
+# rotated-in entries pre-verified at sf0.01 AND sf0.1 AND under the
+# hostile SPARK_GRAFT_ORACLE_SHUFFLE=3 sweep before rotation.
 GATE_PREFIX = (
-    "top_products", "monthly_sales", "pricing_summary", "customer_rollup",
-    "orphan_lineitems", "supplier_geo_rollup", "ship_latency_monthly",
-    "events_funnel", "promo_revenue_monthly", "validation_rules",
-    "events_hourly", "late_ship_orders", "events_sessionization",
-    "latest_event_per_user", "events_props_stats",
-    "monthly_sales_incremental",
-    "dedup_incremental", "user_path_transitions",
-    "streaming_events_hourly", "streaming_events_sliding",
-    "streaming_user_sessions", "streaming_enrich_customers",
-    "streaming_purchase_view_join", "streaming_event_dedup",
-    "streaming_user_totals_stateful", "streaming_totals_to_table",
-    "approx_distinct_users", "quantile_sketch", "heavy_hitter_users",
-    "tokenize_ids", "quality_bins", "doc_logprob",
-    "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_pairs_all", "dedup_clusters_exact", "ann_topk",
-    "embedding_neardup", "label_centroids", "ann_ivf_topk",
-    "media_catalog", "media_meta_extract", "media_frame_sample",
-    "media_type_rollup", "media_resize", "media_feature_extract",
-    "corpus_curate", "decontaminate", "media_dedup", "corpus_health",
+    "pricing_summary", "supplier_geo_rollup", "ship_latency_monthly",
+    "events_funnel", "promo_revenue_monthly", "late_ship_orders",
+    "latest_event_per_user", "events_props_stats", "monthly_sales_incremental",
+    "dedup_incremental", "user_path_transitions", "streaming_events_hourly",
+    "streaming_events_sliding", "streaming_user_sessions", "streaming_enrich_customers",
+    "streaming_purchase_view_join", "streaming_event_dedup", "streaming_user_totals_stateful",
+    "streaming_totals_to_table", "approx_distinct_users", "quantile_sketch",
+    "heavy_hitter_users", "tokenize_ids", "quality_bins", "doc_logprob",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_pairs_all", "dedup_clusters_exact",
+    "ann_topk", "embedding_neardup", "label_centroids", "ann_ivf_topk",
+    "media_catalog", "corpus_curate", "decontaminate", "media_dedup",
+    "corpus_health", "cross_nation_trade", "nation_market_share",
+    "supplier_value_concentration", "customer_order_distribution",
+    "top_revenue_supplier", "small_order_part_revenue", "disjunctive_promo_revenue",
+    "idle_high_balance_customers", "bigram_doc_logprob", "ttr_by_source",
+    "source_vocab_overlap", "embedding_outliers",
 )
 
 
