@@ -837,14 +837,18 @@ def bigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c_ab"))
     contexts = bigrams.groupBy("tok_a").agg(
         F.sum("c_ab").alias("c_a"))
-    scored = (
-        doc_pairs
-        .join(bigrams, ["tok_a", "tok_b"])
-        .join(contexts, "tok_a")
-        .select("doc_id",
+    # Fold the context join into the VOCABULARY-sized bigram table
+    # first, so the corpus-sized pair stream is joined exactly once —
+    # at test scale AQE broadcasts either way, but at 100 TB this
+    # halves the stream-sized shuffle joins from two to one.
+    bigram_lp = (
+        bigrams.join(contexts, "tok_a")
+        .select("tok_a", "tok_b",
                 F.floor(F.log(F.col("c_ab") / F.col("c_a")) * 1e7)
                 .cast("long").alias("lp7"))
     )
+    scored = doc_pairs.join(bigram_lp, ["tok_a", "tok_b"]) \
+        .select("doc_id", "lp7")
     return (
         scored.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"),

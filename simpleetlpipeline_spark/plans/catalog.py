@@ -18,6 +18,7 @@ from simpleetlpipeline_spark.functions import (
     sketches,
     text,
 )
+from simpleetlpipeline_spark import sources
 from simpleetlpipeline_spark.operators import scd
 from simpleetlpipeline_spark.plans import (
     advanced,
@@ -34,7 +35,7 @@ ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
 for _mod in (advanced, relational, subqueries, scd, text, dedup, similarity,
              multimodal,
-             curation, pretrain,
+             curation, pretrain, sources,
              sketches, streaming_windows, streaming_stateful,
              streaming_sinks):
     QUERIES.update(_mod.QUERIES)

@@ -689,3 +689,148 @@ ORACLE_SQL["events_dedup_batch"] = """
     FROM events
     GROUP BY 1, 2, 3
 """
+
+
+PAGERANK_ITERS = 3
+PAGERANK_MIN_ORDERS = 2
+PAGERANK_TOP_N = 20
+_PR_UNIT = 10**12  # rank fixed-point denominator
+_PR_DAMP_NUM = 85  # damping 0.85 as an integer percentage
+
+
+def copurchase_pagerank(spark: SparkSession, sf_dir: str,
+                        iters: int = PAGERANK_ITERS,
+                        min_orders: int = PAGERANK_MIN_ORDERS,
+                        top_n: int = PAGERANK_TOP_N) -> DataFrame:
+    """Iterative PageRank over the copurchase graph: which parts sit
+    at the center of the bought-together network (the 'hub product'
+    ranking a recommender or assortment planner starts from). The
+    graph is the undirected part-pair graph of orders (pairs bought
+    together in >= `min_orders` orders), and rank runs `iters`
+    synchronous power iterations with damping 0.85.
+
+    This is the repo's worked example of an ITERATIVE distributed
+    algorithm on DataFrames: each iteration is one edge-keyed join +
+    one destination-keyed aggregate, the edge/degree tables are
+    computed once and cached (released by the caller's cache
+    registry), and the loop unrolls into a lineage of bounded depth
+    (iters is small and fixed — for hundreds of iterations you'd
+    checkpoint every ~10 to cut lineage).
+
+    Exact-integer contract (fold-order-proof, fully oracle-checkable
+    with unrolled CTEs): ranks live as int64 fixed-point units of
+    1e-12 — r0 = UNIT//N; each neighbor contribution is r//deg
+    (integer division); the damped update is
+    (15*(UNIT//N))//100 + (85*sum)//100 — every op is integer, so
+    any partial-aggregation order yields bit-identical ranks, unlike
+    float PageRank whose per-node sums drift by partitioning.
+
+    Scale: the per-iteration shuffle is |edges| (contributions) +
+    |nodes| (sums) — linear, never materializing anything quadratic;
+    basket fan-out is bounded by BASKET_CAP upstream. Skewed hub
+    nodes (huge in-degree) are the classic hazard: the sum agg
+    combines map-side, so a hot destination folds per-partition
+    before the shuffle.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.cache import track
+
+    items = (read_table(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    a = items.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"),
+                     F.col("l_partkey").alias("pb"))
+    pairs = (a.join(b, "k")
+             .filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= min_orders))
+    edges = track(
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(pairs.select(F.col("pb").alias("src"),
+                               F.col("pa").alias("dst"))))
+    deg = track(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
+    n_nodes = deg.count()  # one scalar to the driver, like kmeans' k
+    base = _PR_UNIT // n_nodes
+    teleport = (100 - _PR_DAMP_NUM) * base // 100
+
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(base).cast("long").alias("r"))
+    for _ in range(iters):
+        contribs = (
+            edges
+            .join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"),
+                    F.expr("r DIV d").alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .select("node",
+                    (F.lit(teleport)
+                     + F.expr(f"({_PR_DAMP_NUM} * s) DIV 100"))
+                    .cast("long").alias("r"))
+        )
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"])
+        .select(F.col("node").alias("partkey"),
+                F.col("r").alias("rank12"),
+                F.col("d").alias("degree"))
+        .orderBy(F.desc("rank12"), F.asc("partkey"))
+        .limit(top_n)
+    )
+
+
+QUERIES["copurchase_pagerank"] = copurchase_pagerank
+
+
+def _pagerank_oracle() -> str:
+    base_sql = f"(CAST({_PR_UNIT} AS BIGINT) // cnt)"
+    teleport = f"((100 - {_PR_DAMP_NUM}) * {base_sql} // 100)"
+    rounds = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        rounds.append(f"""s{i} AS (
+            SELECT e.dst AS node, sum({prev}.r // deg.d) AS s
+            FROM edges e
+            JOIN {prev} ON e.src = {prev}.node
+            JOIN deg ON e.src = deg.src
+            GROUP BY 1
+        ), r{i} AS (
+            SELECT node,
+                   CAST({teleport}
+                        + ({_PR_DAMP_NUM} * s) // 100 AS BIGINT) AS r
+            FROM s{i} CROSS JOIN n
+        )""")
+        prev = f"r{i}"
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {PAGERANK_MIN_ORDERS}
+        ), edges AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION ALL
+            SELECT pb AS src, pa AS dst FROM pairs
+        ), deg AS (
+            SELECT src, count(*) AS d FROM edges GROUP BY 1
+        ), n AS (
+            SELECT count(*) AS cnt FROM deg
+        ), r0 AS (
+            SELECT src AS node, CAST({base_sql} AS BIGINT) AS r
+            FROM deg CROSS JOIN n
+        ), {', '.join(rounds)}
+        SELECT node AS partkey, r AS rank12, d AS degree
+        FROM {prev} JOIN deg ON node = src
+        ORDER BY rank12 DESC, partkey ASC
+        LIMIT {PAGERANK_TOP_N}
+    """
+
+
+ORACLE_SQL["copurchase_pagerank"] = _pagerank_oracle()

@@ -308,3 +308,99 @@ class JsonlEventsWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+
+
+def _jsonl_fixture_dir(spark, sf_dir: str) -> str:
+    """Deterministic JSONL log directory derived from the events
+    table: every 5th event (event_id % 5 == 0), written through the
+    REAL JsonlEventsWriter (two-phase commit, manifest) once per
+    (host, sf) and reused. Staged into a sibling dir and os.replace()d
+    with a completeness marker NEXT TO the directory, exactly like the
+    media ingest fixture (functions/multimodal.py)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_jsonl_ingest_"
+        + os.path.basename(os.path.normpath(sf_dir)))
+    marker = base + ".complete"
+    if os.path.exists(marker) and os.path.isdir(base):
+        return base
+    tmp = base + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    subset = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+                "user_id", "event_type", "value"))
+    register_jsonl_events(spark)
+    subset.write.format("jsonl_events").option("path", tmp) \
+        .mode("append").save()
+    shutil.rmtree(base, ignore_errors=True)
+    os.replace(tmp, base)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+INGEST_EVENT_TYPES = ("view", "purchase")
+
+
+def jsonl_ingest_rollup(spark, sf_dir: str):
+    """End-to-end exercise of the custom Python DataSource under the
+    correctness gate: events subset -> JsonlEventsWriter (two-phase
+    commit) -> JsonlEventsReader with a PUSHED event_type filter
+    (evaluated inside the source, dropped rows never reach the JVM)
+    -> per-type rollup.
+
+    Oracle-checkable despite the filesystem + JSON hop: the fixture
+    is a pure function of the events table, doubles survive the JSON
+    round-trip exactly (shortest-repr serialization), and the value
+    sum is quantized to int64 micro-units per row BEFORE aggregation
+    so the hashed sum is fold-order-exact in both engines.
+
+    Scale shape: one input partition per log file (the source's
+    parallelism unit), filter pushdown inside the source, and a
+    map-side-combined hash aggregate — the plan a 100 TB log-ingest
+    job needs from a non-parquet feed.
+    """
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    root = _jsonl_fixture_dir(spark, sf_dir)
+    register_jsonl_events(spark)
+    logs = (
+        spark.read.format("jsonl_events").option("path", root).load()
+        .filter(F.col("event_type").isin(*INGEST_EVENT_TYPES)))
+    return (
+        logs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count_distinct("user_id").alias("n_users"),
+             F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+             .alias("value_sum6"))
+    )
+
+
+QUERIES = {"jsonl_ingest_rollup": jsonl_ingest_rollup}
+
+ORACLE_SQL = {
+    "jsonl_ingest_rollup": f"""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+                   AS value_sum6
+        FROM events
+        WHERE event_id % 5 = 0
+          AND event_type IN {INGEST_EVENT_TYPES!r}
+        GROUP BY 1
+    """,
+}

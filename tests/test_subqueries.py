@@ -104,3 +104,37 @@ def test_idle_customers_threshold_membership(spark, sf_dir):
            .collect()[0]["t"])
     eligible = cust.filter(F.col("c_acctbal") > thr).count()
     assert sum(out.values()) <= eligible
+
+
+def test_copurchase_pagerank_hub_ranks_first(spark):
+    """A star graph (hub bought with every spoke, spokes never
+    together) must rank the hub first, all spokes tied behind it."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.plans.relational import copurchase_pagerank
+
+    rows = []
+    for o in range(6):  # orders 0..5: hub part 1 + spoke part 10+o, twice
+        for rep in (0, 1):
+            rows.append((o * 2 + rep * 100, 1))
+            rows.append((o * 2 + rep * 100, 10 + o))
+    li = [(ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "1997-01-01")
+          for ok, pk in rows]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            li, "l_orderkey long, l_partkey long, l_suppkey long, "
+                "l_linenumber int, l_quantity double, "
+                "l_extendedprice double, l_discount double, l_tax double, "
+                "l_returnflag string, l_linestatus string, "
+                "l_shipdate string"
+        ).withColumn("l_shipdate", F.to_timestamp("l_shipdate")) \
+         .write.parquet(os.path.join(td, "lineitem.parquet"))
+        out = copurchase_pagerank(spark, td, min_orders=2).collect()
+    assert out[0]["partkey"] == 1, "hub must rank first"
+    assert out[0]["degree"] == 6
+    spoke_ranks = {r["rank12"] for r in out[1:]}
+    assert len(spoke_ranks) == 1, "all spokes must tie exactly"
+    assert out[0]["rank12"] > out[1]["rank12"]
