@@ -1027,3 +1027,102 @@ ORACLE_SQL["source_vocab_overlap"] = """
     JOIN sizes sa ON source_a = sa.source
     JOIN sizes sb ON source_b = sb.source
 """
+
+
+# Gopher-style per-document quality rules (Rae et al. 2021-inspired
+# thresholds, tuned to the synthetic corpus so both outcomes occur).
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_STOPWORD_FRAC = 0.01
+GOPHER_MAX_NUMERIC_FRAC = 0.2
+_GOPHER_STOPWORDS = LANG_MARKERS["en"]
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality screen: per document, the
+    individual boolean rules (word-count bounds, mean-word-length
+    bounds, minimum stopword fraction, maximum numeric-token
+    fraction) plus the overall pass — the transparent filter tier a
+    curation pipeline runs BEFORE any model-based scoring, and the
+    per-rule breakdown is what lets you audit WHY a slice of the
+    corpus was dropped.
+
+    All ratios derive from exact integer counts (floored 4dp), so
+    flags can't flip under re-partitioning; thresholds are strict
+    inequalities against the floored values in both engines. One
+    narrow projection — no shuffle at all until a downstream
+    aggregate.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(tokens_col(F.col("text")), lambda t: t != "")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)
+    n_stop = F.size(F.filter(
+        toks, lambda t: t.isin(*_GOPHER_STOPWORDS)))
+    n_num = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    mean_len = F.floor(total_len / n * 10000) / 10000
+    stop_frac = F.floor(n_stop / n * 10000) / 10000
+    num_frac = F.floor(n_num / n * 10000) / 10000
+    flags = docs.select(
+        "doc_id", n.alias("n_words"), mean_len.alias("mean_word_len"),
+        stop_frac.alias("stopword_frac"), num_frac.alias("numeric_frac"))
+    wc_ok = (F.col("n_words") >= GOPHER_MIN_WORDS) \
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    len_ok = (F.col("mean_word_len") >= GOPHER_MIN_MEAN_LEN) \
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_LEN)
+    stop_ok = F.col("stopword_frac") >= GOPHER_MIN_STOPWORD_FRAC
+    num_ok = F.col("numeric_frac") <= GOPHER_MAX_NUMERIC_FRAC
+    return flags.select(
+        "doc_id", "n_words", "mean_word_len", "stopword_frac",
+        "numeric_frac",
+        wc_ok.alias("word_count_ok"), len_ok.alias("mean_len_ok"),
+        stop_ok.alias("stopword_ok"), num_ok.alias("numeric_ok"),
+        (wc_ok & len_ok & stop_ok & num_ok).alias("gopher_pass"))
+
+
+QUERIES["gopher_quality_flags"] = gopher_quality_flags
+
+ORACLE_SQL["gopher_quality_flags"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS toks
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               floor(list_sum(list_transform(toks, x -> length(x)))
+                     * 1.0 / len(toks) * 10000) / 10000
+                   AS mean_word_len,
+               floor(len(list_filter(toks, x -> x IN
+                         {tuple(_GOPHER_STOPWORDS)!r}))
+                     * 1.0 / len(toks) * 10000) / 10000
+                   AS stopword_frac,
+               floor(len(list_filter(toks,
+                         x -> regexp_matches(x, '^[0-9]+$')))
+                     * 1.0 / len(toks) * 10000) / 10000
+                   AS numeric_frac
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           mean_word_len, stopword_frac, numeric_frac,
+           n_words >= {GOPHER_MIN_WORDS}
+               AND n_words <= {GOPHER_MAX_WORDS} AS word_count_ok,
+           mean_word_len >= {GOPHER_MIN_MEAN_LEN}
+               AND mean_word_len <= {GOPHER_MAX_MEAN_LEN} AS mean_len_ok,
+           stopword_frac >= {GOPHER_MIN_STOPWORD_FRAC} AS stopword_ok,
+           numeric_frac <= {GOPHER_MAX_NUMERIC_FRAC} AS numeric_ok,
+           (n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= {GOPHER_MIN_MEAN_LEN}
+            AND mean_word_len <= {GOPHER_MAX_MEAN_LEN}
+            AND stopword_frac >= {GOPHER_MIN_STOPWORD_FRAC}
+            AND numeric_frac <= {GOPHER_MAX_NUMERIC_FRAC})
+               AS gopher_pass
+    FROM m
+"""

@@ -1008,3 +1008,115 @@ ORACLE_SQL["supplier_geo_rollup"] = """
     LEFT JOIN c ON c.c_nationkey = n.n_nationkey
     GROUP BY 1
 """
+
+
+ZORDER_FILES = 16
+_Z_BITS = 16
+
+
+def _z_expr(ux: str, tx: str, shift_fn) -> str:
+    """Bit-interleave expression (Morton/Z-order) for two 16-bit
+    keys, generated once and rendered per engine — identical
+    integer arithmetic, so the z-values hash-match exactly."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shift_fn(f"({shift_fn(ux, -i)} & 1)", 2 * i))
+        terms.append(shift_fn(f"({shift_fn(tx, -i)} & 1)", 2 * i + 1))
+    return " + ".join(terms)
+
+
+def _shift_sql(expr: str, n: int) -> str:
+    """Portable shift (works in Spark SQL and DuckDB): n>0 left,
+    n<0 right, rendered as multiplication/integer-division by 2^|n|
+    (bit-identical to shifts for non-negative ints, and avoids the
+    engines' differing shift-operator spellings)."""
+    if n == 0:
+        return expr
+    if n > 0:
+        return f"({expr} * {1 << n})"
+    return f"CAST(floor({expr} / {1 << -n}) AS BIGINT)"
+
+
+def zorder_layout_manifest(spark: SparkSession, sf_dir: str,
+                           n_files: int = ZORDER_FILES) -> DataFrame:
+    """Z-order (Morton-curve) layout plan for the events table — the
+    data-layout job behind min/max data skipping: interleave the
+    bits of (user_id, hour) so rows close in BOTH dimensions land in
+    the same file, then report each planned file's min/max stats.
+    Tight per-file ranges are what lets a scan prune files on EITHER
+    a user predicate or a time predicate — the multi-dimension
+    clustering a single-column sort can't give (sorting by user
+    makes every file span all of time, and vice versa).
+
+    The manifest emits exactly the pruning index a lakehouse keeps
+    (per-file min/max per column); the span columns make the
+    clustering quality measurable — and the pytest contract asserts
+    z-ordered files beat a user-sorted layout on time-span.
+
+    Determinism: z-values are pure integer arithmetic (the
+    interleave renders as multiply/divide-by-2^k — bit-identical in
+    both engines), and the file split is ntile over (z, event_id) —
+    a total order, so every row's file assignment is exact.
+
+    Scale: a layout job IS a global sort — Spark plans ntile's
+    ORDER BY as a range-partitioned sort (sampled bounds, fully
+    distributed); at 100 TB you'd write with
+    repartitionByRange(n_files, z) + sortWithinPartitions instead of
+    a window, same shuffle shape, no single-reducer stage. The
+    manifest aggregate is |files| groups, map-side combined.
+    """
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    keyed = events.select(
+        "event_id",
+        (F.col("user_id") % (1 << _Z_BITS)).alias("ux"),
+        (F.floor(F.unix_timestamp("ts") / 3600)
+         .cast("long") % (1 << _Z_BITS)).alias("tx"),
+    )
+    z = F.expr(_z_expr("ux", "tx", _shift_sql))
+    w = Window.orderBy("z", "event_id")
+    return (
+        keyed.withColumn("z", z.cast("long"))
+        .withColumn("file_id", F.ntile(n_files).over(w))
+        .groupBy("file_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.min("z").alias("z_min"), F.max("z").alias("z_max"),
+             F.min("ux").alias("user_min"), F.max("ux").alias("user_max"),
+             F.min("tx").alias("hour_min"), F.max("tx").alias("hour_max"))
+        .orderBy("file_id")
+    )
+
+
+QUERIES["zorder_layout_manifest"] = zorder_layout_manifest
+
+
+def _zorder_oracle() -> str:
+    zx = _z_expr("ux", "tx", _shift_sql)
+    return f"""
+        WITH keyed AS (
+            SELECT event_id,
+                   user_id % {1 << _Z_BITS} AS ux,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                       % {1 << _Z_BITS} AS tx
+            FROM events
+        ), zed AS (
+            SELECT event_id, ux, tx, CAST({zx} AS BIGINT) AS z
+            FROM keyed
+        ), tiled AS (
+            SELECT ux, tx, z,
+                   ntile({ZORDER_FILES})
+                       OVER (ORDER BY z, event_id) AS file_id
+            FROM zed
+        )
+        SELECT file_id, count(*) AS n_rows,
+               min(z) AS z_min, max(z) AS z_max,
+               min(ux) AS user_min, max(ux) AS user_max,
+               min(tx) AS hour_min, max(tx) AS hour_max
+        FROM tiled
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+ORACLE_SQL["zorder_layout_manifest"] = _zorder_oracle()

@@ -726,8 +726,11 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str,
     float PageRank whose per-node sums drift by partitioning.
 
     Scale: the per-iteration shuffle is |edges| (contributions) +
-    |nodes| (sums) — linear, never materializing anything quadratic;
-    basket fan-out is bounded by BASKET_CAP upstream. Skewed hub
+    |nodes| (sums) — linear, never materializing anything quadratic.
+    The basket pair fan-out is C(basket,2) with TPC-H baskets <= 7;
+    open-schema data would add copurchase_pairs' BASKET_CAP slice
+    (omitted here so the oracle's a<b self-join semantics hold
+    exactly). Skewed hub
     nodes (huge in-degree) are the classic hazard: the sum agg
     combines map-side, so a hot destination folds per-partition
     before the shuffle.
@@ -735,22 +738,35 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str,
     ensure_session_conf(spark)
     from simpleetlpipeline_spark.cache import track
 
-    items = (read_table(spark, sf_dir, "lineitem")
-             .select("l_orderkey", "l_partkey").distinct())
-    a = items.select(F.col("l_orderkey").alias("k"),
-                     F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("k"),
-                     F.col("l_partkey").alias("pb"))
-    pairs = (a.join(b, "k")
-             .filter(F.col("pa") < F.col("pb"))
+    # Posting-list pair build (same shape as copurchase_pairs: one
+    # basket shuffle instead of a three-way self-join; a<b is
+    # positional in the sorted basket, matching the oracle's a<b).
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+        ),
+    ))
+    pairs = (baskets.select(F.explode(pair_structs).alias("p"))
+             .select("p.pa", "p.pb")
              .groupBy("pa", "pb")
              .agg(F.count(F.lit(1)).alias("n"))
              .filter(F.col("n") >= min_orders))
     edges = track(
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(pairs.select(F.col("pb").alias("src"),
-                               F.col("pa").alias("dst"))))
-    deg = track(edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")))
+                               F.col("pa").alias("dst"))).persist())
+    deg = track(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist())
     n_nodes = deg.count()  # one scalar to the driver, like kmeans' k
     base = _PR_UNIT // n_nodes
     teleport = (100 - _PR_DAMP_NUM) * base // 100
@@ -834,3 +850,133 @@ def _pagerank_oracle() -> str:
 
 
 ORACLE_SQL["copurchase_pagerank"] = _pagerank_oracle()
+
+
+#: Deterministic CDC script for the retraction demo: every 17th order
+#: is deleted, every (non-deleted) 10th order has its price corrected
+#: by +10% (exact decimal math, so no cross-engine rounding).
+RETRACT_DELETE_MOD = 17
+RETRACT_UPDATE_MOD = 10
+
+
+def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS — the general
+    CDC case monthly_sales_incremental's insert-only merge can't
+    handle: a change feed of deletes and updates maintains the A1
+    monthly rollup as signed deltas (delete → (-1, -price); update →
+    (-1, -old) + (+1, +new)), merged onto the base aggregate without
+    rescanning history. Sum/count are the retractable aggregates
+    (min/max are not — a retraction there forces a rescan, which is
+    why production IVM keeps them in separate sketches or recomputes
+    them lazily).
+
+    The output carries BOTH the maintained totals and a full
+    recompute over the post-CDC state: the hash gate then proves the
+    IVM algebra exact, not approximately-right. (A production
+    pipeline drops the recheck columns — they cost the rescan the
+    maintained path exists to avoid.)
+
+    Determinism: all money flows through exact decimal sums (the
+    subqueries-module contract), and the +10% correction is decimal
+    arithmetic (18,2)x(3,1) — exact 3dp, no float round anywhere.
+    """
+    ensure_session_conf(spark)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == COMPLETED)
+        .select(F.col("o_orderkey").alias("k"),
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                dec.alias("price"))
+    )
+    is_del = F.col("k") % RETRACT_DELETE_MOD == 0
+    is_upd = (~is_del) & (F.col("k") % RETRACT_UPDATE_MOD == 0)
+    new_price = F.col("price") * F.lit("1.1").cast("decimal(3,1)")
+
+    base = (orders.groupBy("month")
+            .agg(F.count(F.lit(1)).alias("base_n"),
+                 F.sum(F.col("price").cast("decimal(21,3)"))
+                 .alias("base_rev")))
+    # Signed CDC deltas: one pass over the affected rows only.
+    deltas = (
+        orders.filter(is_del | is_upd)
+        .select(
+            "month",
+            F.when(is_del, F.lit(-1)).otherwise(F.lit(0)).alias("dn"),
+            F.when(is_del, (-F.col("price")).cast("decimal(21,3)"))
+            .otherwise((new_price - F.col("price")).cast("decimal(21,3)"))
+            .alias("dr"))
+        .groupBy("month")
+        .agg(F.sum("dn").alias("delta_n"), F.sum("dr").alias("delta_rev"))
+    )
+    maintained = (
+        base.join(deltas, "month", "full_outer")
+        .select(
+            "month",
+            (F.coalesce("base_n", F.lit(0))
+             + F.coalesce("delta_n", F.lit(0))).alias("total_orders"),
+            (F.coalesce(F.col("base_rev"),
+                        F.lit(0).cast("decimal(21,3)"))
+             + F.coalesce(F.col("delta_rev"),
+                          F.lit(0).cast("decimal(21,3)")))
+            .cast("double").alias("total_revenue"))
+    )
+    # Ground-truth recompute over the post-CDC state (demo-only).
+    recheck = (
+        orders.filter(~is_del)
+        .select("month",
+                F.when(is_upd, new_price.cast("decimal(21,3)"))
+                .otherwise(F.col("price").cast("decimal(21,3)"))
+                .alias("p"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("recheck_orders"),
+             F.sum("p").cast("double").alias("recheck_revenue"))
+    )
+    return maintained.join(recheck, "month").orderBy("month")
+
+
+QUERIES["monthly_sales_retract"] = monthly_sales_retract
+
+ORACLE_SQL["monthly_sales_retract"] = f"""
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               o_orderkey % {RETRACT_DELETE_MOD} = 0 AS is_del,
+               o_orderkey % {RETRACT_DELETE_MOD} != 0
+                   AND o_orderkey % {RETRACT_UPDATE_MOD} = 0 AS is_upd
+        FROM orders WHERE o_orderstatus = 'F'
+    ), base AS (
+        SELECT month, count(*) AS base_n,
+               sum(CAST(price AS DECIMAL(21,3))) AS base_rev
+        FROM o GROUP BY 1
+    ), deltas AS (
+        SELECT month,
+               sum(CASE WHEN is_del THEN -1 ELSE 0 END) AS delta_n,
+               sum(CASE WHEN is_del
+                   THEN CAST(-price AS DECIMAL(21,3))
+                   ELSE CAST(price * CAST(1.1 AS DECIMAL(3,1)) - price
+                             AS DECIMAL(21,3)) END) AS delta_rev
+        FROM o WHERE is_del OR is_upd GROUP BY 1
+    ), maintained AS (
+        SELECT month,
+               coalesce(base_n, 0) + coalesce(delta_n, 0)
+                   AS total_orders,
+               CAST(coalesce(base_rev, CAST(0 AS DECIMAL(21,3)))
+                    + coalesce(delta_rev, CAST(0 AS DECIMAL(21,3)))
+                    AS DOUBLE) AS total_revenue
+        FROM base FULL OUTER JOIN deltas USING (month)
+    ), recheck AS (
+        SELECT month, count(*) AS recheck_orders,
+               CAST(sum(CASE WHEN is_upd
+                        THEN CAST(price * CAST(1.1 AS DECIMAL(3,1))
+                                  AS DECIMAL(21,3))
+                        ELSE CAST(price AS DECIMAL(21,3)) END)
+                    AS DOUBLE) AS recheck_revenue
+        FROM o WHERE NOT is_del GROUP BY 1
+    )
+    SELECT month, total_orders, total_revenue,
+           recheck_orders, recheck_revenue
+    FROM maintained JOIN recheck USING (month)
+    ORDER BY month
+"""

@@ -404,3 +404,50 @@ ORACLE_SQL = {
         GROUP BY 1
     """,
 }
+
+
+def streaming_jsonl_rollup(spark, sf_dir: str):
+    """The SAME custom source, driven through Structured Streaming:
+    JsonlEventsStreamReader turns each committed log file into
+    micro-batch input (availableNow replay-to-catch-up), and the
+    rollup runs as a stateful streaming aggregate in complete mode.
+    Result contract matches the batch jsonl_ingest_rollup minus the
+    distinct-user count (distinct aggregation is unsupported in
+    streaming — the production swap-in is approx_count_distinct,
+    which the sketches family covers).
+
+    Scale shape: state is |event_type| keys, partial aggregation
+    folds map-side within each micro-batch, and the source's
+    file-granular offsets mean a restart resumes from the last
+    committed file — the property tests/test_sources.py pins.
+    """
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.session import ensure_session_conf
+    from simpleetlpipeline_spark.streaming.windows import run_stream_to_df
+
+    ensure_session_conf(spark)
+    root = _jsonl_fixture_dir(spark, sf_dir)
+    register_jsonl_events(spark)
+    logs = (spark.readStream.format("jsonl_events")
+            .option("path", root).load())
+    agg = (
+        logs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+             .alias("value_sum6"))
+    )
+    return run_stream_to_df(agg)
+
+
+QUERIES["streaming_jsonl_rollup"] = streaming_jsonl_rollup
+
+ORACLE_SQL["streaming_jsonl_rollup"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS value_sum6
+    FROM events
+    WHERE event_id % 5 = 0
+    GROUP BY 1
+"""

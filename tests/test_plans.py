@@ -109,7 +109,16 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # freqItems materializes its one-row
                            # sketch at construction (sanctioned
                            # one-row collect, functions/sketches.py)
-                           "heavy_hitter_users")}
+                           "heavy_hitter_users",
+                           # pagerank collects one scalar (node
+                           # count) and persists the edge cache at
+                           # construction, same class as kmeans
+                           "copurchase_pagerank",
+                           # builds its JSONL fixture dir through the
+                           # writer on first construction; the Python
+                           # data source also plans its partitions
+                           # (file listing) eagerly
+                           "jsonl_ingest_rollup")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)

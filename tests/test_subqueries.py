@@ -138,3 +138,47 @@ def test_copurchase_pagerank_hub_ranks_first(spark):
     spoke_ranks = {r["rank12"] for r in out[1:]}
     assert len(spoke_ranks) == 1, "all spokes must tie exactly"
     assert out[0]["rank12"] > out[1]["rank12"]
+
+
+def test_monthly_sales_retract_maintained_equals_recompute(spark, sf_dir):
+    """The IVM contract itself: signed-delta maintenance must equal
+    the full recompute over the post-CDC state, month for month."""
+    from simpleetlpipeline_spark.plans.relational import monthly_sales_retract
+
+    for r in monthly_sales_retract(spark, sf_dir).collect():
+        assert r["total_orders"] == r["recheck_orders"], r["month"]
+        assert r["total_revenue"] == r["recheck_revenue"], r["month"]
+
+
+def test_zorder_files_beat_user_sort_on_time_span(spark, sf_dir):
+    """The point of z-ordering: per-file TIME spans must be far
+    tighter than a user-sorted layout's (where every file spans
+    ~the whole time range), while user spans stay bounded — the
+    two-dimensional skipping a single-column sort can't give."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.plans.advanced import (
+        ZORDER_FILES, zorder_layout_manifest)
+
+    zfiles = zorder_layout_manifest(spark, sf_dir).collect()
+    assert len(zfiles) == ZORDER_FILES
+    assert sorted(r["file_id"] for r in zfiles) == \
+        list(range(1, ZORDER_FILES + 1))
+    z_time_span = sum(r["hour_max"] - r["hour_min"] for r in zfiles)
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    keyed = events.select(
+        "event_id", (F.col("user_id") % 65536).alias("ux"),
+        (F.floor(F.unix_timestamp("ts") / 3600).cast("long") % 65536)
+        .alias("tx"))
+    w = Window.orderBy("ux", "event_id")
+    usort = (keyed.withColumn("file_id", F.ntile(ZORDER_FILES).over(w))
+             .groupBy("file_id")
+             .agg((F.max("tx") - F.min("tx")).alias("span"))
+             .collect())
+    user_sorted_time_span = sum(r["span"] for r in usort)
+    assert z_time_span < user_sorted_time_span / 2, \
+        (z_time_span, user_sorted_time_span)
