@@ -972,3 +972,94 @@ ORACLE_SQL["embedding_outliers"] = f"""
         FROM scored
     ) WHERE rank <= {OUTLIER_TOP_K}
 """
+
+
+#: The synthetic embeddings are seeded gaussians with NO planted
+#: probe contamination, so the catalog entry sets the threshold at
+#: the noise tail (max random cosine ~0.49 at sf0.01) to keep the
+#: manifest non-empty; a real deployment with planted/real leakage
+#: runs 0.95+. The planted-contamination pytest covers that regime.
+SEMDECON_THRESHOLD = 0.4
+SEMDECON_N_PROBES = 20
+
+
+def semantic_decontaminate(spark: SparkSession, sf_dir: str,
+                           threshold: float = SEMDECON_THRESHOLD,
+                           n_probes: int = SEMDECON_N_PROBES) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus vectors
+    whose cosine similarity to ANY held-out probe (vec_id <
+    n_probes) reaches `threshold` — the semantic sibling of the
+    n-gram `decontaminate` (curation.py), catching paraphrased or
+    reformatted benchmark leakage that exact n-gram overlap misses.
+    Output is the contaminated manifest: each flagged vector, its
+    closest probe, and the similarity (max over probes, ties to the
+    lowest probe id).
+
+    Plan shape is ann_topk's: probes broadcast, one narrow cosine
+    projection over the corpus scan, per-vector max — linear in the
+    corpus with NO shuffle of the vectors themselves (the only
+    exchange is the per-vector argmax agg keyed by vec_id, and at
+    100 TB the probe set is still benchmark-sized: thousands, not
+    millions — if it outgrows a broadcast, the LSH band join
+    (embedding_neardup_lsh) is the same-semantics scale path).
+
+    Determinism: cosine floored at 1e-4 in both engines (module
+    contract); argmax by (sim DESC, probe id ASC) via one struct
+    max, no window.
+    """
+    ensure_session_conf(spark)
+    vecs = _vectors(spark, sf_dir)
+    probes = (
+        vecs.filter(F.col("vec_id") < n_probes)
+        .select(F.col("vec_id").alias("probe_id"),
+                F.col("e").alias("p_e"), F.col("nrm").alias("p_nrm"))
+    )
+    corpus = (
+        vecs.filter(F.col("vec_id") >= n_probes)
+        .select(F.col("vec_id"), F.col("e"), F.col("nrm"))
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .select("vec_id", "probe_id",
+                cosine(F.col("p_e"), F.col("e"),
+                       F.col("p_nrm"), F.col("nrm")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    best = F.max(F.struct(F.col("sim"),
+                          (-F.col("probe_id")).alias("neg_probe")))
+    return (
+        scored.groupBy("vec_id")
+        .agg(best.alias("b"),
+             F.count(F.lit(1)).alias("n_probes_hit"))
+        .select("vec_id",
+                (-F.col("b.neg_probe")).cast("long").alias("closest_probe"),
+                F.col("b.sim").alias("similarity"),
+                "n_probes_hit")
+    )
+
+
+QUERIES["semantic_decontaminate"] = semantic_decontaminate
+
+ORACLE_SQL["semantic_decontaminate"] = f"""
+    WITH v AS ({_VECS_SQL}),
+    scored AS (
+        SELECT b.vec_id AS vec_id, a.vec_id AS probe_id,
+               {_COS_SQL} AS sim
+        FROM (SELECT * FROM v WHERE vec_id < {SEMDECON_N_PROBES}) a
+        CROSS JOIN (SELECT * FROM v
+                    WHERE vec_id >= {SEMDECON_N_PROBES}) b
+    ), hits AS (
+        SELECT * FROM scored WHERE sim >= {SEMDECON_THRESHOLD}
+    )
+    , agg AS (
+        SELECT vec_id, max(sim) AS similarity,
+               count(*) AS n_probes_hit
+        FROM hits GROUP BY 1
+    )
+    SELECT a.vec_id,
+           CAST(min(h.probe_id) AS BIGINT) AS closest_probe,
+           a.similarity, a.n_probes_hit
+    FROM agg a JOIN hits h
+      ON h.vec_id = a.vec_id AND h.sim = a.similarity
+    GROUP BY a.vec_id, a.similarity, a.n_probes_hit
+"""

@@ -156,3 +156,30 @@ def test_embedding_outliers_finds_planted_outlier(spark):
     top = sorted(out, key=lambda r: r["rank"])
     assert top[0]["vec_id"] == 99 and top[0]["rank"] == 1
     assert top[0]["dist2"] > top[1]["dist2"] >= top[2]["dist2"]
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    """A corpus vector that IS a probe (plus noise too small to
+    matter) must be flagged against that probe with ~1 similarity;
+    orthogonal vectors must not be flagged."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    probe = rng.randn(64).astype("float32")
+    leak = (probe + 1e-3 * rng.randn(64).astype("float32"))
+    rows = [(0, [float(x) for x in probe], 0),
+            (100, [float(x) for x in leak], 0)]
+    # orthogonal filler
+    for i in range(101, 110):
+        v = rng.randn(64).astype("float32")
+        rows.append((i, [float(x) for x in v], 0))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = S.semantic_decontaminate(spark, td, threshold=0.95,
+                                       n_probes=1).collect()
+    assert len(out) == 1
+    assert out[0]["vec_id"] == 100
+    assert out[0]["closest_probe"] == 0
+    assert out[0]["similarity"] > 0.999
