@@ -357,3 +357,179 @@ ORACLE_SQL["corpus_health"] = f"""
     FROM s
     GROUP BY 1, 2
 """
+
+
+PREP_SHARDS = 8
+
+
+def pretrain_prepare_report(spark: SparkSession, sf_dir: str,
+                            n_shards: int = PREP_SHARDS) -> DataFrame:
+    """The whole pretraining data-prep funnel as ONE lazy plan — the
+    single-row readiness report a training run gates on: input
+    volume, survivors of each curation stage (quality -> language ->
+    exact dedup), the train/val/test split of the kept corpus, the
+    train-token budget with its packed-sequence count, and the
+    output-shard balance (max/min shard token load — a hot shard
+    here is a straggler task at the 100 TB write).
+
+    Every number is an exact integer, every stage reuses an already-
+    oracled operator's arithmetic (doc_stats quality, lang_id argmax,
+    md5 dedup, the multiplicative split/shard tickets, PACK_CTX
+    cutting), and Catalyst fuses the shared scans — the report costs
+    roughly one pass over the corpus plus the dedup window shuffle,
+    not seven pipelines.
+    """
+    from simpleetlpipeline_spark.functions.pretrain import (
+        _SHARD_HASH_A,
+        _SHARD_HASH_MOD,
+        _SPLIT_MULT,
+        PACK_CTX,
+        SPLIT_BOUNDS,
+    )
+    ensure_session_conf(spark)
+    stats = doc_stats(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score")
+    langs = lang_id(spark, sf_dir).select("doc_id", "detected_lang")
+    prints = doc_fingerprint(spark, sf_dir).select(
+        "doc_id", "md5_fingerprint")
+    enriched = (
+        stats.join(langs, "doc_id").join(prints, "doc_id")
+        .select("doc_id", "n_tokens", "md5_fingerprint",
+                (F.col("quality_score") >= QUALITY_THRESHOLD).alias("q_ok"),
+                (F.col("detected_lang") == KEEP_LANG).alias("l_ok"))
+    )
+    funnel = enriched.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(F.col("q_ok") & F.col("l_ok"), 1).otherwise(0))
+        .alias("n_lang"))
+    w = Window.partitionBy("md5_fingerprint").orderBy("doc_id")
+    kept = (
+        enriched.filter(F.col("q_ok") & F.col("l_ok"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    ticket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(10000)) * F.lit(_SPLIT_MULT),
+        F.lit(10000))
+    split = (F.when(ticket < SPLIT_BOUNDS[0], F.lit("train"))
+             .when(ticket < SPLIT_BOUNDS[1], F.lit("val"))
+             .otherwise(F.lit("test")))
+    splat = kept.select("doc_id", "n_tokens", split.alias("split"))
+    split_agg = splat.agg(
+        F.count(F.lit(1)).alias("n_dedup"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .alias("n_test"),
+        F.sum(F.when(F.col("split") == "train", F.col("n_tokens"))
+              .otherwise(F.lit(0))).alias("train_tokens"))
+    shard = F.pmod((F.col("doc_id") * _SHARD_HASH_A) % _SHARD_HASH_MOD,
+                   F.lit(n_shards))
+    shard_agg = (
+        splat.filter(F.col("split") == "train")
+        .groupBy(shard.alias("shard"))
+        .agg(F.sum("n_tokens").alias("t"))
+        .agg(F.max("t").alias("max_shard_tokens"),
+             F.min("t").alias("min_shard_tokens")))
+    return (
+        funnel.crossJoin(F.broadcast(split_agg))
+        .crossJoin(F.broadcast(shard_agg))
+        .select("n_input", "n_quality", "n_lang", "n_dedup",
+                "n_train", "n_val", "n_test", "train_tokens",
+                F.ceil(F.col("train_tokens") / PACK_CTX)
+                .cast("long").alias("n_train_packs"),
+                "max_shard_tokens", "min_shard_tokens")
+    )
+
+
+QUERIES["pretrain_prepare_report"] = pretrain_prepare_report
+
+
+def _prep_oracle() -> str:
+    from simpleetlpipeline_spark.functions.pretrain import (
+        _SHARD_HASH_A,
+        _SHARD_HASH_MOD,
+        _SPLIT_MULT,
+        PACK_CTX,
+        SPLIT_BOUNDS,
+    )
+
+    split_case = f"""CASE
+        WHEN ((doc_id % 10000) * {_SPLIT_MULT}) % 10000
+             < {SPLIT_BOUNDS[0]} THEN 'train'
+        WHEN ((doc_id % 10000) * {_SPLIT_MULT}) % 10000
+             < {SPLIT_BOUNDS[1]} THEN 'val'
+        ELSE 'test' END"""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, text,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL}))
+                        AS BIGINT) AS n_stopwords,
+                   {_lang_hits_sql}
+            FROM t
+        ), b AS (
+            SELECT *,
+                   greatest({", ".join("hits_" + x for x in LANG_MARKERS)})
+                       AS best,
+                   floor(least(1.0, n_tokens / 50.0)
+                         * (1 - n_stopwords / n_tokens) * 10000) / 10000
+                       AS quality_score,
+                   md5(text) AS md5_fingerprint
+            FROM s
+        ), e AS (
+            SELECT doc_id, n_tokens, md5_fingerprint,
+                   quality_score >= {QUALITY_THRESHOLD} AS q_ok,
+                   {_lang_case} = '{KEEP_LANG}' AS l_ok
+            FROM b
+        ), funnel AS (
+            SELECT count(*) AS n_input,
+                   CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_quality,
+                   CAST(sum(CASE WHEN q_ok AND l_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_lang
+            FROM e
+        ), kept AS (
+            SELECT doc_id, n_tokens, {split_case} AS split
+            FROM e WHERE q_ok AND l_ok
+            QUALIFY row_number() OVER (PARTITION BY md5_fingerprint
+                                       ORDER BY doc_id) = 1
+        ), sp AS (
+            SELECT count(*) AS n_dedup,
+                   CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_train,
+                   CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_val,
+                   CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN split = 'train' THEN n_tokens
+                            ELSE 0 END) AS BIGINT) AS train_tokens
+            FROM kept
+        ), sh AS (
+            SELECT CAST(max(tt) AS BIGINT) AS max_shard_tokens,
+                   CAST(min(tt) AS BIGINT) AS min_shard_tokens
+            FROM (
+                SELECT ((doc_id * {_SHARD_HASH_A}) % {_SHARD_HASH_MOD})
+                           % {PREP_SHARDS} AS shard,
+                       sum(n_tokens) AS tt
+                FROM kept WHERE split = 'train'
+                GROUP BY 1
+            )
+        )
+        SELECT n_input, n_quality, n_lang, n_dedup,
+               n_train, n_val, n_test, train_tokens,
+               CAST(ceil(train_tokens * 1.0 / {PACK_CTX}) AS BIGINT)
+                   AS n_train_packs,
+               max_shard_tokens, min_shard_tokens
+        FROM funnel CROSS JOIN sp CROSS JOIN sh
+    """
+
+
+ORACLE_SQL["pretrain_prepare_report"] = _prep_oracle()

@@ -1102,7 +1102,7 @@ ORACLE_SQL["gopher_quality_flags"] = f"""
         SELECT doc_id,
                len(toks) AS n_words,
                floor(length(regexp_replace(lower(trim(text)),
-                                           '\s+', '', 'g'))
+                                           '\\s+', '', 'g'))
                      * 1.0 / len(toks) * 10000) / 10000
                    AS mean_word_len,
                floor(len(list_filter(toks, x -> x IN
