@@ -28,6 +28,8 @@ ranking breaks ties deterministically on vec_id.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -1062,4 +1064,176 @@ ORACLE_SQL["semantic_decontaminate"] = f"""
     FROM agg a JOIN hits h
       ON h.vec_id = a.vec_id AND h.sim = a.similarity
     GROUP BY a.vec_id, a.similarity, a.n_probes_hit
+"""
+
+
+PQ_M = 8          # subspaces (64 dims -> 8 x 8)
+PQ_SUB = 64 // PQ_M
+PQ_K = 16         # codes per subspace
+PQ_N_PROBES = 10
+PQ_TOP_K = 10
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Deterministic PQ codebook: the PQ_K lowest-vec_id embeddings,
+    split into PQ_M sub-vectors each — the k-means-free quantizer
+    (codebook TRAINING plugs the kmeans_assign machinery in here;
+    the assignment/ADC mechanics below are what PQ is about and are
+    identical either way). Tiny driver state, like kmeans' kxdim
+    centroids."""
+    rows = (read_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id").limit(PQ_K)
+            .select(as_double_vec(F.col("embedding")).alias("e"))
+            .collect())
+    return [list(r["e"]) for r in rows]
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str,
+                n_probes: int = PQ_N_PROBES,
+                k: int = PQ_TOP_K) -> DataFrame:
+    """Product-quantization ANN — the third classic ANN family next
+    to IVF (ann_ivf_topk) and LSH (ann_lsh_topk): every corpus
+    vector compresses to PQ_M one-byte codes (its nearest codebook
+    entry per 8-dim subspace), and each probe searches by ADC
+    (asymmetric distance computation) — one 8x16 lookup table per
+    probe, so scoring a vector is 8 table lookups + adds instead of
+    64 multiplies, over an 8-byte code instead of a 256-byte vector.
+    That 32x memory compression is the point at 100 TB: the code
+    table fits where the vectors never could.
+
+    Determinism: per-subspace distances fold sequentially in BOTH
+    engines (explicit accumulation loop in the Arrow kernel,
+    list_reduce in the oracle), code argmin ties go to the lower
+    code id, and ADC totals are int64 fixed-point (1e-9 units)
+    summed exactly — rank order can't wobble with partitioning.
+
+    Plan: codes are one Arrow-batched pass over the corpus (narrow,
+    no shuffle); the probe tables are driver-built literals
+    (probes x 8 x 16 doubles); scoring is a broadcast crossJoin +
+    in-order JVM fold; top-k is a per-probe window over n_probes
+    tiny groups.
+    """
+    ensure_session_conf(spark)
+    cb = _pq_codebook(spark, sf_dir)  # PQ_K x 64
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") >= PQ_K)
+
+    @F.pandas_udf("array<int>")
+    def encode(e: pd.Series) -> pd.Series:
+        if len(e) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array(e.tolist(), dtype=np.float64)  # n x 64
+        cent = np.array(cb, dtype=np.float64)         # K x 64
+        out = np.empty((mat.shape[0], PQ_M), dtype=np.int32)
+        for m in range(PQ_M):
+            lo = m * PQ_SUB
+            # sequential accumulation over j — matches the oracle's
+            # list_reduce fold exactly (numpy .sum() is pairwise)
+            d = np.zeros((mat.shape[0], PQ_K))
+            for j in range(PQ_SUB):
+                diff = mat[:, lo + j, None] - cent[None, :, lo + j]
+                d = d + diff * diff
+            out[:, m] = d.argmin(axis=1)  # first min: lower code wins
+        return pd.Series(list(out))
+
+    codes = emb.select(
+        F.col("vec_id").alias("b_id"),
+        encode(as_double_vec(F.col("embedding"))).alias("codes"))
+
+    probes = (read_table(spark, sf_dir, "embeddings")
+              .filter(F.col("vec_id") < n_probes)
+              .orderBy("vec_id")
+              .select("vec_id",
+                      as_double_vec(F.col("embedding")).alias("e"))
+              .collect())
+    table_rows = []
+    for p in probes:
+        pe = list(p["e"])
+        flat = []
+        for m in range(PQ_M):
+            lo = m * PQ_SUB
+            for c in range(PQ_K):
+                d = 0.0
+                for j in range(PQ_SUB):
+                    x = pe[lo + j] - cb[c][lo + j]
+                    d = d + x * x
+                flat.append(int(math.floor(d * 1e9)))
+        table_rows.append((p["vec_id"], flat))
+    tables = spark.createDataFrame(
+        table_rows, "a_id long, t array<long>")
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc + F.element_at(
+            F.col("t"), (m * PQ_K
+                         + F.element_at(F.col("codes"), m + 1)
+                         + 1).cast("int")))
+    scored = (
+        codes.crossJoin(F.broadcast(tables))
+        .select("a_id", "b_id", adc.alias("dist9"))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.asc("dist9"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a_id", "b_id", F.col("rank").cast("int").alias("rank"),
+                "dist9")
+    )
+
+
+QUERIES["pq_ann_topk"] = pq_ann_topk
+
+
+def _pq_sub_dist(a: str, b: str) -> str:
+    """Sequential squared-L2 fold over one 8-dim subspace (1-based
+    m.m*8+j indexing), matching the kernels' accumulation order."""
+    return f"""list_reduce(
+        list_transform(range(1, {PQ_SUB + 1}),
+            j -> (CAST({a}[m.m * {PQ_SUB} + j] AS DOUBLE)
+                  - CAST({b}[m.m * {PQ_SUB} + j] AS DOUBLE))
+                 * (CAST({a}[m.m * {PQ_SUB} + j] AS DOUBLE)
+                    - CAST({b}[m.m * {PQ_SUB} + j] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+
+ORACLE_SQL["pq_ann_topk"] = f"""
+    WITH cb AS (
+        SELECT vec_id AS c, embedding AS e FROM embeddings
+        WHERE vec_id < {PQ_K}
+    ), corpus AS (
+        SELECT vec_id, embedding AS e FROM embeddings
+        WHERE vec_id >= {PQ_K}
+    ), pr AS (
+        SELECT vec_id, embedding AS e FROM embeddings
+        WHERE vec_id < {PQ_N_PROBES}
+    ), subs AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    cd AS (
+        SELECT corpus.vec_id AS b_id, m.m, cb.c,
+               {_pq_sub_dist('corpus.e', 'cb.e')} AS d
+        FROM corpus CROSS JOIN subs m CROSS JOIN cb
+    ), codes AS (
+        SELECT b_id, m, c AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY b_id, m
+                                         ORDER BY d ASC, c ASC) AS rn
+            FROM cd) WHERE rn = 1
+    ), pt AS (
+        SELECT pr.vec_id AS a_id, m.m, cb.c,
+               CAST(floor({_pq_sub_dist('pr.e', 'cb.e')} * 1e9)
+                    AS BIGINT) AS d9
+        FROM pr CROSS JOIN subs m CROSS JOIN cb
+    ), adc AS (
+        SELECT pt.a_id, codes.b_id,
+               CAST(sum(pt.d9) AS BIGINT) AS dist9
+        FROM codes JOIN pt ON pt.m = codes.m AND pt.c = codes.code
+        GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, CAST(rank AS INTEGER) AS rank, dist9
+    FROM (
+        SELECT a_id, b_id, dist9,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY dist9 ASC, b_id ASC) AS rank
+        FROM adc
+    ) WHERE rank <= {PQ_TOP_K}
 """

@@ -118,7 +118,11 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # writer on first construction; the Python
                            # data source also plans its partitions
                            # (file listing) eagerly
-                           "jsonl_ingest_rollup")}
+                           "jsonl_ingest_rollup",
+                           # collects the K x dim codebook and the
+                           # probe vectors at construction (driver-
+                           # built ADC tables, same class as kmeans)
+                           "pq_ann_topk")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)

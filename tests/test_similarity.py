@@ -183,3 +183,27 @@ def test_semantic_decontaminate_flags_planted_leak(spark):
     assert out[0]["vec_id"] == 100
     assert out[0]["closest_probe"] == 0
     assert out[0]["similarity"] > 0.999
+
+
+def test_pq_ann_ranks_exact_copy_first(spark):
+    """An exact copy of a probe quantizes to the probe's own nearest
+    codes, so ADC must rank it above unrelated vectors."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(16):  # codebook = vec_id < 16
+        rows.append((i, [float(x) for x in rng.randn(64)], 0))
+    probe0 = rows[0][1]          # probe set = vec_id < 10
+    rows.append((100, list(probe0), 0))  # planted copy of probe 0
+    for i in range(101, 140):
+        rows.append((i, [float(x) for x in rng.randn(64)], 0))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = S.pq_ann_topk(spark, td, n_probes=1, k=5).collect()
+    byrank = sorted(out, key=lambda r: r["rank"])
+    assert byrank[0]["b_id"] == 100, "exact copy must rank first"
+    assert byrank[0]["dist9"] == 0, \
+        "copy of a codebook vector quantizes losslessly -> ADC 0"
