@@ -1120,3 +1120,42 @@ def _zorder_oracle() -> str:
 
 
 ORACLE_SQL["zorder_layout_manifest"] = _zorder_oracle()
+
+
+def events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The melt direction of the pivot pair: the wide day x type
+    cross-tab (events_pivot_daily) unpivoted back to long
+    (day, event_type, n_events) rows via DataFrame.unpivot — the
+    wide->long reshape every BI export or ML feature store needs
+    after a cross-tab, including the explicit zero rows the pivot
+    filled in. Unpivot is a zero-shuffle expression (each wide row
+    expands in place), so the plan cost is the pivot's single hash
+    aggregate. Round-trip contract: re-aggregating this output
+    reproduces the original (day, type) counts exactly — pinned by
+    the pytest."""
+    ensure_session_conf(spark)
+    wide = events_pivot_daily(spark, sf_dir)
+    return (
+        wide.unpivot("day", list(EVENT_TYPES), "event_type", "n_events")
+        .select("day", "event_type", F.col("n_events").cast("long")
+                .alias("n_events"))
+    )
+
+
+QUERIES["events_unpivot_daily"] = events_unpivot_daily
+
+ORACLE_SQL["events_unpivot_daily"] = f"""
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+    ), types AS (
+        SELECT unnest({list(EVENT_TYPES)!r}) AS event_type
+    ), counts AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, t.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+    FROM days d CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+"""

@@ -182,3 +182,25 @@ def test_zorder_files_beat_user_sort_on_time_span(spark, sf_dir):
     user_sorted_time_span = sum(r["span"] for r in usort)
     assert z_time_span < user_sorted_time_span / 2, \
         (z_time_span, user_sorted_time_span)
+
+
+def test_unpivot_roundtrips_pivot(spark, sf_dir):
+    """Re-aggregating the unpivoted long frame must reproduce the
+    raw (day, type) counts exactly — the lossless-reshape contract,
+    zeros included."""
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.plans.advanced import events_unpivot_daily
+
+    long = events_unpivot_daily(spark, sf_dir)
+    got = {(r["day"], r["event_type"]): r["n_events"]
+           for r in long.collect()}
+    raw = {(r["day"], r["event_type"]): r["n"]
+           for r in (read_table(spark, sf_dir, "events")
+                     .groupBy(F.to_date("ts").alias("day"), "event_type")
+                     .agg(F.count(F.lit(1)).alias("n")).collect())}
+    for k, v in raw.items():
+        assert got[k] == v
+    # every absent raw combination must appear as an explicit zero
+    assert all(v == 0 for k, v in got.items() if k not in raw)
