@@ -180,3 +180,49 @@ def content_hash(df: DataFrame) -> str:
         row_hash_col(df.columns).cast("decimal(38,0)").alias("h")
     ).agg(F.sum("h").alias("s")).collect()[0]["s"]
     return format(int(h or 0) & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
+K_ANONYMITY_K = 5
+
+
+def k_anonymity_report(spark, sf_dir: str, k: int = K_ANONYMITY_K):
+    """Privacy QA for training/analytics data: k-anonymity audit of
+    the customer dimension under a generalization ladder of
+    quasi-identifiers — level 'nation+segment' (the full QI set) and
+    level 'nation' (segment suppressed). For each level: equivalence
+    classes, the smallest class, how many classes fall below `k`,
+    and how many ROWS sit in those identifiable classes — the number
+    a release review actually gates on. Rows-at-risk shrinking as
+    the ladder generalizes is the monotonicity the suppression
+    strategy relies on.
+
+    One hash aggregate per level (map-side combined, |QI-classes|
+    groups), then a one-row rollup each — no joins, no windows,
+    exact integers throughout.
+
+    Reference parity note: the reference has no privacy surface at
+    all; this extends the quality/validation family (SURVEY §2.6)
+    the way a governance-conscious migration would.
+    """
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    cust = read_table(spark, sf_dir, "customer")
+
+    def level(name, cols):
+        classes = cust.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        return classes.agg(
+            F.lit(name).alias("qi_level"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("n").alias("min_class_size"),
+            F.sum(F.when(F.col("n") < k, 1).otherwise(0))
+            .alias("n_violating_classes"),
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0)))
+            .alias("n_rows_at_risk"))
+
+    return (level("nation+segment", ["c_nationkey", "c_mktsegment"])
+            .unionByName(level("nation", ["c_nationkey"]))
+            .orderBy("qi_level"))
