@@ -646,3 +646,72 @@ ORACLE_SQL["train_split_assign"] = f"""
                 ELSE 'test' END AS split
     FROM documents
 """
+
+
+def feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type standardization parameters — the mean/std/
+    min/max a feature pipeline persists so training AND serving
+    scale identically (train/serve skew from recomputed stats is a
+    classic ML outage). Emitted as a manifest, not applied in place,
+    exactly like the quantization/split manifests.
+
+    Determinism: values quantize to int64 micro-units per row, so
+    n, S and the DECIMAL(38,0) square-sum are exact in any fold
+    order; mean and the (n*S2 - S^2)-form std then derive through a
+    fixed IEEE chain on identical numbers, floored at 6dp. min/max
+    are order statistics — exact by nature.
+
+    Scale: one map-side-combined hash aggregate, |event_type|
+    groups, no second pass (the sufficient-statistics trick vs the
+    naive mean-then-variance double scan).
+    """
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v6"))
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v6").alias("s"),
+        F.sum(F.col("v6").cast("decimal(38,0)")
+              * F.col("v6").cast("decimal(38,0)")).alias("s2"),
+        F.min("v6").alias("vmin6"),
+        F.max("v6").alias("vmax6"))
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    s2 = F.col("s2").cast("double")
+    mean = s / n / 1e6
+    var = (n * s2 - s * s) / (n * n) / 1e12
+    return agg.select(
+        "event_type", "n",
+        (F.floor(mean * 1e6) / 1e6).alias("vmean"),
+        (F.floor(F.sqrt(var) * 1e6) / 1e6).alias("vstd"),
+        (F.col("vmin6") / 1e6).alias("vmin"),
+        (F.col("vmax6") / 1e6).alias("vmax"),
+    ).orderBy("event_type")
+
+
+QUERIES["feature_scaling_stats"] = feature_scaling_stats
+
+ORACLE_SQL["feature_scaling_stats"] = """
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(value * 1e6) AS BIGINT) AS v6
+        FROM events
+    ), a AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(v6) AS BIGINT) AS s,
+               CAST(sum(CAST(v6 AS DECIMAL(38,0))
+                        * CAST(v6 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+               min(v6) AS vmin6, max(v6) AS vmax6
+        FROM q GROUP BY 1
+    )
+    SELECT event_type, n,
+           floor(CAST(s AS DOUBLE) / n / 1e6 * 1e6) / 1e6 AS vmean,
+           floor(sqrt((n * s2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * n) / 1e12) * 1e6) / 1e6
+               AS vstd,
+           CAST(vmin6 AS DOUBLE) / 1e6 AS vmin,
+           CAST(vmax6 AS DOUBLE) / 1e6 AS vmax
+    FROM a ORDER BY 1
+"""
