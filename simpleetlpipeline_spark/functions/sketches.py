@@ -199,16 +199,22 @@ HLL_LGK = 14  # DataSketches lgConfigK: rsd ~ 1.04/sqrt(2^14) ~ 0.8%
 def hll_shard_merge(spark: SparkSession, sf_dir: str,
                     n_shards: int = HLL_SHARDS) -> DataFrame:
     """The property the 100 TB swap-ins in this repo lean on, proven
-    in-plan: HLL sketches are LOSSLESSLY mergeable — per-shard
-    sketches unioned give the SAME estimate as one pass over all the
-    data. This is what lets distinct counts run per-partition /
-    per-day / per-shard and combine later without rescanning (the
-    count_distinct rewrite every warehouse rollup at scale uses).
+    in-plan: HLL sketches are mergeable — per-shard sketches unioned
+    estimate the same cardinality as one pass over all the data, so
+    distinct counts can run per-partition / per-day / per-shard and
+    combine later without rescanning (the count_distinct rewrite
+    every warehouse rollup at scale uses). The guarantee is
+    WITHIN-SKETCH-ERROR agreement, not bitwise equality: sparse-mode
+    sketches (small cardinalities) merge exactly, but once the
+    union path promotes to dense HLL its estimate can differ from
+    the single-pass sketch by a fraction of the rsd (measured 0.28%
+    at 15k distinct, lgK=14, rsd ~0.8% — the sf1 sweep caught the
+    too-strong bitwise form of this assertion).
 
     Per event_type: the exact distinct-user count (hash-checked),
-    whether union-of-shard-sketches == single-pass sketch
-    (must be TRUE — merge exactness), and whether the estimate lands
-    within 5*rsd of exact (TRUE at lgK=14's ~0.8% rsd).
+    whether |union-of-shards - single-pass| <= 3*rsd*exact
+    (merge consistency), and whether the merged estimate lands
+    within 5*rsd of exact.
 
     Plan: one shard-local sketch agg (map-side partials — a sketch
     IS the partial state), one union agg of n_shards tiny binaries,
@@ -238,8 +244,9 @@ def hll_shard_merge(spark: SparkSession, sf_dir: str,
         merged.join(direct, "event_type")
         .select(
             "event_type", "exact_distinct",
-            (F.col("merged_est") == F.col("direct_est"))
-            .alias("merge_exact"),
+            (F.abs(F.col("merged_est") - F.col("direct_est"))
+             <= F.lit(3 * rsd) * F.col("exact_distinct"))
+            .alias("merge_consistent"),
             (F.abs(F.col("merged_est") - F.col("exact_distinct"))
              <= F.lit(5 * rsd) * F.col("exact_distinct"))
             .alias("estimate_ok"))
@@ -252,7 +259,7 @@ QUERIES["hll_shard_merge"] = hll_shard_merge
 ORACLE_SQL["hll_shard_merge"] = """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-           TRUE AS merge_exact,
+           TRUE AS merge_consistent,
            TRUE AS estimate_ok
     FROM events
     GROUP BY 1
