@@ -115,6 +115,19 @@ ORACLE_SQL["k_anonymity_report"] = f"""
 # sql_monthly_sales, orders_sample_hash, events_type_rollup,
 # events_pivot_daily), which retire to tier 2 with two rounds of
 # driver-grade history.
+# Fifth-wave rotation (round-5 close): the 11 newest operators —
+# copurchase_pagerank, monthly_sales_retract, the two custom-source
+# entries (jsonl_ingest_rollup / streaming_jsonl_rollup),
+# zorder_layout_manifest, gopher_quality_flags,
+# semantic_decontaminate, hll_shard_merge, pretrain_prepare_report,
+# pq_ann_topk, k_anonymity_report — take the slots of the last 11
+# veterans with BOTH round-3 and round-4 driver-green history
+# (dedup_exact, dedup_ngram_jaccard, dedup_pairs_all,
+# dedup_clusters_exact, ann_topk, embedding_neardup, label_centroids,
+# ann_ivf_topk, media_catalog, corpus_curate, decontaminate -> tier
+# 2). All 11 rotated-in entries verified at sf0.01 AND sf0.1 AND in
+# the full-catalog hostile SPARK_GRAFT_ORACLE_SHUFFLE=3 sweep (and,
+# for the heavy ones, the sf1-scale sweep) before rotation.
 # Third-wave round-5 rotation: the two families that had ZERO
 # driver-grade history — all 8 streaming queries (batch-equivalent
 # plans of the streaming operators, streaming/*.py) and the 3 sketch
@@ -146,14 +159,15 @@ GATE_PREFIX = (
     "streaming_purchase_view_join", "streaming_event_dedup", "streaming_user_totals_stateful",
     "streaming_totals_to_table", "approx_distinct_users", "quantile_sketch",
     "heavy_hitter_users", "tokenize_ids", "quality_bins", "doc_logprob",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_pairs_all", "dedup_clusters_exact",
-    "ann_topk", "embedding_neardup", "label_centroids", "ann_ivf_topk",
-    "media_catalog", "corpus_curate", "decontaminate", "media_dedup",
-    "corpus_health", "cross_nation_trade", "nation_market_share",
+    "media_dedup", "corpus_health", "cross_nation_trade", "nation_market_share",
     "supplier_value_concentration", "customer_order_distribution",
     "top_revenue_supplier", "small_order_part_revenue", "disjunctive_promo_revenue",
     "idle_high_balance_customers", "bigram_doc_logprob", "ttr_by_source",
-    "source_vocab_overlap", "embedding_outliers",
+    "source_vocab_overlap", "embedding_outliers", "copurchase_pagerank",
+    "monthly_sales_retract", "jsonl_ingest_rollup", "streaming_jsonl_rollup",
+    "zorder_layout_manifest", "gopher_quality_flags", "semantic_decontaminate",
+    "hll_shard_merge", "pretrain_prepare_report", "pq_ann_topk",
+    "k_anonymity_report",
 )
 
 
