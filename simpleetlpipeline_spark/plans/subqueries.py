@@ -518,3 +518,257 @@ ORACLE_SQL = {
         ORDER BY 1
     """,
 }
+
+
+CHEAPEST_PART_TYPE = "ECONOMY"
+
+
+def cheapest_supplier_per_part(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped correlated-min: for every part of one type,
+    the supplier offering the lowest observed per-unit price (min
+    over that part's lineitems), ties to the lowest suppkey. The
+    correlated scalar MIN decorrelates into one struct-min aggregate
+    per part — no window, no second scan: min(struct(price, supp))
+    picks value AND argmin in a single map-side-combinable fold.
+
+    Per-unit price is one IEEE divide of the same doubles in both
+    engines, so the min and its tie-break are deterministic."""
+    ensure_session_conf(spark)
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == CHEAPEST_PART_TYPE).select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"))
+    best = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.min(F.struct(F.col("unit"), F.col("l_suppkey")
+                            .alias("supp"))).alias("b"))
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    return (
+        best.select("p_partkey",
+                    F.col("b.supp").alias("suppkey"),
+                    (F.floor(F.col("b.unit") * 10000) / 10000)
+                    .alias("min_unit_price"))
+        .join(F.broadcast(supplier), F.col("suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "suppkey", "s_name", "min_unit_price")
+    )
+
+
+RETURNED_START = "1997-01-01"
+RETURNED_END = "1997-07-01"
+RETURNED_TOP = 20
+
+
+def returned_revenue_customers(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-items report: the customers who
+    generated the most revenue on RETURNED lineitems for orders
+    placed in one half-year — the churn-risk escalation list. Fact
+    joins shuffle on their keys; customer attributes attach AFTER
+    the per-customer aggregate (agg-below-join again), nation
+    broadcasts; top-N plans as TakeOrderedAndProject on the exact
+    decimal revenue (ties to the lowest custkey)."""
+    ensure_session_conf(spark)
+    orders = (read_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= RETURNED_START)
+                      & (F.col("o_orderdate") < RETURNED_END))
+              .select("o_orderkey", "o_custkey"))
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev_dec()).cast("double").alias("returned_revenue"),
+             F.count(F.lit(1)).alias("n_returned_items"))
+    )
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    return (
+        per_cust
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("custkey"), "c_name",
+                F.col("n_name").alias("nation"),
+                "returned_revenue", "n_returned_items")
+        .orderBy(F.desc("returned_revenue"), F.asc("custkey"))
+        .limit(RETURNED_TOP)
+    )
+
+
+VARIETY_EXCLUDED_BRAND = "Brand#5"
+
+
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped distinct-count with exclusion subqueries:
+    per (brand, size), how many DISTINCT suppliers have actually
+    shipped such parts — excluding one brand (pushed filter) and
+    excluding 'problem' suppliers (negative account balance — the
+    complaints-subquery analog) via an anti-join. Supplier-part
+    pairs dedup BEFORE the count_distinct agg, so the shuffle
+    carries pairs, not lineitems; at 100 TB swap count_distinct for
+    the HLL sketch per hll_shard_merge's evidence."""
+    ensure_session_conf(spark)
+    part = (read_table(spark, sf_dir, "part")
+            .filter(F.col("p_brand") != VARIETY_EXCLUDED_BRAND)
+            .select("p_partkey", "p_brand", "p_size"))
+    bad_suppliers = (read_table(spark, sf_dir, "supplier")
+                     .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pairs = (read_table(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    return (
+        pairs.join(F.broadcast(part),
+                   F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad_suppliers),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                 F.asc("p_size"))
+    )
+
+
+WAITING_LATE_DAYS = 80
+WAITING_TOP = 20
+
+
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str,
+                           late_days: int = WAITING_LATE_DAYS) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated EXISTS / NOT EXISTS: the
+    suppliers who were the SOLE late shipper on multi-supplier
+    orders — 'exists another supplier on the order' AND 'not exists
+    another LATE supplier'. Decorrelated into one per-order profile
+    (supplier count, late-supplier count, the single late suppkey)
+    instead of two correlated probes of the fact table: lineitem
+    collapses to (order, supplier, late?) pairs map-side, the
+    per-order profile is |orders| groups, and only sole-late orders
+    reach the final per-supplier count. No EXISTS re-scan, no
+    row explosion — the shuffle is the pair set, twice."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = (F.datediff(F.to_date("l_shipdate"),
+                       F.to_date("o_orderdate")) > late_days)
+    per_pair = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.sum("is_late").alias("n_late"),
+             F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey")))
+             .alias("late_supp"))
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    return (
+        per_order
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("n_waiting_orders"))
+        .join(F.broadcast(supplier),
+              F.col("late_supp") == F.col("s_suppkey"))
+        .select(F.col("late_supp").alias("suppkey"), "s_name",
+                "n_waiting_orders")
+        .orderBy(F.desc("n_waiting_orders"), F.asc("suppkey"))
+        .limit(WAITING_TOP)
+    )
+
+
+QUERIES.update({
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "returned_revenue_customers": returned_revenue_customers,
+    "supplier_part_variety": supplier_part_variety,
+    "suppliers_kept_waiting": suppliers_kept_waiting,
+})
+
+ORACLE_SQL.update({
+    "cheapest_supplier_per_part": f"""
+        WITH best AS (
+            SELECT l_partkey AS p_partkey,
+                   min(struct_pack(
+                       u := l_extendedprice / l_quantity,
+                       s := l_suppkey)) AS b
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_type = '{CHEAPEST_PART_TYPE}'
+            GROUP BY 1
+        )
+        SELECT p_partkey,
+               CAST(b.s AS BIGINT) AS suppkey, s_name,
+               floor(b.u * 10000) / 10000 AS min_unit_price
+        FROM best JOIN supplier ON b.s = s_suppkey
+    """,
+    "returned_revenue_customers": f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(sum({_REV_DEC}) AS DOUBLE) AS returned_revenue,
+                   count(*) AS n_returned_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '{RETURNED_START}'
+              AND o_orderdate < TIMESTAMP '{RETURNED_END}'
+            GROUP BY 1
+        )
+        SELECT c_custkey AS custkey, c_name, n_name AS nation,
+               returned_revenue, n_returned_items
+        FROM per_cust
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY returned_revenue DESC, custkey ASC
+        LIMIT {RETURNED_TOP}
+    """,
+    "supplier_part_variety": f"""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                   AS supplier_cnt
+        FROM pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand != '{VARIETY_EXCLUDED_BRAND}'
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+    """,
+    "suppliers_kept_waiting": f"""
+        WITH per_pair AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN date_diff('day',
+                            CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE))
+                            > {WAITING_LATE_DAYS}
+                       THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ), per_order AS (
+            SELECT l_orderkey,
+                   count(*) AS n_suppliers,
+                   sum(is_late) AS n_late,
+                   max(CASE WHEN is_late = 1 THEN l_suppkey END)
+                       AS late_supp
+            FROM per_pair GROUP BY 1
+        )
+        SELECT late_supp AS suppkey, s_name,
+               count(*) AS n_waiting_orders
+        FROM per_order
+        JOIN supplier ON late_supp = s_suppkey
+        WHERE n_suppliers > 1 AND n_late = 1
+        GROUP BY 1, 2
+        ORDER BY n_waiting_orders DESC, suppkey ASC
+        LIMIT {WAITING_TOP}
+    """,
+})
