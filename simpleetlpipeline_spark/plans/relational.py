@@ -980,3 +980,95 @@ ORACLE_SQL["monthly_sales_retract"] = f"""
     FROM maintained JOIN recheck USING (month)
     ORDER BY month
 """
+
+
+CF_MIN_ORDERS = 3
+CF_TOP_N = 50
+
+
+def item_cooccurrence_cf(spark: SparkSession, sf_dir: str,
+                         min_orders: int = CF_MIN_ORDERS,
+                         top_n: int = CF_TOP_N) -> DataFrame:
+    """Item-item collaborative filtering over the basket graph: the
+    top part pairs by cosine association n_ab / sqrt(n_a * n_b) —
+    co-purchase count normalized by each item's popularity, so
+    staple items that co-occur with everything stop dominating (the
+    step from copurchase_pairs' raw counts to a usable 'customers
+    also bought' score).
+
+    Shape: the posting-list pair build (one basket shuffle), one
+    per-item order-count aggregate joined twice onto the
+    |pairs|-sized frame (at 100 TB the item-count table is
+    catalog-sized — broadcast), top-N as TakeOrderedAndProject.
+    All inputs to the score are exact integers; sqrt/divide is a
+    fixed IEEE chain floored at 4dp, ties to the (a, b) key."""
+    ensure_session_conf(spark)
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+        ),
+    ))
+    pairs = (baskets.select(F.explode(pair_structs).alias("p"))
+             .select("p.part_a", "p.part_b")
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= min_orders))
+    item_counts = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ca = F.broadcast(item_counts.select(
+        F.col("l_partkey").alias("part_a"),
+        F.col("n_orders").alias("n_a")))
+    cb = F.broadcast(item_counts.select(
+        F.col("l_partkey").alias("part_b"),
+        F.col("n_orders").alias("n_b")))
+    score = (F.col("n_ab")
+             / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")))
+    return (
+        pairs.join(ca, "part_a").join(cb, "part_b")
+        .select("part_a", "part_b", "n_ab", "n_a", "n_b",
+                (F.floor(score * 10000) / 10000).alias("cf_score"))
+        .orderBy(F.desc("cf_score"), F.asc("part_a"), F.asc("part_b"))
+        .limit(top_n)
+    )
+
+
+QUERIES["item_cooccurrence_cf"] = item_cooccurrence_cf
+
+ORACLE_SQL["item_cooccurrence_cf"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {CF_MIN_ORDERS}
+    ), counts AS (
+        SELECT l_partkey, count(*) AS n FROM items GROUP BY 1
+    )
+    SELECT part_a, part_b, n_ab,
+           ca.n AS n_a, cb.n AS n_b,
+           floor(n_ab / sqrt(CAST(ca.n AS DOUBLE) * cb.n) * 10000)
+               / 10000 AS cf_score
+    FROM pairs
+    JOIN counts ca ON part_a = ca.l_partkey
+    JOIN counts cb ON part_b = cb.l_partkey
+    ORDER BY cf_score DESC, part_a ASC, part_b ASC
+    LIMIT {CF_TOP_N}
+"""
