@@ -472,3 +472,28 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """At 100 TB the fact table is hive-partitioned and the dim-side
+    filter must prune fact PARTITIONS at runtime (DPP), not just
+    rows: the fact scan's PartitionFilters must carry a
+    dynamicpruning subquery when joined to a filtered dimension on
+    the partition column."""
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+
+    fact_dir = str(tmp_path / "events_by_type")
+    (read_table(spark, sf_dir, "events")
+     .write.partitionBy("event_type").parquet(fact_dir))
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1.0), ("view", 0.5)], "event_type string, w double"
+    ).filter(F.col("w") > 0.7)
+    joined = (fact.join(dim, "event_type")
+              .agg(F.sum("value").alias("s")))
+    joined.collect()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), \
+        "dim filter must prune fact partitions at runtime (DPP)"
