@@ -217,3 +217,59 @@ def test_float_queries_survive_hostile_partitioning():
         capture_output=True, text=True, timeout=420)
     assert r.returncode == 0 and "0 failures" in r.stdout, \
         r.stdout[-1500:] + r.stderr[-500:]
+
+
+@given(st.lists(
+    st.tuples(st.integers(min_value=1, max_value=400),      # orderkey
+              st.integers(min_value=0, max_value=23),       # month idx
+              st.floats(min_value=1, max_value=99999,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=0, max_size=40, unique_by=lambda t: t[0]))
+@SET
+def test_retraction_ivm_equals_recompute_any_orders(spark, rows):
+    """Signed-delta maintenance == full recompute for ANY order set
+    (the algebra, not one dataset): random keys decide deletes and
+    corrections via the same mod rules as the catalog query."""
+    import os
+    import tempfile
+
+    from simpleetlpipeline_spark.plans.relational import (
+        monthly_sales_retract)
+
+    data = [(k, 1000 + k,
+             f"1997-{(m % 12) + 1:02d}-15", round(p, 2), "F", "1-URGENT")
+            for k, m, p in rows]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            data, "o_orderkey long, o_custkey long, o_orderdate string, "
+                  "o_totalprice double, o_orderstatus string, "
+                  "o_orderpriority string"
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")) \
+         .write.parquet(os.path.join(td, "orders.parquet"))
+        out = monthly_sales_retract(spark, td).collect()
+    for r in out:
+        assert r["total_orders"] == r["recheck_orders"]
+        assert abs(r["total_revenue"] - r["recheck_revenue"]) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=65535),
+                          st.integers(min_value=0, max_value=65535)),
+                min_size=1, max_size=30))
+@SET
+def test_zorder_interleave_is_invertible(spark, keys):
+    """The Morton interleave must be a BIJECTION on (ux, tx) — the
+    property that makes z-ranges decodable back to key ranges for
+    pruning. Checked by de-interleaving the SQL-computed z."""
+    from simpleetlpipeline_spark.plans.advanced import _shift_sql, _z_expr
+
+    df = spark.createDataFrame(
+        [(u, t) for u, t in keys], "ux long, tx long")
+    z = df.select("ux", "tx",
+                  F.expr(_z_expr("ux", "tx", _shift_sql)).alias("z")
+                  ).collect()
+    for r in z:
+        u = t = 0
+        for i in range(16):
+            u |= ((r["z"] >> (2 * i)) & 1) << i
+            t |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (u, t) == (r["ux"], r["tx"])
