@@ -326,7 +326,7 @@ def _jsonl_fixture_dir(spark, sf_dir: str) -> str:
 
     base = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_jsonl_ingest_"
+        "spark_graft_jsonl_ingest_v2_"
         + os.path.basename(os.path.normpath(sf_dir)))
     marker = base + ".complete"
     if os.path.exists(marker) and os.path.isdir(base):
@@ -340,8 +340,11 @@ def _jsonl_fixture_dir(spark, sf_dir: str) -> str:
                 F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
                 "user_id", "event_type", "value"))
     register_jsonl_events(spark)
-    subset.write.format("jsonl_events").option("path", tmp) \
-        .mode("append").save()
+    # 8 writer tasks -> 8 committed log files: the per-file partition
+    # planning both readers rely on for parallelism is actually
+    # exercised (a single-file fixture parses serially).
+    subset.repartition(8).write.format("jsonl_events") \
+        .option("path", tmp).mode("append").save()
     shutil.rmtree(base, ignore_errors=True)
     os.replace(tmp, base)
     with open(marker, "w") as fh:
@@ -420,6 +423,12 @@ def streaming_jsonl_rollup(spark, sf_dir: str):
     folds map-side within each micro-batch, and the source's
     file-granular offsets mean a restart resumes from the last
     committed file — the property tests/test_sources.py pins.
+    Honest limitation: SimpleDataSourceStreamReader feeds each
+    micro-batch from ONE python worker (the simple API has no
+    partition planning) — fine for a correctness surface; a
+    production deployment implements the full
+    DataSourceStreamReader.partitions() (per-file splits, like this
+    module's batch reader) or fronts the logs with Kafka.
     """
     from pyspark.sql import functions as F
 
