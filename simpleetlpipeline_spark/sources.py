@@ -35,12 +35,12 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -157,7 +157,7 @@ class JsonlEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> JsonlEventsReader:
         return JsonlEventsReader(self.options, schema)
 
-    def simpleStreamReader(self, schema: StructType):
+    def streamReader(self, schema: StructType):
         return JsonlEventsStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
@@ -175,18 +175,23 @@ def register_jsonl_events(spark) -> None:
     spark.dataSource.register(JsonlEventsDataSource)
 
 
-class JsonlEventsStreamReader(SimpleDataSourceStreamReader):
-    """Streaming form of the JSONL log source: every NEW log file in
-    the directory becomes part of the next micro-batch — the
-    log-shipping pattern (rotated files are immutable once written,
-    which is exactly the determinism the offset contract needs).
+class JsonlEventsStreamReader(DataSourceStreamReader):
+    """Streaming form of the JSONL log source, on the FULL
+    partition-planned stream-reader API: every NEW log file in the
+    directory becomes ONE input partition of the next micro-batch,
+    so a batch of k rotated files parses in k parallel python
+    workers — the same per-file parallelism unit as the batch
+    reader. (An earlier cut used SimpleDataSourceStreamReader, whose
+    single-worker feed is fine for correctness but serializes the
+    parse; the partition-planned form is the production shape.)
 
-    Offset = the sorted list of fully-consumed file names. read()
-    consumes everything new and advances the offset;
-    readBetweenOffsets() replays the file-name difference for
-    recovery, byte-identical because files never mutate. At real
-    scale the offset would be a compacted high-watermark over
-    date-partitioned paths rather than an explicit list.
+    Offset = the sorted list of fully-consumed file names.
+    partitions(start, end) plans the file-name difference; read()
+    parses one file. Replay for recovery is byte-identical because
+    rotated log files never mutate — exactly the determinism the
+    offset contract needs. At real scale the offset would be a
+    compacted high-watermark over date-partitioned paths rather
+    than an explicit list.
     """
 
     def __init__(self, options):
@@ -201,40 +206,29 @@ class JsonlEventsStreamReader(SimpleDataSourceStreamReader):
         return sorted(
             n for n in os.listdir(self.path) if _is_data_file(n))
 
-    def _rows_of(self, names):
-        # A list ITERATOR, not a generator and not a bare list: the
-        # simple-stream wrapper next()s the returned object and
-        # pickles it into its prefetch/replay cache — generators
-        # don't pickle, bare lists aren't iterators, list iterators
-        # are both.
-        out = []
-        for name in names:
-            m = _FILE_DAY_RE.search(name)
-            day = m.group(1) if m else None
-            with open(os.path.join(self.path, name),
-                      encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    rec = json.loads(line)
-                    out.append((
-                        rec.get("event_id"), rec.get("ts"),
-                        rec.get("user_id"), rec.get("event_type"),
-                        rec.get("value"), day,
-                    ))
-        return iter(out)
+    def latestOffset(self) -> dict:
+        return {"done": self._files()}
 
-    def read(self, start: dict):
+    def partitions(self, start: dict, end: dict):
         done = set(start.get("done", []))
-        new = [n for n in self._files() if n not in done]
-        end = {"done": sorted(done | set(new))}
-        return self._rows_of(new), end
+        return [_FilePartition(os.path.join(self.path, n))
+                for n in end.get("done", []) if n not in done]
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        done = set(start.get("done", []))
-        return self._rows_of(
-            [n for n in end.get("done", []) if n not in done])
+    def read(self, partition) -> Iterator[tuple]:
+        name = os.path.basename(partition.path)
+        m = _FILE_DAY_RE.search(name)
+        day = m.group(1) if m else None
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield (
+                    rec.get("event_id"), rec.get("ts"),
+                    rec.get("user_id"), rec.get("event_type"),
+                    rec.get("value"), day,
+                )
 
     def commit(self, end: dict) -> None:
         pass  # files are never deleted by the reader
