@@ -1237,3 +1237,53 @@ ORACLE_SQL["pq_ann_topk"] = f"""
         FROM adc
     ) WHERE rank <= {PQ_TOP_K}
 """
+
+
+RECALL_K = 10
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str,
+                      k: int = RECALL_K) -> DataFrame:
+    """The evaluation every ANN deployment runs before trusting an
+    index: recall@k of each approximate method (IVF, LSH; PQ ranks
+    a disjoint corpus universe — codebook vectors excluded — so its
+    recall is covered by its own planted-copy test instead)
+    against the exact cosine top-k, on the same probes — one row per
+    method with mean recall and the probe count. The exact method is
+    included as its own row (recall 1.0 by construction — the
+    harness's self-check).
+
+    Rows-only in the gate (the LSH band hashes are seeded
+    engine-specific state); the pytest pins exact==1.0, bounds, and
+    that every method returns all probes. Scale: each method's
+    top-k frame is |probes| x k; the join+agg here is trivial
+    against the index costs themselves.
+    """
+    ensure_session_conf(spark)
+    exact = ann_topk(spark, sf_dir, k=k).select(
+        "a_id", F.col("b_id").alias("truth"))
+    methods = {
+        "exact": ann_topk(spark, sf_dir, k=k),
+        "ivf": ann_ivf_topk(spark, sf_dir, k=k),
+        "lsh": ann_lsh_topk(spark, sf_dir, k=k),
+    }
+    reports = []
+    for name, df in methods.items():
+        got = df.select("a_id", F.col("b_id").alias("guess"))
+        hits = (exact.join(got, (exact["a_id"] == got["a_id"])
+                           & (F.col("truth") == F.col("guess")))
+                .groupBy(exact["a_id"]).agg(F.count(F.lit(1)).alias("h")))
+        per_probe = (exact.select("a_id").distinct()
+                     .join(hits, "a_id", "left")
+                     .select((F.coalesce("h", F.lit(0)) / k).alias("r")))
+        reports.append(per_probe.agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).alias("n_probes"),
+            (F.floor(F.avg("r") * 10000) / 10000).alias("recall_at_k")))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+QUERIES["ann_recall_report"] = ann_recall_report  # rows-only (LSH seeds)

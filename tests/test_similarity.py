@@ -207,3 +207,16 @@ def test_pq_ann_ranks_exact_copy_first(spark):
     assert byrank[0]["b_id"] == 100, "exact copy must rank first"
     assert byrank[0]["dist9"] == 0, \
         "copy of a codebook vector quantizes losslessly -> ADC 0"
+
+
+def test_ann_recall_report_bounds(spark, sf_dir):
+    """exact must self-score 1.0; approximate methods must return a
+    recall in [0,1] over every probe (the report's sanity floor —
+    method-specific quality is pinned by the per-method recall
+    tests)."""
+    rows = {r["method"]: r
+            for r in S.ann_recall_report(spark, sf_dir).collect()}
+    assert rows["exact"]["recall_at_k"] == 1.0
+    for m, r in rows.items():
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert r["n_probes"] == rows["exact"]["n_probes"]
