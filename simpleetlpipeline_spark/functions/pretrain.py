@@ -715,3 +715,115 @@ ORACLE_SQL["feature_scaling_stats"] = """
            CAST(vmax6 AS DOUBLE) / 1e6 AS vmax
     FROM a ORDER BY 1
 """
+
+
+def user_level_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment for EVENT data: the
+    split is a pure function of user_id, so every event of one user
+    lands in the same split — the grouping discipline that stops a
+    model from memorizing a user in train and being graded on the
+    same user in test (row-level splits leak exactly that way).
+    Same multiplicative-hash ticket scheme as train_split_assign
+    (engine-independent integer arithmetic, stable under corpus
+    growth); emitted as the per-split report (users, events, and the
+    event share) rather than 5M assignment rows.
+
+    One narrow projection + one |splits|-group aggregate. The
+    invariant the pytest would state — no user in two splits — holds
+    by construction (the ticket is a function of the group key).
+    """
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
+    ticket = F.pmod(
+        F.pmod(F.col("user_id"), F.lit(10000)) * F.lit(_SPLIT_MULT),
+        F.lit(10000))
+    split = (F.when(ticket < SPLIT_BOUNDS[0], F.lit("train"))
+             .when(ticket < SPLIT_BOUNDS[1], F.lit("val"))
+             .otherwise(F.lit("test")))
+    agg = (ev.select(split.alias("split"), "user_id")
+           .groupBy("split")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.count_distinct("user_id").alias("n_users")))
+    total = agg.agg(F.sum("n_events").alias("__t"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select("split", "n_users", "n_events",
+                (F.floor(F.col("n_events") / F.col("__t") * 10000)
+                 / 10000).alias("event_share"))
+        .orderBy("split")
+    )
+
+
+QUERIES["user_level_split"] = user_level_split
+
+ORACLE_SQL["user_level_split"] = f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CASE WHEN ((user_id % 10000) * {_SPLIT_MULT}) % 10000
+                         < {SPLIT_BOUNDS[0]} THEN 'train'
+                    WHEN ((user_id % 10000) * {_SPLIT_MULT}) % 10000
+                         < {SPLIT_BOUNDS[1]} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events
+    ), agg AS (
+        SELECT split, count(*) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM e GROUP BY 1
+    ), t AS (SELECT sum(n_events) AS tt FROM agg)
+    SELECT split, n_users, n_events,
+           floor(n_events * 1.0 / tt * 10000) / 10000 AS event_share
+    FROM agg CROSS JOIN t
+    ORDER BY split
+"""
+
+
+STRAT_QUOTA = 40
+
+
+def stratified_exact_sample(spark: SparkSession, sf_dir: str,
+                            quota: int = STRAT_QUOTA) -> DataFrame:
+    """Exact-size stratified sampling: from every language stratum,
+    keep EXACTLY min(quota, |stratum|) documents — the per-stratum
+    rank of a deterministic multiplicative-hash ticket (ties by
+    doc_id) decides membership. Bernoulli sampling
+    (corpus_mix_sample) only hits its fraction in expectation; eval
+    sets and ablation slices need exact counts, which costs a
+    per-stratum top-k instead of a stateless filter.
+
+    Scale: the window sorts WITHIN each stratum (range-partitioned
+    by lang); for huge strata swap in the two-phase top-k
+    (per-partition heads then merge) that ann_topk uses — same
+    result, no single-reducer sort. Ticket arithmetic is the
+    overflow-safe reduced form shared with train_split_assign.
+    """
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source")
+    ticket = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(10000)) * F.lit(_SPLIT_MULT),
+        F.lit(10000))
+    w = Window.partitionBy("lang").orderBy(ticket.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rank_in_stratum",
+                        F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_in_stratum") <= quota)
+        .select("doc_id", "lang", "source", "rank_in_stratum")
+    )
+
+
+QUERIES["stratified_exact_sample"] = stratified_exact_sample
+
+ORACLE_SQL["stratified_exact_sample"] = f"""
+    SELECT doc_id, lang, source,
+           CAST(rank_in_stratum AS INTEGER) AS rank_in_stratum
+    FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id % 10000) * {_SPLIT_MULT}) % 10000,
+                            doc_id) AS rank_in_stratum
+        FROM documents
+    ) WHERE rank_in_stratum <= {STRAT_QUOTA}
+"""
