@@ -772,3 +772,167 @@ ORACLE_SQL.update({
         LIMIT {WAITING_TOP}
     """,
 })
+
+
+SHIPPING_SEGMENT = "BUILDING"
+SHIPPING_CUTOFF = "1998-06-01"
+SHIPPING_TOP = 10
+
+
+def shipping_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority report: the top unshipped
+    revenue — orders from one market segment placed before the
+    cutoff with lineitems still shipping after it, ranked by that
+    open revenue. Customer (segment-filtered) broadcasts into
+    orders; the date filters push into both fact scans; top-N plans
+    as TakeOrderedAndProject on the exact decimal revenue."""
+    ensure_session_conf(spark)
+    cust = (read_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == SHIPPING_SEGMENT)
+            .select("c_custkey"))
+    orders = (read_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < SHIPPING_CUTOFF)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > SHIPPING_CUTOFF)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
+              "left_semi")
+        .groupBy("o_orderkey",
+                 F.to_date("o_orderdate").alias("order_date"),
+                 "o_orderpriority")
+        .agg(F.sum(_rev_dec()).cast("double").alias("open_revenue"))
+        .orderBy(F.desc("open_revenue"), F.asc("o_orderkey"))
+        .limit(SHIPPING_TOP)
+    )
+
+
+FORECAST_YEAR = 1997
+FORECAST_DISCOUNT = (0.05, 0.07)
+FORECAST_MAX_QTY = 24
+
+
+def discount_revenue_forecast(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped what-if: the revenue that WOULD be released
+    by dropping mid-band discounts on small orders — one tight
+    filter + one global sum, the canonical full-pushdown scan (every
+    predicate lands in PushedFilters; no join, no shuffle beyond the
+    one-row agg). Money is the exact-decimal product of the 2dp
+    inputs (module contract)."""
+    ensure_session_conf(spark)
+    lo, hi = FORECAST_DISCOUNT
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter((F.year("l_shipdate") == FORECAST_YEAR)
+                  & (F.col("l_discount") >= lo)
+                  & (F.col("l_discount") <= hi)
+                  & (F.col("l_quantity") < FORECAST_MAX_QTY))
+          .select("l_extendedprice", "l_discount"))
+    amount = (F.col("l_extendedprice").cast("decimal(12,2)")
+              * F.col("l_discount").cast("decimal(4,2)"))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(amount).cast("double").alias("forecast_revenue"))
+
+
+MARGIN_COST_FACTOR = "0.6"
+
+
+def product_margin_by_nation(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit decomposition: margin per supplier
+    nation per order year, with cost modeled as a fixed fraction of
+    the part's retail price times quantity (the testdata carries no
+    partsupp supplycost — the JOIN SHAPE, a five-table star with two
+    independent dimension hops off lineitem, is what Q9 exercises).
+    Margin stays exact decimal end to end: revenue is the 2dp-input
+    product, cost is DECIMAL retailprice x integer quantity x a
+    DECIMAL(2,1) factor — no float rounding anywhere before the
+    final cast."""
+    ensure_session_conf(spark)
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice")
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    cost = (F.col("p_retailprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(4,0)")
+            * F.lit(MARGIN_COST_FACTOR).cast("decimal(2,1)"))
+    # scale-4 everywhere: both casts only WIDEN precision (scale-up
+    # is exact; a scale-DOWN cast would re-round 4dp products at
+    # .xxx5 ties, where Spark HALF_UP and DuckDB diverge — caught by
+    # the oracle on the first cut of this query)
+    margin = _rev_dec().cast("decimal(24,4)") - cost.cast("decimal(24,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(margin).cast("double").alias("total_margin"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+QUERIES.update({
+    "shipping_priority_orders": shipping_priority_orders,
+    "discount_revenue_forecast": discount_revenue_forecast,
+    "product_margin_by_nation": product_margin_by_nation,
+})
+
+ORACLE_SQL.update({
+    "shipping_priority_orders": f"""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               o_orderpriority,
+               CAST(sum({_REV_DEC}) AS DOUBLE) AS open_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > TIMESTAMP '{SHIPPING_CUTOFF}'
+          AND o_orderdate < TIMESTAMP '{SHIPPING_CUTOFF}'
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = '{SHIPPING_SEGMENT}')
+        GROUP BY 1, 2, 3
+        ORDER BY open_revenue DESC, o_orderkey ASC
+        LIMIT {SHIPPING_TOP}
+    """,
+    "discount_revenue_forecast": f"""
+        SELECT count(*) AS n_lineitems,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2)))
+                    AS DOUBLE) AS forecast_revenue
+        FROM lineitem
+        WHERE year(l_shipdate) = {FORECAST_YEAR}
+          AND l_discount >= {FORECAST_DISCOUNT[0]}
+          AND l_discount <= {FORECAST_DISCOUNT[1]}
+          AND l_quantity < {FORECAST_MAX_QTY}
+    """,
+    "product_margin_by_nation": f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(sum(CAST({_REV_DEC} AS DECIMAL(24,4))
+                        - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                               * CAST(l_quantity AS DECIMAL(4,0))
+                               * CAST({MARGIN_COST_FACTOR}
+                                      AS DECIMAL(2,1))
+                               AS DECIMAL(24,4)))
+                    AS DOUBLE) AS total_margin,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """,
+})
