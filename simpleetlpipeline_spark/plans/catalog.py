@@ -128,6 +128,20 @@ ORACLE_SQL["k_anonymity_report"] = f"""
 # 2). All 11 rotated-in entries verified at sf0.01 AND sf0.1 AND in
 # the full-catalog hostile SPARK_GRAFT_ORACLE_SHUFFLE=3 sweep (and,
 # for the heavy ones, the sf1-scale sweep) before rotation.
+# Sixth-wave rotation (round-5 final): the 12 newest oracled
+# entries — the four sampling/feature/CF operators, the seven
+# round-5-close TPC-H shapes (Q2 Q3 Q6 Q9 Q10 Q16 Q21 analogs), and
+# the unpivot reshape — take the slots of the last 12 veterans with
+# two rounds of driver-green history (the round-1 analytics guard:
+# pricing_summary, supplier_geo_rollup, ship_latency_monthly,
+# events_funnel, promo_revenue_monthly, late_ship_orders,
+# latest_event_per_user, events_props_stats,
+# monthly_sales_incremental, dedup_incremental, user_path_transitions,
+# media_dedup -> tier 2). The window now consists almost entirely of
+# surface awaiting its FIRST driver attestation (the round-3-wave
+# streaming/sketch families plus every round-5 addition), which is
+# the rotation policy's whole point. All rotated-in entries verified
+# at sf0.01 AND sf0.1 AND under the hostile shuffle sweep.
 # Third-wave round-5 rotation: the two families that had ZERO
 # driver-grade history — all 8 streaming queries (batch-equivalent
 # plans of the streaming operators, streaming/*.py) and the 3 sketch
@@ -151,23 +165,23 @@ ORACLE_SQL["k_anonymity_report"] = f"""
 # rotated-in entries pre-verified at sf0.01 AND sf0.1 AND under the
 # hostile SPARK_GRAFT_ORACLE_SHUFFLE=3 sweep before rotation.
 GATE_PREFIX = (
-    "pricing_summary", "supplier_geo_rollup", "ship_latency_monthly",
-    "events_funnel", "promo_revenue_monthly", "late_ship_orders",
-    "latest_event_per_user", "events_props_stats", "monthly_sales_incremental",
-    "dedup_incremental", "user_path_transitions", "streaming_events_hourly",
-    "streaming_events_sliding", "streaming_user_sessions", "streaming_enrich_customers",
-    "streaming_purchase_view_join", "streaming_event_dedup", "streaming_user_totals_stateful",
-    "streaming_totals_to_table", "approx_distinct_users", "quantile_sketch",
-    "heavy_hitter_users", "tokenize_ids", "quality_bins", "doc_logprob",
-    "media_dedup", "corpus_health", "cross_nation_trade", "nation_market_share",
-    "supplier_value_concentration", "customer_order_distribution",
-    "top_revenue_supplier", "small_order_part_revenue", "disjunctive_promo_revenue",
-    "idle_high_balance_customers", "bigram_doc_logprob", "ttr_by_source",
-    "source_vocab_overlap", "embedding_outliers", "copurchase_pagerank",
-    "monthly_sales_retract", "jsonl_ingest_rollup", "streaming_jsonl_rollup",
-    "zorder_layout_manifest", "gopher_quality_flags", "semantic_decontaminate",
-    "hll_shard_merge", "pretrain_prepare_report", "pq_ann_topk",
-    "k_anonymity_report",
+    "streaming_events_hourly", "streaming_events_sliding", "streaming_user_sessions",
+    "streaming_enrich_customers", "streaming_purchase_view_join",
+    "streaming_event_dedup", "streaming_user_totals_stateful", "streaming_totals_to_table",
+    "approx_distinct_users", "quantile_sketch", "heavy_hitter_users",
+    "tokenize_ids", "quality_bins", "doc_logprob", "corpus_health",
+    "cross_nation_trade", "nation_market_share", "supplier_value_concentration",
+    "customer_order_distribution", "top_revenue_supplier", "small_order_part_revenue",
+    "disjunctive_promo_revenue", "idle_high_balance_customers", "bigram_doc_logprob",
+    "ttr_by_source", "source_vocab_overlap", "embedding_outliers",
+    "copurchase_pagerank", "monthly_sales_retract", "jsonl_ingest_rollup",
+    "streaming_jsonl_rollup", "zorder_layout_manifest", "gopher_quality_flags",
+    "semantic_decontaminate", "hll_shard_merge", "pretrain_prepare_report",
+    "pq_ann_topk", "k_anonymity_report", "feature_scaling_stats",
+    "item_cooccurrence_cf", "user_level_split", "stratified_exact_sample",
+    "cheapest_supplier_per_part", "returned_revenue_customers", "supplier_part_variety",
+    "suppliers_kept_waiting", "shipping_priority_orders", "discount_revenue_forecast",
+    "product_margin_by_nation", "events_unpivot_daily",
 )
 
 
