@@ -820,13 +820,16 @@ def discount_revenue_forecast(spark: SparkSession,
     """TPC-H Q6-shaped what-if: the revenue that WOULD be released
     by dropping mid-band discounts on small orders — one tight
     filter + one global sum, the canonical full-pushdown scan (every
-    predicate lands in PushedFilters; no join, no shuffle beyond the
-    one-row agg). Money is the exact-decimal product of the 2dp
+    predicate lands in PushedFilters — the year bound is spelled as
+    an explicit timestamp RANGE because year() wrapped around the
+    column would compute per row instead of pruning row groups; no
+    join, no shuffle beyond the one-row agg). Money is the exact-decimal product of the 2dp
     inputs (module contract)."""
     ensure_session_conf(spark)
     lo, hi = FORECAST_DISCOUNT
     li = (read_table(spark, sf_dir, "lineitem")
-          .filter((F.year("l_shipdate") == FORECAST_YEAR)
+          .filter((F.col("l_shipdate") >= f"{FORECAST_YEAR}-01-01")
+                  & (F.col("l_shipdate") < f"{FORECAST_YEAR + 1}-01-01")
                   & (F.col("l_discount") >= lo)
                   & (F.col("l_discount") <= hi)
                   & (F.col("l_quantity") < FORECAST_MAX_QTY))
@@ -912,7 +915,8 @@ ORACLE_SQL.update({
                         * CAST(l_discount AS DECIMAL(4,2)))
                     AS DOUBLE) AS forecast_revenue
         FROM lineitem
-        WHERE year(l_shipdate) = {FORECAST_YEAR}
+        WHERE l_shipdate >= TIMESTAMP '{FORECAST_YEAR}-01-01'
+          AND l_shipdate < TIMESTAMP '{FORECAST_YEAR + 1}-01-01'
           AND l_discount >= {FORECAST_DISCOUNT[0]}
           AND l_discount <= {FORECAST_DISCOUNT[1]}
           AND l_quantity < {FORECAST_MAX_QTY}
