@@ -177,3 +177,116 @@ ORACLE_SQL = {
         FROM upd u JOIN changed c USING (c_custkey)
     """,
 }
+
+
+def events_point_in_time_enrich(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment — the leakage-safe feature-store
+    join: each event is enriched with the dimension attributes that
+    were CURRENT when the event happened, not today's (joining
+    today's segment onto last year's events is exactly how training
+    features leak the future). Events before the corpus midpoint see
+    dimension version 1, later events see version 2 (the midpoint is
+    data-derived, so the scenario scales with the testdata); the
+    join is key-equi + a version-interval residual against the SCD2
+    history — the [valid_from, valid_to) probe every PIT lookup
+    runs.
+
+    Output: events per (event_type, segment-at-event-time) with an
+    int64-microunit value sum — all integers, fold-order-proof.
+
+    Scale: the SCD2 history is dimension-sized and broadcasts; the
+    only big shuffle is the per-(type, segment) aggregate. The
+    midpoint is a one-row broadcast, like the module's other
+    data-derived scalars.
+    """
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    hist = scd2_customer_history(spark, sf_dir).select(
+        F.col("c_custkey").alias("h_key"), "c_mktsegment",
+        F.col(VALID_FROM).alias("vf"), F.col(VALID_TO).alias("vt"))
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value")
+    # whole-second midpoint arithmetic: unix_timestamp truncates to
+    # seconds exactly like the oracle's floor(epoch(..)) — a
+    # micros-vs-fractional-seconds mix would put the two engines'
+    # midpoints sub-second apart and misclassify any event landing
+    # in the gap
+    mid = events.agg(
+        F.timestamp_seconds(
+            F.floor((F.unix_timestamp(F.min("ts"))
+                     + F.unix_timestamp(F.max("ts"))) / 2)
+            .cast("long")).alias("__mid"))
+    versioned = (events.crossJoin(F.broadcast(mid))
+                 .select("user_id", "event_type", "value",
+                         F.when(F.col("ts") < F.col("__mid"), 1)
+                         .otherwise(2).alias("at_version")))
+    joined = versioned.join(
+        F.broadcast(hist),
+        (F.col("user_id") == F.col("h_key"))
+        & (F.col("at_version") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("at_version") < F.col("vt"))))
+    return (
+        joined.groupBy("event_type",
+                       F.col("c_mktsegment").alias("segment_at_time"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+             .alias("value_sum6"))
+        .orderBy("event_type", "segment_at_time")
+    )
+
+
+QUERIES["events_point_in_time_enrich"] = events_point_in_time_enrich
+
+ORACLE_SQL["events_point_in_time_enrich"] = """
+    WITH base AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal,
+               c_mktsegment
+        FROM customer
+    ), upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN round(round(c_acctbal, 2) + 100, 2)
+                    ELSE round(c_acctbal, 2) END AS c_acctbal,
+               CASE WHEN c_custkey % 21 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        WHERE c_custkey % 7 = 0 OR c_custkey % 5 = 3
+    ), changed AS (
+        SELECT b.c_custkey
+        FROM base b JOIN upd u USING (c_custkey)
+        WHERE b.c_acctbal != u.c_acctbal
+           OR b.c_mktsegment != u.c_mktsegment
+    ), hist AS (
+        SELECT b.c_custkey AS h_key, b.c_mktsegment,
+               1 AS vf,
+               CASE WHEN c.c_custkey IS NOT NULL THEN 2 END AS vt
+        FROM base b LEFT JOIN changed c USING (c_custkey)
+        UNION ALL
+        SELECT u.c_custkey, u.c_mktsegment, 2 AS vf, NULL AS vt
+        FROM upd u JOIN changed c USING (c_custkey)
+    ), mid AS (
+        SELECT to_timestamp(CAST(floor(
+                   (CAST(floor(epoch(min(ts))) AS BIGINT)
+                    + CAST(floor(epoch(max(ts))) AS BIGINT)) / 2)
+               AS BIGINT)) AS m
+        FROM events
+    ), versioned AS (
+        SELECT user_id, event_type, value,
+               CASE WHEN ts < (SELECT m FROM mid) THEN 1 ELSE 2 END
+                   AS at_version
+        FROM events
+    )
+    SELECT event_type, c_mktsegment AS segment_at_time,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT)
+               AS value_sum6
+    FROM versioned v
+    JOIN hist h ON v.user_id = h.h_key
+               AND v.at_version >= h.vf
+               AND (h.vt IS NULL OR v.at_version < h.vt)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
