@@ -1159,3 +1159,82 @@ ORACLE_SQL["events_unpivot_daily"] = f"""
     FROM days d CROSS JOIN types t
     LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
 """
+
+
+RFM_BINS = 5
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str,
+                          n_bins: int = RFM_BINS) -> DataFrame:
+    """RFM segmentation — the classic customer scoring every CRM
+    migration asks for on week one: per customer, Recency (days
+    since last order, anchored at the corpus max date for
+    determinism), Frequency (order count) and Monetary (exact
+    decimal spend), each ntiled into `n_bins` quintiles with
+    deterministic tie-breaks, plus the composite RFM code.
+
+    One pass over orders (map-side partials to |customers| rows),
+    then three windows over that customer-sized frame — ntile is a
+    global sort, but of the AGGREGATED frame, never raw orders
+    (same argument as quality_bins; at 100 TB use fixed thresholds
+    or approx quantile cut-points to drop the global sorts).
+    """
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("__maxd"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.to_date("o_orderdate")).alias("last_order"),
+             F.count(F.lit(1)).alias("frequency"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").alias("monetary"))
+        .crossJoin(F.broadcast(anchor))
+        .select(F.col("o_custkey").alias("custkey"),
+                F.datediff(F.col("__maxd"), F.col("last_order"))
+                .alias("recency_days"),
+                "frequency", "monetary")
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    return per_cust.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        F.ntile(n_bins).over(w_r).alias("r_score"),
+        F.ntile(n_bins).over(w_f).alias("f_score"),
+        F.ntile(n_bins).over(w_m).alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+
+
+QUERIES["customer_rfm_segments"] = customer_rfm_segments
+
+ORACLE_SQL["customer_rfm_segments"] = f"""
+    WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd
+               FROM orders),
+    pc AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', max(CAST(o_orderdate AS DATE)),
+                         (SELECT maxd FROM a)) AS recency_days,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           ntile({RFM_BINS}) OVER (ORDER BY recency_days ASC,
+                                   custkey ASC) AS r_score,
+           ntile({RFM_BINS}) OVER (ORDER BY frequency DESC,
+                                   custkey ASC) AS f_score,
+           ntile({RFM_BINS}) OVER (ORDER BY monetary DESC,
+                                   custkey ASC) AS m_score,
+           ntile({RFM_BINS}) OVER (ORDER BY recency_days ASC,
+                                   custkey ASC) * 100
+           + ntile({RFM_BINS}) OVER (ORDER BY frequency DESC,
+                                     custkey ASC) * 10
+           + ntile({RFM_BINS}) OVER (ORDER BY monetary DESC,
+                                     custkey ASC) AS rfm_code
+    FROM pc
+"""
