@@ -1072,3 +1072,111 @@ ORACLE_SQL["item_cooccurrence_cf"] = f"""
     ORDER BY cf_score DESC, part_a ASC, part_b ASC
     LIMIT {CF_TOP_N}
 """
+
+
+RULES_MIN_ORDERS = 3
+RULES_TOP_N = 50
+
+
+def basket_lift_rules(spark: SparkSession, sf_dir: str,
+                      min_orders: int = RULES_MIN_ORDERS,
+                      top_n: int = RULES_TOP_N) -> DataFrame:
+    """Association rules over the basket graph: DIRECTIONAL
+    part_a -> part_b rules with support, confidence
+    (P(b in basket | a in basket)) and lift — the
+    if-they-bought-this-stock-that output, where
+    item_cooccurrence_cf's symmetric cosine only says 'related'.
+    Both directions of every qualifying pair are emitted (confidence
+    is asymmetric: printers->ink is strong, ink->printers weak).
+
+    All ratio inputs are exact integers; confidence and lift are
+    fixed IEEE chains floored at 4dp, ties broken on the rule key.
+    Shape: one basket shuffle (posting-list pairs), the item-count
+    table broadcast onto the pair frame twice, top-N as
+    TakeOrderedAndProject."""
+    ensure_session_conf(spark)
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    n_baskets_row = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey").distinct()
+        .agg(F.count(F.lit(1)).alias("__n")))
+    pair_structs = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+        ),
+    ))
+    pairs = (baskets.select(F.explode(pair_structs).alias("p"))
+             .select("p.pa", "p.pb")
+             .groupBy("pa", "pb")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= min_orders))
+    # both rule directions from the a<b pair table
+    rules = (pairs.select(F.col("pa").alias("antecedent"),
+                          F.col("pb").alias("consequent"), "n_ab")
+             .unionAll(pairs.select(F.col("pb").alias("antecedent"),
+                                    F.col("pa").alias("consequent"),
+                                    "n_ab")))
+    item_counts = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders")))
+    ca = F.broadcast(item_counts.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("n_orders").alias("n_a")))
+    cb = F.broadcast(item_counts.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("n_orders").alias("n_b")))
+    confidence = F.col("n_ab") / F.col("n_a")
+    lift = (F.col("n_ab").cast("double") * F.col("__n")
+            / F.col("n_a") / F.col("n_b"))
+    return (
+        rules.join(ca, "antecedent").join(cb, "consequent")
+        .crossJoin(F.broadcast(n_baskets_row))
+        .select("antecedent", "consequent", "n_ab",
+                (F.floor(confidence * 10000) / 10000).alias("confidence"),
+                (F.floor(lift * 10000) / 10000).alias("lift"))
+        .orderBy(F.desc("confidence"), F.asc("antecedent"),
+                 F.asc("consequent"))
+        .limit(top_n)
+    )
+
+
+QUERIES["basket_lift_rules"] = basket_lift_rules
+
+ORACLE_SQL["basket_lift_rules"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {RULES_MIN_ORDERS}
+    ), rules AS (
+        SELECT pa AS antecedent, pb AS consequent, n_ab FROM pairs
+        UNION ALL
+        SELECT pb, pa, n_ab FROM pairs
+    ), counts AS (
+        SELECT l_partkey, count(*) AS n FROM items GROUP BY 1
+    )
+    SELECT antecedent, consequent, n_ab,
+           floor(n_ab * 1.0 / ca.n * 10000) / 10000 AS confidence,
+           floor(CAST(n_ab AS DOUBLE) * (SELECT n FROM nb)
+                 / ca.n / cb.n * 10000) / 10000 AS lift
+    FROM rules
+    JOIN counts ca ON antecedent = ca.l_partkey
+    JOIN counts cb ON consequent = cb.l_partkey
+    ORDER BY confidence DESC, antecedent ASC, consequent ASC
+    LIMIT {RULES_TOP_N}
+"""
