@@ -1238,3 +1238,73 @@ ORACLE_SQL["customer_rfm_segments"] = f"""
                                      custkey ASC) AS rfm_code
     FROM pc
 """
+
+
+FUNNEL_CLICK_WINDOW_H = 1
+FUNNEL_PURCHASE_WINDOW_H = 24
+
+
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound conversion funnel — events_funnel with DEADLINES:
+    users whose first click came within 1 hour of their first view,
+    and whose first purchase came within 24 hours of that qualifying
+    click. Unbounded funnels overcount (a purchase three months
+    after the view is not that view's conversion); the windowed form
+    is what growth teams actually report.
+
+    Each stage reduces to one row per user BEFORE the next join
+    (per-user min-ts aggregates, map-side combined), so the chained
+    joins move |users| rows, not raw events; timestamps compare at
+    exact microsecond precision in both engines.
+    """
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("v_ts")))
+    c = (events.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter((F.col("ts") > F.col("v_ts"))
+                 & (F.col("ts") <= F.col("v_ts")
+                    + F.expr(f"INTERVAL {FUNNEL_CLICK_WINDOW_H} HOUR")))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter((F.col("ts") > F.col("c_ts"))
+                 & (F.col("ts") <= F.col("c_ts")
+                    + F.expr(f"INTERVAL {FUNNEL_PURCHASE_WINDOW_H} HOUR")))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(F.broadcast(
+            c.agg(F.count(F.lit(1)).alias("n_clicked_in_window"))))
+        .crossJoin(F.broadcast(
+            p.agg(F.count(F.lit(1)).alias("n_purchased_in_window"))))
+    )
+
+
+QUERIES["events_funnel_windowed"] = events_funnel_windowed
+
+ORACLE_SQL["events_funnel_windowed"] = f"""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.v_ts
+          AND e.ts <= v.v_ts + INTERVAL {FUNNEL_CLICK_WINDOW_H} HOUR
+        GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.c_ts
+          AND e.ts <= c.c_ts + INTERVAL {FUNNEL_PURCHASE_WINDOW_H} HOUR
+        GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_in_window,
+           (SELECT count(*) FROM p) AS n_purchased_in_window
+"""
