@@ -827,3 +827,46 @@ ORACLE_SQL["stratified_exact_sample"] = f"""
         FROM documents
     ) WHERE rank_in_stratum <= {STRAT_QUOTA}
 """
+
+
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-evaluation report — the sibling of the ANN recall
+    harness: per k-means cluster, its size, majority label, and
+    purity (majority-label share), plus the corpus-weighted overall
+    purity riding on every row. Purity is the first number anyone
+    checks before trusting cluster-based curation (SemDeDup-style
+    pruning of an impure clustering silently drops the wrong docs).
+
+    Rows-only in the gate (it composes the iteratively-assigned
+    kmeans clusters); the planted-blobs pytest pins purity 1.0 on
+    separable data. All ratio inputs are integers; purity floors at
+    4dp with majority ties to the lowest label.
+
+    Scale: one (cluster, label) hash aggregate over the assignment
+    frame, then |clusters| rows — evaluation is free relative to
+    the clustering itself.
+    """
+    ensure_session_conf(spark)
+    assigned = kmeans_assign(spark, sf_dir).select("cluster", "label")
+    by_pair = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n"))
+    best = (by_pair.groupBy("cluster")
+            .agg(F.max(F.struct(F.col("n"),
+                                (-F.col("label")).alias("neg_label")))
+                 .alias("b"),
+                 F.sum("n").alias("cluster_size")))
+    per_cluster = best.select(
+        "cluster", "cluster_size",
+        (-F.col("b.neg_label")).cast("int").alias("majority_label"),
+        F.col("b.n").alias("majority_n"),
+        (F.floor(F.col("b.n") / F.col("cluster_size") * 10000) / 10000)
+        .alias("purity"))
+    overall = per_cluster.agg(
+        (F.floor(F.sum("majority_n") / F.sum("cluster_size") * 10000)
+         / 10000).alias("__overall"))
+    return (per_cluster.crossJoin(F.broadcast(overall))
+            .withColumnRenamed("__overall", "overall_purity")
+            .orderBy("cluster"))
+
+
+QUERIES["kmeans_cluster_purity"] = kmeans_cluster_purity  # rows-only

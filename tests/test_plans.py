@@ -100,7 +100,8 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # kmeans collects k x dim centroids per
                            # round; the exact CC counts its edge list
                            # to pick the union-find/propagation regime
-                           "kmeans_assign", "dedup_clusters_exact",
+                           "kmeans_assign", "kmeans_cluster_purity",
+                           "dedup_clusters_exact",
                            # gate-sized verify matrix collected at
                            # construction (broadcast-matrix verify;
                            # same class as kmeans' kxdim centroids)

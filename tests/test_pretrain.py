@@ -141,3 +141,29 @@ def test_kmeans_assignment_is_total_and_deterministic(spark, monkeypatch):
                pt.kmeans_assign(spark, "unused", k=3, iters=2).collect())
     assert a == b and len(a) == 30
     assert {c for _, c in a} <= {0, 1, 2}
+
+
+def test_cluster_purity_planted_blobs(spark):
+    """Two well-separated gaussian blobs with distinct labels must
+    cluster at purity 1.0 overall."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from simpleetlpipeline_spark.functions.pretrain import (
+        kmeans_cluster_purity)
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        v = rng.randn(64) * 0.05 + (10.0 if i % 2 else -10.0)
+        rows.append((i, [float(x) for x in v], i % 2))
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = kmeans_cluster_purity(spark, td).collect()
+    nonempty = [r for r in out if r["cluster_size"] > 0]
+    assert all(r["purity"] == 1.0 for r in nonempty)
+    assert out[0]["overall_purity"] == 1.0
