@@ -1308,3 +1308,162 @@ ORACLE_SQL["events_funnel_windowed"] = f"""
            (SELECT count(*) FROM c) AS n_clicked_in_window,
            (SELECT count(*) FROM p) AS n_purchased_in_window
 """
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: customer deciles by
+    spend, each decile's share of total revenue, the cumulative
+    share, and the Gini coefficient riding on every row — the
+    how-dependent-are-we-on-whales view behind account-management
+    staffing and the 80/20 sanity check.
+
+    Exactness: spend is a decimal sum; the Gini uses the closed form
+    G = (2*sum(rank*spend) / (n*total)) - (n+1)/n over spend ranked
+    ascending (ties by custkey), where sum(rank*spend) is an exact
+    DECIMAL sum of integer-rank x 2dp-decimal products — no float
+    folds anywhere before the final fixed IEEE chain, floored 4dp.
+
+    Shape: orders aggregate to |customers| map-side; one
+    customer-frame global sort gives ranks and running sums (the
+    quality_bins argument: the window runs on the AGGREGATE, never
+    raw orders); the decile rollup is 10 rows.
+    """
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     .alias("spend")))
+    w = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "o_custkey", "spend",
+        F.row_number().over(w).alias("rk"),
+        F.ntile(10).over(w).alias("decile"))
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("spend").cast("double").alias("__total"),
+        F.sum(F.col("rk").cast("decimal(10,0)")
+              * F.col("spend").cast("decimal(18,2)"))
+        .cast("double").alias("__rs"))
+    gini = (F.lit(2.0) * F.col("__rs") / (F.col("__n") * F.col("__total"))
+            - (F.col("__n") + 1) / F.col("__n"))
+    deciles = (ranked.groupBy("decile")
+               .agg(F.count(F.lit(1)).alias("n_customers"),
+                    F.sum("spend").cast("double").alias("decile_revenue")))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        deciles.crossJoin(F.broadcast(totals))
+        .select(
+            "decile", "n_customers", "decile_revenue",
+            (F.floor(F.col("decile_revenue") / F.col("__total") * 10000)
+             / 10000).alias("revenue_share"),
+            (F.floor(F.sum("decile_revenue").over(w_cum)
+                     / F.col("__total") * 10000) / 10000)
+            .alias("cumulative_share"),
+            (F.floor(gini * 10000) / 10000).alias("gini"))
+        .orderBy("decile")
+    )
+
+
+QUERIES["revenue_concentration"] = revenue_concentration
+
+ORACLE_SQL["revenue_concentration"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT o_custkey, spend,
+               row_number() OVER (ORDER BY spend ASC, o_custkey ASC)
+                   AS rk,
+               ntile(10) OVER (ORDER BY spend ASC, o_custkey ASC)
+                   AS decile
+        FROM per_cust
+    ), t AS (
+        SELECT count(*) AS n,
+               CAST(sum(spend) AS DOUBLE) AS total,
+               CAST(sum(CAST(rk AS DECIMAL(10,0))
+                        * CAST(spend AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rs
+        FROM ranked
+    ), d AS (
+        SELECT decile, count(*) AS n_customers,
+               CAST(sum(spend) AS DOUBLE) AS decile_revenue
+        FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_customers, decile_revenue,
+           floor(decile_revenue / t.total * 10000) / 10000
+               AS revenue_share,
+           floor(sum(decile_revenue)
+                     OVER (ORDER BY decile
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+                 / t.total * 10000) / 10000 AS cumulative_share,
+           floor((2.0 * t.rs / (t.n * t.total) - (t.n + 1) * 1.0 / t.n)
+                 * 10000) / 10000 AS gini
+    FROM d CROSS JOIN t
+    ORDER BY decile
+"""
+
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness (DAU/MAU): per month, the mean daily-active-user
+    count divided by the monthly-active-user count — the engagement
+    ratio (how much of the monthly audience shows up on a typical
+    day) every product review tracks next to raw actives.
+
+    mean-DAU folds as an exact integer pair (sum of daily distinct
+    counts / days with activity); MAU is one distinct per month;
+    the ratio is one IEEE divide floored 4dp. Two hash aggregates
+    plus a month join — at 100 TB both distincts swap for HLL
+    sketches (hll_shard_merge is the evidence that is safe).
+    """
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.to_date("ts").alias("day"), "user_id")
+    dau = (events.groupBy("month", "day")
+           .agg(F.count_distinct("user_id").alias("dau")))
+    per_month_dau = dau.groupBy("month").agg(
+        F.sum("dau").alias("dau_sum"),
+        F.count(F.lit(1)).alias("n_days"))
+    mau = events.groupBy("month").agg(
+        F.count_distinct("user_id").alias("mau"))
+    return (
+        per_month_dau.join(mau, "month")
+        .select("month", "n_days", "mau",
+                (F.floor(F.col("dau_sum") / F.col("n_days") * 100) / 100)
+                .alias("mean_dau"),
+                (F.floor(F.col("dau_sum") / F.col("n_days")
+                         / F.col("mau") * 10000) / 10000)
+                .alias("stickiness"))
+        .orderBy("month")
+    )
+
+
+QUERIES["events_stickiness"] = events_stickiness
+
+ORACLE_SQL["events_stickiness"] = """
+    WITH e AS (
+        SELECT strftime(ts, '%Y-%m') AS month,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events
+    ), dau AS (
+        SELECT month, day, count(DISTINCT user_id) AS dau
+        FROM e GROUP BY 1, 2
+    ), pm AS (
+        SELECT month, CAST(sum(dau) AS BIGINT) AS dau_sum,
+               count(*) AS n_days
+        FROM dau GROUP BY 1
+    ), mau AS (
+        SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM e GROUP BY 1
+    )
+    SELECT month, n_days, mau,
+           floor(dau_sum * 1.0 / n_days * 100) / 100 AS mean_dau,
+           floor(dau_sum * 1.0 / n_days / mau * 10000) / 10000
+               AS stickiness
+    FROM pm JOIN mau USING (month)
+    ORDER BY month
+"""
