@@ -1133,3 +1133,46 @@ ORACLE_SQL["gopher_quality_flags"] = f"""
                AS gopher_pass
     FROM m
 """
+
+
+COMPRESSION_LEVEL = 6
+
+
+def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflate each document and
+    report compressed/raw byte ratio — the cheap structure detector
+    corpus filters use alongside repetition profiles (boilerplate
+    and looped templates compress far below natural text; random
+    noise barely compresses at all). Ratio floored 4dp.
+
+    Arrow-batched pandas_udf over stdlib zlib at a FIXED level —
+    per-row CPU, zero shuffle, embarrassingly parallel at any scale.
+    Rows-only in the gate (DuckDB has no deflate); the pytest pins
+    the ordering the signal exists for: looped text < natural-ish
+    text < incompressible noise.
+    """
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+
+    @F.pandas_udf("long")
+    def compressed_len(texts):
+        import zlib
+
+        import pandas as pd
+        return pd.Series([
+            len(zlib.compress(t.encode("utf-8"), COMPRESSION_LEVEL))
+            for t in texts])
+
+    raw_len = F.length(F.col("text").cast("binary")).cast("long")
+    return (
+        docs.select("doc_id", raw_len.alias("n_bytes"),
+                    compressed_len(F.col("text")).alias("deflate_bytes"))
+        .select("doc_id", "n_bytes", "deflate_bytes",
+                (F.floor(F.col("deflate_bytes") / F.col("n_bytes")
+                         * 10000) / 10000).alias("compression_ratio"))
+    )
+
+
+QUERIES["compression_quality"] = compression_quality  # rows-only (zlib)

@@ -372,3 +372,34 @@ def test_bigram_logprob_scores_phrases_above_gibberish(spark, monkeypatch):
                for r in T.bigram_doc_logprob(spark, td).collect()}
     assert out[0] > out[99], "phrase doc must outscore shuffled doc"
     assert all(out[i] == out[0] for i in range(5))
+
+
+def test_compression_quality_orders_text_classes(spark):
+    """The signal's reason to exist: looped boilerplate compresses
+    below varied text, which compresses below incompressible
+    noise."""
+    import os
+    import random
+    import string
+    import tempfile
+
+    from simpleetlpipeline_spark.functions.text import compression_quality
+
+    rng = random.Random(5)
+    loop = "spam ham " * 200
+    varied = " ".join(rng.choice(["alpha", "beta", "gamma", "delta",
+                                  "epsilon", "zeta"]) for _ in range(400))
+    noise = "".join(rng.choice(string.ascii_letters + string.digits)
+                    for _ in range(1600))
+    rows = [(0, loop, "en", "s", len(loop)),
+            (1, varied, "en", "s", len(varied)),
+            (2, noise, "en", "s", len(noise))]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, "
+                  "source string, n_chars long"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r["compression_ratio"]
+               for r in compression_quality(spark, td).collect()}
+    assert out[0] < out[1] < out[2]
+    assert out[2] > 0.7, "random noise must stay near-incompressible"
