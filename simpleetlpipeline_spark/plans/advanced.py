@@ -1467,3 +1467,68 @@ ORACLE_SQL["events_stickiness"] = """
     FROM pm JOIN mau USING (month)
     ORDER BY month
 """
+
+
+def monthly_seasonality_index(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Seasonality decomposition of monthly revenue: each calendar
+    month's index = its mean revenue across years divided by the
+    overall monthly mean — the 'is December really 1.4x' factor
+    behind inventory and capacity planning, and the denominator for
+    deseasonalized trend monitoring.
+
+    Exactness: per-month revenue is a decimal sum; the two means
+    divide exact decimal-derived doubles by exact integer counts, so
+    the index is a fixed IEEE chain floored 4dp. Two tiny aggregates
+    over the |months| rollup frame (which itself folds map-side from
+    orders) plus a one-row broadcast."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == COMPLETED)
+    monthly = (orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .alias("rev")))
+    by_cal = (monthly.groupBy(
+        F.substring("ym", 6, 2).alias("cal_month"))
+        .agg(F.sum("rev").cast("double").alias("rev_sum"),
+             F.count(F.lit(1)).alias("n_years")))
+    overall = monthly.agg(
+        F.sum("rev").cast("double").alias("__tot"),
+        F.count(F.lit(1)).alias("__n"))
+    mean_month = F.col("rev_sum") / F.col("n_years")
+    overall_mean = F.col("__tot") / F.col("__n")
+    return (
+        by_cal.crossJoin(F.broadcast(overall))
+        .select("cal_month", "n_years",
+                (F.floor(mean_month * 100) / 100).alias("mean_revenue"),
+                (F.floor(mean_month / overall_mean * 10000) / 10000)
+                .alias("seasonality_index"))
+        .orderBy("cal_month")
+    )
+
+
+QUERIES["monthly_seasonality_index"] = monthly_seasonality_index
+
+ORACLE_SQL["monthly_seasonality_index"] = """
+    WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY 1
+    ), by_cal AS (
+        SELECT substring(ym, 6, 2) AS cal_month,
+               CAST(sum(rev) AS DOUBLE) AS rev_sum,
+               count(*) AS n_years
+        FROM monthly GROUP BY 1
+    ), o AS (
+        SELECT CAST(sum(rev) AS DOUBLE) AS tot, count(*) AS n
+        FROM monthly
+    )
+    SELECT cal_month, n_years,
+           floor(rev_sum / n_years * 100) / 100 AS mean_revenue,
+           floor((rev_sum / n_years) / (o.tot / o.n) * 10000) / 10000
+               AS seasonality_index
+    FROM by_cal CROSS JOIN o
+    ORDER BY cal_month
+"""
