@@ -940,3 +940,148 @@ ORACLE_SQL.update({
         GROUP BY 1, 2
     """,
 })
+
+
+MIX_YEAR = 1997
+MIX_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def linestatus_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped two-route CASE aggregation (main.py carries
+    no analog; the testdata lacks l_shipmode, so l_linestatus stands
+    in as the routing column — the SHAPE, a fact-fact equi-join with
+    conditional counting split by a dimension attribute of the OTHER
+    table, is what Q12 exercises): per line status, how many shipped
+    lineitems in the window belonged to urgent/high-priority orders
+    vs everything else. The shipdate window is a pushed timestamp
+    RANGE (module contract: year() around the column would not
+    prune); the join is the orderkey shuffle both sides already
+    need, and the CASE sums fold map-side into |linestatus| groups
+    — integer counts, so no float-determinism exposure at all."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= f"{MIX_YEAR}-01-01")
+                  & (F.col("l_shipdate") < f"{MIX_YEAR + 1}-01-01"))
+          .select("l_orderkey", "l_linestatus"))
+    is_high = F.col("o_orderpriority").isin(*MIX_HIGH_PRIORITIES)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(F.sum(F.when(is_high, 1).otherwise(0))
+              .alias("high_priority_count"),
+             F.sum(F.when(is_high, 0).otherwise(1))
+              .alias("low_priority_count"))
+        .orderBy("l_linestatus")
+    )
+
+
+STOCK_YEAR = 1997
+STOCK_NAME_PREFIX = "red"
+
+
+def surplus_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped nested semi-join chain (no partsupp table in
+    the testdata, so the supplier-part 'stock' relation is DERIVED
+    from lineitem — the SHAPE, supplier IN (pairs WHERE part IN
+    (name-filtered parts) AND qty > fraction-of-correlated-sum), is
+    what Q20 exercises): suppliers who were the DOMINANT shipper
+    (>50% of the year's total quantity) of some name-matched part.
+    lineitem collapses map-side to (supplier, part) pairs with exact
+    BIGINT quantity sums (l_quantity is integral by generator
+    contract, so the >50% test is integer-exact — 2*supplied >
+    total can never waver between engines); part totals come from a
+    second agg over those pairs (|parts| rows, not a window over
+    lineitem); the name-filtered part dimension broadcasts as a
+    semi-join; supplier and nation broadcast for the final labels.
+    The only big shuffle is the pair-building agg itself."""
+    ensure_session_conf(spark)
+    part = (read_table(spark, sf_dir, "part")
+            .filter(F.col("p_name").startswith(STOCK_NAME_PREFIX))
+            .select("p_partkey"))
+    pairs = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= f"{STOCK_YEAR}-01-01")
+                & (F.col("l_shipdate") < f"{STOCK_YEAR + 1}-01-01"))
+        .select("l_suppkey", "l_partkey",
+                F.col("l_quantity").cast("bigint").alias("qty"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("qty").alias("supplied_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+    )
+    totals = (pairs.groupBy("l_partkey")
+              .agg(F.sum("supplied_qty").alias("total_qty")))
+    dominant = (pairs.join(totals, "l_partkey")
+                .filter(F.col("supplied_qty") * 2 > F.col("total_qty")))
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"),
+             F.sum("supplied_qty").alias("dominant_qty"))
+        .join(F.broadcast(supplier),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name",
+                F.col("n_name").alias("nation"),
+                "n_dominant_parts", "dominant_qty")
+        .orderBy(F.desc("n_dominant_parts"), F.asc("suppkey"))
+    )
+
+
+QUERIES.update({
+    "linestatus_priority_mix": linestatus_priority_mix,
+    "surplus_stock_suppliers": surplus_stock_suppliers,
+})
+
+ORACLE_SQL.update({
+    "linestatus_priority_mix": f"""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        ('{MIX_HIGH_PRIORITIES[0]}',
+                         '{MIX_HIGH_PRIORITIES[1]}')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_priority_count,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                        ('{MIX_HIGH_PRIORITIES[0]}',
+                         '{MIX_HIGH_PRIORITIES[1]}')
+                        THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_priority_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '{MIX_YEAR}-01-01'
+          AND l_shipdate < TIMESTAMP '{MIX_YEAR + 1}-01-01'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "surplus_stock_suppliers": f"""
+        WITH pairs AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS supplied_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{STOCK_YEAR}-01-01'
+              AND l_shipdate < TIMESTAMP '{STOCK_YEAR + 1}-01-01'
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '{STOCK_NAME_PREFIX}%')
+            GROUP BY 1, 2
+        ), totals AS (
+            SELECT l_partkey AS pk,
+                   CAST(sum(supplied_qty) AS BIGINT) AS total_qty
+            FROM pairs GROUP BY 1
+        )
+        SELECT s_suppkey AS suppkey, s_name, n_name AS nation,
+               count(*) AS n_dominant_parts,
+               CAST(sum(supplied_qty) AS BIGINT) AS dominant_qty
+        FROM pairs
+        JOIN totals ON l_partkey = pk
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE supplied_qty * 2 > total_qty
+        GROUP BY 1, 2, 3
+        ORDER BY n_dominant_parts DESC, suppkey ASC
+    """,
+})

@@ -204,3 +204,29 @@ def test_unpivot_roundtrips_pivot(spark, sf_dir):
         assert got[k] == v
     # every absent raw combination must appear as an explicit zero
     assert all(v == 0 for k, v in got.items() if k not in raw)
+
+
+def test_linestatus_priority_mix_pushdown_and_partial_agg(spark, sf_dir):
+    """Q12 shape: the shipdate window must reach the lineitem scan as
+    a pushed range (spelled as timestamps, not year()), and the CASE
+    counts must combine map-side into |linestatus| groups."""
+    df = S.QUERIES["linestatus_priority_mix"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters", 1)[1][:400], "shipdate range must push to the scan"
+    assert "partial_sum" in plan, "CASE counts must combine map-side"
+    assert "o_comment" not in plan and "o_totalprice" not in plan, \
+        "orders must prune to (orderkey, priority)"
+
+
+def test_surplus_stock_suppliers_semi_join_no_window(spark, sf_dir):
+    """Q20 shape: the name-filtered part dimension must plan as a
+    broadcast SEMI join against the derived pair relation, part
+    totals must come from an aggregate (never a window over the
+    fact), and supplier/nation labels must broadcast."""
+    plan = _executed(spark, sf_dir, "surplus_stock_suppliers")
+    assert "LeftSemi" in plan, "part membership must be a semi join"
+    assert "Window" not in plan, \
+        "correlated part totals must be an agg+join, not a window"
+    assert plan.count("BroadcastHashJoin") >= 2, \
+        "part / supplier / nation must broadcast"
