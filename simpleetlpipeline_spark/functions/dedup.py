@@ -1116,3 +1116,109 @@ ORACLE_SQL["dedup_shared_windows"] = f"""
     FROM kg a JOIN kg b ON a.gr = b.gr AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 """
+
+
+SEGMENT_LEN = 20
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str,
+                  seg_len: int = SEGMENT_LEN) -> DataFrame:
+    """Paragraph-level dedup, C4-style, adapted to the newline-free
+    testdata corpus: each document splits into consecutive
+    `seg_len`-token segments, every segment that already appeared
+    earlier in the corpus (first occurrence = lexicographically
+    smallest (doc_id, seg_idx)) is DROPPED, and each document is
+    rebuilt from its surviving segments in order — the op that
+    removes boilerplate paragraphs repeated across pages without
+    discarding whole documents (whole-doc dedup keeps both copies;
+    this keeps one copy of the PARAGRAPH).
+
+    Engine shape: segments explode JVM-side (transform over a
+    sequence + posexplode — no Python), winners are one hash-agg on
+    the 64-bit segment hash (min(struct(doc_id, seg_idx)) is exact
+    and order-insensitive), survivors join back on the same hash
+    (hash equality == segment equality modulo 2^-64, the
+    dedup_shared_windows contract), and the rebuild is one per-doc
+    agg whose state is bounded by a single document's length —
+    three shuffles total, each linear in corpus size, at any SF.
+    Output digest is md5 (computed identically by Spark and DuckDB)
+    so the oracle hashes the rebuilt TEXT, not just counts."""
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("int")
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_len + F.lit(1), seg_len), " "))
+    segs = (docs
+            .select("doc_id", F.posexplode(segs_arr).alias("seg_idx", "seg"))
+            .withColumn("seg_hash", F.xxhash64("seg")))
+    winners = (segs.groupBy("seg_hash")
+               .agg(F.min(F.struct("doc_id", "seg_idx")).alias("win")))
+    kept = (segs.join(winners, "seg_hash")
+            .filter((F.col("doc_id") == F.col("win.doc_id"))
+                    & (F.col("seg_idx") == F.col("win.seg_idx"))))
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("seg_idx", "seg"))),
+                            lambda s: s.seg),
+                        " ").alias("txt")))
+    totals = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select("doc_id",
+                "n_segments",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.md5(F.coalesce("txt", F.lit(""))).alias("kept_text_md5"))
+        .orderBy("doc_id")
+    )
+
+
+QUERIES["segment_dedup"] = segment_dedup
+
+ORACLE_SQL["segment_dedup"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS t
+        FROM documents
+    ), seg_lists AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(t) / {SEGMENT_LEN}.0) AS BIGINT)),
+                   i -> struct_pack(
+                       seg_idx := i,
+                       seg := array_to_string(
+                           list_slice(t, i * {SEGMENT_LEN} + 1,
+                                      i * {SEGMENT_LEN} + {SEGMENT_LEN}),
+                           ' '))) AS sl
+        FROM toks
+    ), segs AS (
+        SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg
+        FROM (SELECT doc_id, unnest(sl) AS u FROM seg_lists)
+    ), winners AS (
+        SELECT seg,
+               min(struct_pack(d := doc_id, s := seg_idx)) AS win
+        FROM segs GROUP BY 1
+    ), kept AS (
+        SELECT s.doc_id, s.seg_idx, s.seg
+        FROM segs s JOIN winners w
+          ON s.seg = w.seg AND s.doc_id = w.win.d AND s.seg_idx = w.win.s
+    ), reb AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS txt
+        FROM kept GROUP BY 1
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(t.n_segments AS BIGINT) AS n_segments,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(r.txt, '')) AS kept_text_md5
+    FROM totals t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+"""

@@ -403,3 +403,29 @@ def test_compression_quality_orders_text_classes(spark):
                for r in compression_quality(spark, td).collect()}
     assert out[0] < out[1] < out[2]
     assert out[2] > 0.7, "random noise must stay near-incompressible"
+
+
+def test_segment_dedup_first_occurrence_wins(spark, tmp_path):
+    """C4-style paragraph dedup: a 3-token segment repeated across
+    docs survives only at its first (doc_id, seg_idx) occurrence;
+    the rebuilt text drops later copies, and a fully-duplicated doc
+    rebuilds to the empty string."""
+    import hashlib
+
+    from simpleetlpipeline_spark.functions.dedup import segment_dedup
+
+    docs = _docs(spark, [
+        (1, "a b c d e f"),      # both segments first occurrences
+        (2, "x y z a b c"),      # "a b c" already seen in doc 1
+        (3, "a b c"),            # fully duplicated -> empty rebuild
+    ])
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           segment_dedup(spark, str(tmp_path), seg_len=3).collect()}
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (1, 0)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1]["kept_text_md5"] == md5("a b c d e f")
+    assert out[2]["kept_text_md5"] == md5("x y z")
+    assert out[3]["kept_text_md5"] == md5("")
