@@ -870,3 +870,92 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["kmeans_cluster_purity"] = kmeans_cluster_purity  # rows-only
+
+
+NEG_K = 3
+NEG_MOD = 100003          # prime reduction: bounds the product to
+NEG_MUL = 2654435761      # ~2.7e14 << int64, so Spark (wrapping) and
+NEG_STEP = 40503          # DuckDB (int128) compute identical tickets
+NEG_RING = 4294967296
+
+
+def negative_samples(spark: SparkSession, sf_dir: str,
+                     k: int = NEG_K) -> DataFrame:
+    """Contrastive negative sampling (two-tower / recommender
+    training prep): for every customer with purchase history, `k`
+    deterministic pseudo-random candidate parts, REJECTING any part
+    the customer actually bought (the accidental-positive filter).
+    Rejected slots are dropped, not resampled — at corpus scale the
+    positive rate is |basket|/|parts|, so the expected loss per
+    customer is negligible and the op stays one-pass.
+
+    Determinism contract (train_split_assign's): the candidate is a
+    pure integer function of (custkey, slot) — custkey reduced mod a
+    prime BEFORE the multiply so the product provably fits int64 in
+    Spark while DuckDB's int128 arithmetic lands on the same value.
+    No RNG state, stable across reruns, engines, and partitioning.
+
+    Scale shape: |customers| x k rows from one explode; the part
+    count rides in as a one-row broadcast scalar (p_partkey is
+    0-based contiguous by generator contract — at migration time a
+    non-contiguous key space needs one extra dense-rank dimension
+    map); the rejection is a single anti-join shuffled on (custkey,
+    partkey) — linear end to end, no windows, no driver collect."""
+    ensure_session_conf(spark)
+    n_parts = (read_table(spark, sf_dir, "part")
+               .agg(F.count(F.lit(1)).alias("__n_parts")))
+    purchasers = (read_table(spark, sf_dir, "orders")
+                  .select("o_custkey").distinct())
+    purchases = (
+        read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        .join(read_table(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_partkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_partkey").distinct()
+    )
+    ticket = ((F.col("o_custkey") % NEG_MOD) * F.lit(NEG_MUL)
+              + F.col("sample_idx") * F.lit(NEG_STEP)) % F.lit(NEG_RING)
+    cands = (
+        purchasers.crossJoin(F.broadcast(n_parts))
+        .select("o_custkey", "__n_parts",
+                F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                 .alias("sample_idx"))
+        .withColumn("neg_partkey", ticket % F.col("__n_parts"))
+    )
+    return (
+        cands.join(purchases,
+                   (cands["o_custkey"] == purchases["o_custkey"])
+                   & (cands["neg_partkey"] == purchases["l_partkey"]),
+                   "left_anti")
+        .select(F.col("o_custkey").alias("custkey"), "sample_idx",
+                "neg_partkey")
+        .orderBy("custkey", "sample_idx")
+    )
+
+
+QUERIES["negative_samples"] = negative_samples
+
+ORACLE_SQL["negative_samples"] = f"""
+    WITH purchasers AS (
+        SELECT DISTINCT o_custkey FROM orders
+    ), purchases AS (
+        SELECT DISTINCT o_custkey, l_partkey
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), np AS (
+        SELECT count(*) AS n_parts FROM part
+    ), cands AS (
+        SELECT o_custkey, CAST(t.i AS BIGINT) AS sample_idx,
+               CAST((((o_custkey % {NEG_MOD}) * {NEG_MUL}
+                      + t.i * {NEG_STEP}) % {NEG_RING}) % np.n_parts
+                    AS BIGINT) AS neg_partkey
+        FROM purchasers CROSS JOIN np
+        CROSS JOIN range(0, {NEG_K}) t(i)
+    )
+    SELECT c.o_custkey AS custkey, c.sample_idx, c.neg_partkey
+    FROM cands c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM purchases p
+        WHERE p.o_custkey = c.o_custkey
+          AND p.l_partkey = c.neg_partkey)
+    ORDER BY custkey, sample_idx
+"""

@@ -1532,3 +1532,73 @@ ORACLE_SQL["monthly_seasonality_index"] = """
     FROM by_cal CROSS JOIN o
     ORDER BY cal_month
 """
+
+
+ROLLING_DAYS = 7
+ROLLING_EPOCH = "1995-01-01"
+
+
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str,
+                       days: int = ROLLING_DAYS) -> DataFrame:
+    """Rolling 7-day revenue per order status — the RANGE-frame
+    window (rangeBetween over an integer day number, the one frame
+    type no other catalog entry exercises): each day's trailing
+    7-day revenue and how many of those 7 calendar days actually had
+    orders. ROWS frames are wrong here by design — a gap day must
+    still shrink the window, which only a RANGE frame over the day
+    number does.
+
+    Scale shape per the module contract: the window runs over the
+    per-(status, day) ROLLUP (|status| x |days| rows — bounded at
+    any SF), never over raw orders; the rollup itself is one
+    map-side-combined hash agg. Revenue is the exact DECIMAL sum of
+    2dp inputs end to end (window sums of decimals are exact in
+    both engines; the double cast happens only at output), and the
+    RANGE bound is an integer day offset computed identically in
+    both engines from the same epoch."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_totalprice")
+    daily = (
+        orders.groupBy(
+            "o_orderstatus",
+            F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .alias("day_rev"))
+        .withColumn("day_num",
+                    F.datediff(F.col("day"), F.lit(ROLLING_EPOCH)))
+    )
+    w = (Window.partitionBy("o_orderstatus").orderBy("day_num")
+         .rangeBetween(-(days - 1), 0))
+    return (
+        daily.select(
+            "o_orderstatus", "day",
+            F.col("day_rev").cast("double").alias("day_revenue"),
+            F.sum("day_rev").over(w).cast("double")
+             .alias("rolling_7d_revenue"),
+            F.count(F.lit(1)).over(w).alias("n_days_in_window"))
+        .orderBy("o_orderstatus", "day")
+    )
+
+
+QUERIES["rolling_7d_revenue"] = rolling_7d_revenue
+
+ORACLE_SQL["rolling_7d_revenue"] = f"""
+    WITH daily AS (
+        SELECT o_orderstatus,
+               CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+               date_diff('day', DATE '{ROLLING_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS day_num
+        FROM orders GROUP BY 1, 2, 4
+    )
+    SELECT o_orderstatus, day,
+           CAST(day_rev AS DOUBLE) AS day_revenue,
+           CAST(sum(day_rev) OVER w AS DOUBLE) AS rolling_7d_revenue,
+           CAST(count(*) OVER w AS BIGINT) AS n_days_in_window
+    FROM daily
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day_num
+                 RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY o_orderstatus, day
+"""

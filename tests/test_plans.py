@@ -498,3 +498,29 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), \
         "dim filter must prune fact partitions at runtime (DPP)"
+
+
+def test_rolling_7d_revenue_range_frame_over_rollup(spark, sf_dir):
+    """The trailing-7-day window must be a RANGE frame (a gap day
+    shrinks the window) and must run over the per-(status, day)
+    rollup, never over raw orders — the Window's input is an
+    Aggregate."""
+    plan = _plan(QUERIES["rolling_7d_revenue"](spark, sf_dir))
+    assert "Window" in plan
+    assert "rangebetween" in plan.lower() or "RangeFrame" in plan, \
+        "frame must be RANGE over the day number, not ROWS"
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], \
+        "window input must be the pre-aggregated daily rollup"
+    assert "partial_sum" in plan, "daily rollup must combine map-side"
+
+
+def test_negative_samples_anti_join_no_window(spark, sf_dir):
+    """Rejection sampling must plan as one anti-join; the part count
+    rides in as a one-row broadcast scalar; no window, no driver
+    collect (the ticket is pure column arithmetic)."""
+    plan = _plan(QUERIES["negative_samples"](spark, sf_dir))
+    assert "LeftAnti" in plan, "accidental-positive filter is an anti join"
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
+        "the scalar part count must broadcast"
