@@ -524,3 +524,50 @@ def test_negative_samples_anti_join_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, \
         "the scalar part count must broadcast"
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """The 100 TB shuffle-join path: when a dimension is too big to
+    broadcast (at scale, or autoBroadcast disabled), Catalyst must
+    inject a runtime BLOOM FILTER built from the selective dim side
+    and apply it to the fact scan — rows failing might_contain never
+    enter the shuffle. Thresholds are lowered so the sf0.01 corpus
+    qualifies; the mechanism pinned here is what keeps a
+    selective-dim shuffle join linear in surviving rows, not scanned
+    rows, on a real cluster."""
+    conf_keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        from simpleetlpipeline_spark.io import read_table
+
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        o = (read_table(spark, sf_dir, "orders")
+             .filter(F.col("o_orderstatus") == "P").select("o_orderkey"))
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, \
+            "selective dim side must build a runtime bloom filter"
+        assert "might_contain" in plan, \
+            "fact side must probe the bloom filter before the shuffle"
+        assert "partial_bloom_filter_agg" in plan, \
+            "bloom build must itself combine map-side"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -273,3 +273,52 @@ def test_zorder_interleave_is_invertible(spark, keys):
             u |= ((r["z"] >> (2 * i)) & 1) << i
             t |= ((r["z"] >> (2 * i + 1)) & 1) << i
         assert (u, t) == (r["ux"], r["tx"])
+
+
+def _segment_dedup_reference(docs, seg_len):
+    """Pure-Python reference: first (doc_id, seg_idx) occurrence of
+    each seg_len-token segment survives; docs rebuild in order."""
+    seen = {}
+    segs_by_doc = {}
+    for doc_id, text in sorted(docs):
+        toks = text.strip().lower().split()
+        segs = [" ".join(toks[i:i + seg_len])
+                for i in range(0, max(len(toks), 1), seg_len)]
+        segs_by_doc[doc_id] = segs
+        for idx, s in enumerate(segs):
+            seen.setdefault(s, (doc_id, idx))
+    out = {}
+    for doc_id, segs in segs_by_doc.items():
+        kept = [s for i, s in enumerate(segs)
+                if seen[s] == (doc_id, i)]
+        out[doc_id] = (len(segs), len(kept), " ".join(kept))
+    return out
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]),
+             min_size=1, max_size=9).map(" ".join),
+    min_size=1, max_size=12))
+@SET
+def test_segment_dedup_matches_reference_any_corpus(spark, tmp_path_factory,
+                                                    texts):
+    """segment_dedup == the sequential first-occurrence reference on
+    arbitrary corpora from a tiny alphabet (maximal collision
+    pressure: most 3-token segments repeat across docs)."""
+    import hashlib
+
+    from simpleetlpipeline_spark.functions.dedup import segment_dedup
+
+    docs = list(enumerate(texts))
+    path = tmp_path_factory.mktemp("segdd")
+    (spark.createDataFrame(docs, "doc_id long, text string")
+     .repartition(3)
+     .write.mode("overwrite").parquet(str(path / "documents.parquet")))
+    got = {r["doc_id"]: r for r in
+           segment_dedup(spark, str(path), seg_len=3).collect()}
+    ref = _segment_dedup_reference(docs, 3)
+    assert set(got) == set(ref)
+    for doc_id, (n_segs, n_kept, txt) in ref.items():
+        r = got[doc_id]
+        assert (r["n_segments"], r["n_kept"]) == (n_segs, n_kept), doc_id
+        assert r["kept_text_md5"] == hashlib.md5(txt.encode()).hexdigest()
