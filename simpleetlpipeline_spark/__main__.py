@@ -7,6 +7,7 @@ surface, not just a library:
         [--config etl_config.yaml] [--scale 1.0]
     python -m simpleetlpipeline_spark report --sf-dir <dir> [--html out]
     python -m simpleetlpipeline_spark monitor --workdir /tmp/etl
+    python -m simpleetlpipeline_spark curate --sf-dir <dir> [--out dir]
 
 `run` = EP1 (generate -> extract/transform/load -> rollup, metrics
 summary per main.py:602-606), `report` = EP2 (the three analytics
@@ -78,6 +79,26 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """LLM-corpus front door: print the single-row pretraining
+    readiness report (the whole curate -> split -> pack -> shard
+    funnel as one plan) and optionally write the curated-corpus
+    manifest as parquet."""
+    from simpleetlpipeline_spark.functions.curation import (
+        corpus_curate,
+        pretrain_prepare_report,
+    )
+
+    spark = _spark()
+    row = pretrain_prepare_report(spark, args.sf_dir).collect()[0]
+    print(json.dumps(row.asDict(), default=str, indent=1))
+    if args.out:
+        manifest = corpus_curate(spark, args.sf_dir)
+        manifest.write.mode("overwrite").parquet(args.out)
+        print(f"curated manifest: {args.out}")
+    return 0
+
+
 def cmd_monitor(args) -> int:
     from simpleetlpipeline_spark.pipeline import ETLConfig, pipeline_status
 
@@ -101,6 +122,12 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     rep.add_argument("--html", help="also render the HTML dashboard here")
     rep.set_defaults(fn=cmd_report)
+
+    cur = sub.add_parser(
+        "curate", help="pretraining-corpus readiness report + manifest")
+    cur.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cur.add_argument("--out", help="write the curated manifest parquet here")
+    cur.set_defaults(fn=cmd_curate)
 
     mon = sub.add_parser("monitor", help="EP3: pipeline status")
     mon.add_argument("--workdir", required=True)

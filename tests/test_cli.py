@@ -47,3 +47,18 @@ def test_cli_report(tmp_path, spark, capsys):
     assert rc == 0
     assert "== monthly_sales" in out and "== top_products" in out
     assert any(f.endswith(".html") for f in os.listdir(html))
+
+
+def test_cli_curate_report_and_manifest(tmp_path, spark, capsys):
+    out_dir = str(tmp_path / "curated")
+    rc = main(["curate", "--sf-dir", "/root/testdata/sf0.001",
+               "--out", out_dir])
+    printed = capsys.readouterr().out
+    assert rc == 0
+    report = json.loads(printed.split("curated manifest:")[0])
+    assert report["n_input"] > 0
+    assert 0 < report["n_dedup"] <= report["n_input"]
+    manifest = spark.read.parquet(out_dir)
+    assert manifest.count() == report["n_dedup"]
+    assert set(manifest.columns) == {
+        "doc_id", "detected_lang", "n_tokens", "quality_score"}
