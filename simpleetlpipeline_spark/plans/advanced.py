@@ -1602,3 +1602,51 @@ ORACLE_SQL["rolling_7d_revenue"] = f"""
                  AND CURRENT ROW)
     ORDER BY o_orderstatus, day
 """
+
+
+EWMA_ALPHA = 0.3
+
+
+def user_value_ewma(spark: SparkSession, sf_dir: str,
+                    alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    — the inherently SEQUENTIAL per-key recursion (y_t = a*x_t +
+    (1-a)*y_{t-1}) that SQL window frames cannot express (every
+    prior row's weight depends on its distance from the END of the
+    series), covered here by the one API built for it: grouped-map
+    applyInPandas. Each user's history arrives as a single Arrow
+    batch; pandas' ewm(adjust=False) runs the recursion vectorized
+    in C; one row per user comes back. This is the batch sibling of
+    streaming/stateful.py's applyInPandasWithState totals.
+
+    Determinism: rows sort by (ts, event_id) inside the group, so
+    tied timestamps can never reorder the fold. Scale: parallel
+    across users, per-group memory = one user's history (the same
+    bound sessionization carries); a pathologically hot key would
+    pre-chunk by time and chain the carry — not needed at any
+    testdata skew. Rows-only under the gate (no SQL twin by
+    nature); the recursion is value-checked in pytest against the
+    explicit loop."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ewma = pdf["value"].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(pdf)],
+            "last_value": [float(pdf["value"].iloc[-1])],
+            "ewma_value": [float(ewma)],
+        })
+
+    out_schema = ("user_id long, n_events long, "
+                  "last_value double, ewma_value double")
+    return (ev.groupBy("user_id").applyInPandas(fold, out_schema)
+            .orderBy("user_id"))
+
+
+QUERIES["user_value_ewma"] = user_value_ewma  # rows-only: sequential fold

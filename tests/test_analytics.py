@@ -90,3 +90,34 @@ def test_entry_contract(spark):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 13
+
+
+def test_user_value_ewma_matches_explicit_recursion(spark, tmp_path):
+    """applyInPandas EWMA == the textbook loop y = a*x + (1-a)*y,
+    folded in (ts, event_id) order, per user."""
+    import datetime as dt
+
+    from simpleetlpipeline_spark.plans.advanced import user_value_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 7: tied timestamps — event_id must break the tie
+        (1, t0, 7, "view", 10.0, "{}"),
+        (2, t0, 7, "view", 20.0, "{}"),
+        (3, t0 + dt.timedelta(hours=1), 7, "view", 30.0, "{}"),
+        # user 8: single event -> ewma == value
+        (4, t0, 8, "view", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in
+           user_value_ewma(spark, str(tmp_path), alpha=0.5).collect()}
+
+    y = 10.0
+    for x in (20.0, 30.0):
+        y = 0.5 * x + 0.5 * y
+    assert abs(out[7]["ewma_value"] - y) < 1e-12
+    assert out[7]["n_events"] == 3 and out[7]["last_value"] == 30.0
+    assert out[8]["ewma_value"] == 5.0 and out[8]["n_events"] == 1

@@ -571,3 +571,27 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_hash_hint_avoids_sorting_the_fact(spark, sf_dir):
+    """The third join strategy in the 100 TB toolbox: when a dim is
+    too big to broadcast but far smaller than the fact, the
+    shuffle_hash hint must plan a ShuffledHashJoin — hashing the
+    small side per partition instead of SORTING both sides (the
+    sort of the fact side is the cost SMJ pays and SHJ doesn't).
+    Pinned so the hint path keeps working on this Spark version."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from simpleetlpipeline_spark.io import read_table
+
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        o = (read_table(spark, sf_dir, "orders")
+             .select("o_orderkey", "o_orderpriority").hint("shuffle_hash"))
+        plan = (li.join(o, li.l_orderkey == o.o_orderkey)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ShuffledHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

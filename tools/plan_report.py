@@ -63,7 +63,7 @@ HEADLINE = [
     "events_stickiness", "monthly_seasonality_index",
     "compression_quality", "linestatus_priority_mix",
     "surplus_stock_suppliers", "segment_dedup",
-    "rolling_7d_revenue", "negative_samples",
+    "rolling_7d_revenue", "negative_samples", "user_value_ewma",
 ]
 
 _JOIN_RE = re.compile(
