@@ -103,3 +103,41 @@ def key_skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         .select(F.col(key).alias("key"), "rank", "n_rows", "share",
                 "cum_share")
     )
+
+
+def salted_topk(df: DataFrame, keys: list[str], order_by: list[Column],
+                k: int, n_salts: int = 16,
+                salt_source: Column | None = None) -> DataFrame:
+    """Two-phase skew-proof top-k per key.
+
+    A plain `row_number() OVER (PARTITION BY keys ORDER BY ...)`
+    sorts EVERY row of a key inside one task — a hot key at 100 TB
+    is a straggler or an OOM. Stage 1 ranks within (keys, salt)
+    so no task ever sorts more than ~|hot key|/n_salts rows and
+    keeps only k survivors per salt; stage 2 re-ranks the <=
+    k*n_salts survivors per key — a bounded, trivially small sort.
+
+    Identical results to the single window iff `order_by` is a
+    TOTAL order (pass a unique tiebreaker column last) — otherwise
+    tied rows at the k boundary may legitimately differ, same as
+    any underspecified SQL top-k. Only the final rank column
+    `topk_rank` is appended.
+    """
+    from pyspark.sql import Window
+
+    # the salt must vary WITHIN a key (salting by key alone spreads
+    # nothing): default is a hash of the whole row
+    salt = F.pmod(
+        salt_source if salt_source is not None
+        else F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.lit(n_salts))
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("topk_rank", F.row_number().over(w2))
+        .filter(F.col("topk_rank") <= k)
+        .drop("__salt", "__r1")
+    )

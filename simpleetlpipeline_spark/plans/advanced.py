@@ -1650,3 +1650,48 @@ def user_value_ewma(spark: SparkSession, sf_dir: str,
 
 
 QUERIES["user_value_ewma"] = user_value_ewma  # rows-only: sequential fold
+
+
+TOPK_PER_USER = 3
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str,
+                        k: int = TOPK_PER_USER) -> DataFrame:
+    """Top-k highest-value events per user — computed with the
+    skew-proof two-phase salted window (operators.aggregates.
+    salted_topk: rank within (user, salt), keep k, re-rank the
+    bounded survivors) and gate-PROVED equivalent to the single
+    global window the DuckDB oracle runs. The ordering is total
+    (value DESC, event_id ASC tiebreaker), which is exactly the
+    condition under which the two-phase rewrite is an identity; at
+    100 TB the single-window form sorts each hot user in one task,
+    the salted form never sorts more than 1/n_salts of a key per
+    task."""
+    from simpleetlpipeline_spark.operators.aggregates import salted_topk
+
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value")
+    out = salted_topk(
+        ev, ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()], k)
+    return (out.select("user_id", "topk_rank", "event_id",
+                       "event_type", "value")
+            .orderBy("user_id", "topk_rank"))
+
+
+QUERIES["top_events_per_user"] = top_events_per_user
+
+ORACLE_SQL["top_events_per_user"] = f"""
+    SELECT user_id, CAST(rnk AS INTEGER) AS topk_rank,
+           event_id, event_type, value
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id ASC)
+                   AS rnk
+        FROM events
+    )
+    WHERE rnk <= {TOPK_PER_USER}
+    ORDER BY user_id, topk_rank
+"""

@@ -595,3 +595,26 @@ def test_shuffle_hash_hint_avoids_sorting_the_fact(spark, sf_dir):
         assert "SortMergeJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_salted_topk_identity_and_two_stage_plan(spark):
+    """salted_topk == the single global window on a skewed frame
+    with a total order, and its plan carries TWO window stages (the
+    salted pre-rank and the bounded re-rank)."""
+    from simpleetlpipeline_spark.operators.aggregates import salted_topk
+
+    # one hot key (~90% of rows) + two normal keys; unique id breaks ties
+    df = spark.range(5_000).selectExpr(
+        "CASE WHEN id % 10 < 8 THEN 0 ELSE id % 3 END AS k",
+        "CAST(pmod(id * 2654435761, 997) AS DOUBLE) AS v", "id")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = salted_topk(df, ["k"], order, 5, n_salts=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, "must be the two-phase form"
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("k").orderBy(*order)
+    want = (df.withColumn("topk_rank", F.row_number().over(w))
+            .filter(F.col("topk_rank") <= 5))
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.select(*got.columns).collect())))
