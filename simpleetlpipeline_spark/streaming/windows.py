@@ -200,7 +200,21 @@ def streaming_purchase_view_join(spark: SparkSession,
     infinite stream. Append output: a match emits exactly once, when
     the watermark passes its join window.
     """
-    events = read_events_stream(spark, sf_dir)
+    joined = purchase_view_join_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_df(joined, output_mode="append")
+
+
+def purchase_view_join_stream(events: DataFrame,
+                              how: str = "inner") -> DataFrame:
+    """The watermarked interval join over any events stream, factored
+    so tests can drive the LEFT OUTER variant: with how='left_outer'
+    an unmatched purchase emits once with a NULL view_event_id — but
+    only when the watermark passes its join window (state expiry),
+    which needs a multi-batch replay where later batches advance the
+    watermark. A single-file availableNow replay never advances the
+    watermark past its own tail, so the outer variant is exercised by
+    the checkpointed multi-phase test (test_streaming), not a catalog
+    entry whose outer-row count would hinge on file-split accidents."""
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_event_id"),
@@ -215,12 +229,12 @@ def streaming_purchase_view_join(spark: SparkSession,
                 F.col("ts").alias("v_ts"))
         .withWatermark("v_ts", "1 hour")
     )
-    joined = purchases.join(
+    return purchases.join(
         views,
         F.expr("p_user = v_user AND v_ts <= p_ts "
                "AND v_ts >= p_ts - INTERVAL 1 HOUR"),
+        how,
     ).select("purchase_event_id", "view_event_id")
-    return run_stream_to_df(joined, output_mode="append")
 
 
 QUERIES = {

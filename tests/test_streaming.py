@@ -175,3 +175,74 @@ def test_totals_sink_restart_resume_idempotent(spark, tmp_path):
                        .collect()))
     assert clean == once
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_left_outer_interval_join_emits_on_watermark_expiry(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: an unmatched purchase
+    must emit exactly once WITH A NULL view side — but only after the
+    watermark passes its join window (state expiry); a purchase still
+    inside the watermark at end-of-replay must NOT emit. One file per
+    micro-batch so later batches advance the watermark over earlier
+    purchases."""
+    import datetime as dt
+    import os as _os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simpleetlpipeline_spark.streaming.windows import (
+        purchase_view_join_stream,
+    )
+
+    d = tmp_path / "lj_src"
+    d.mkdir()
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def write(name, rows):
+        tbl = pa.table({
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        })
+        pq.write_table(tbl, str(d / name))
+
+    # batch 0: u1 purchase with NO view (outer candidate), u2
+    # purchase WITH a view in-window (inner match)
+    write("a.parquet", [
+        (1, t(9), 101, "purchase"),
+        (2, t(9), 102, "view"),
+        (3, t(9, 30), 102, "purchase"),
+    ])
+    time.sleep(1.1)
+    # batch 1: advances max event time to 13:00 -> wm 12:00 commits
+    write("b.parquet", [(4, t(13), 103, "view")])
+    time.sleep(1.1)
+    # batch 2: runs UNDER wm 12:00 (expires the 09:00 state) and
+    # carries a tail purchase the watermark never passes
+    write("c.parquet", [(5, t(15), 104, "purchase")])
+    _os.utime(d / "c.parquet")
+
+    events = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    joined = purchase_view_join_stream(events, how="left_outer")
+    name = f"loj_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {(r["purchase_event_id"], r["view_event_id"])
+            for r in spark.table(name).collect()}
+
+    assert (3, 2) in rows, "in-window pair must match (inner semantics)"
+    assert (1, None) in rows, \
+        "unmatched purchase must emit null-padded after watermark expiry"
+    assert (5, None) not in rows and not any(p == 5 for p, _ in rows), \
+        "tail purchase inside the watermark must not emit"
+    assert len(rows) == 2
