@@ -1287,3 +1287,82 @@ def ann_recall_report(spark: SparkSession, sf_dir: str,
 
 
 QUERIES["ann_recall_report"] = ann_recall_report  # rows-only (LSH seeds)
+
+
+INCR_BATCH_MOD = 10  # vec_id % 10 == 0 plays the newly-appended batch
+
+
+def ann_incremental_topk(spark: SparkSession, sf_dir: str,
+                         n_probes: int = N_PROBES,
+                         k: int = TOP_K) -> DataFrame:
+    """Incremental top-k maintenance (the interactive-session top-k
+    idea from the EDBT'20 incremental-similarity line): the corpus
+    splits into a BASE and a newly-appended BATCH (vec_id %
+    INCR_BATCH_MOD == 0 stands in for the nightly embedding append);
+    the maintained answer is a RE-RANK of (base top-k ∪ batch
+    top-k) per probe. This is provably exact, not approximate: under
+    any total order (cosine DESC, b_id ASC), every member of the
+    global top-k belongs to the top-k of whichever part it came from
+    — so the merge can never miss, and the DuckDB oracle runs the
+    FULL recompute to hold the incremental path to exact equality.
+
+    At 100 TB the difference is the whole point: the append scores
+    |probes| x |batch| rows and re-ranks <= 2k survivors per probe
+    instead of rescoring the corpus; the base top-k is the cached
+    artifact from the previous run (recomputed here so the entry is
+    self-contained and stateless under the gate)."""
+    ensure_session_conf(spark)
+    vecs = _vectors(spark, sf_dir)
+    probes = (
+        vecs.filter(F.col("vec_id") < n_probes)
+        .select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"),
+                F.col("nrm").alias("a_nrm"))
+    )
+
+    def scored(part: DataFrame) -> DataFrame:
+        corpus = part.select(F.col("vec_id").alias("b_id"),
+                             F.col("e").alias("b_e"),
+                             F.col("nrm").alias("b_nrm"))
+        return (
+            corpus.crossJoin(F.broadcast(probes))
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id",
+                    cosine(F.col("a_e"), F.col("b_e"),
+                           F.col("a_nrm"), F.col("b_nrm"))
+                    .alias("cosine_sim"))
+        )
+
+    base_top = _topk_per_probe(
+        scored(vecs.filter(F.col("vec_id") % INCR_BATCH_MOD != 0)), k)
+    batch_top = _topk_per_probe(
+        scored(vecs.filter(F.col("vec_id") % INCR_BATCH_MOD == 0)), k)
+    merged = base_top.select("a_id", "b_id", "cosine_sim").unionByName(
+        batch_top.select("a_id", "b_id", "cosine_sim"))
+    return (
+        _topk_per_probe(merged, k)
+        .select("a_id", "b_id", "rank", "cosine_sim")
+    )
+
+
+QUERIES["ann_incremental_topk"] = ann_incremental_topk
+
+# full-recompute oracle: equality PROVES the incremental merge exact
+ORACLE_SQL["ann_incremental_topk"] = f"""
+    WITH v AS ({_VECS_SQL}),
+    scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               {_COS_SQL} AS cosine_sim
+        FROM (SELECT * FROM v WHERE vec_id < {N_PROBES}) a
+        CROSS JOIN v b
+        WHERE a.vec_id != b.vec_id
+    ), ranked AS (
+        SELECT a_id, b_id, cosine_sim,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY cosine_sim DESC, b_id ASC)
+                   AS rank
+        FROM scored
+    )
+    SELECT a_id, b_id, CAST(rank AS INT) AS rank, cosine_sim
+    FROM ranked WHERE rank <= {TOP_K}
+    ORDER BY a_id, rank
+"""

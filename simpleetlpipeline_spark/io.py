@@ -456,3 +456,18 @@ def append_table(df: DataFrame, table_path: str) -> None:
     .format('jdbc').option('batchsize', 1000).
     """
     df.write.mode("append").parquet(table_path)
+
+
+def overwrite_partitions_dynamic(df: DataFrame, path: str,
+                                 partition_cols: list[str]) -> None:
+    """Incremental partition reload: overwrite ONLY the partitions
+    present in `df`, leaving sibling partitions untouched (the
+    daily-restatement pattern). The default overwrite is STATIC —
+    it deletes the whole table root before writing, which at 100 TB
+    turns a one-day restatement into a full-table rewrite plus a
+    reader-visible hole. The mode is set as a WRITER option, not
+    session conf, so concurrent writers keep their own semantics."""
+    (df.write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_cols)
+       .parquet(path))

@@ -132,3 +132,35 @@ def test_parquet_schema_evolution_merges_columns(spark, tmp_path):
     assert merged.count() == 10
     # pre-evolution rows surface the new column as null
     assert merged.filter(F.col("tag").isNull()).count() == 5
+
+
+def test_dynamic_partition_overwrite_restates_only_touched_day(
+        spark, tmp_path):
+    """overwrite_partitions_dynamic replaces just the partitions in
+    the incoming frame; static overwrite (the default) would wipe
+    the sibling days."""
+    from simpleetlpipeline_spark.io import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    root = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2),
+         ("2024-01-02", 3), ("2024-01-03", 4)], "day string, v int")
+    write_partitioned(full, root, ["day"])
+
+    restated = spark.createDataFrame(
+        [("2024-01-02", 30), ("2024-01-02", 31)], "day string, v int")
+    overwrite_partitions_dynamic(restated, root, ["day"])
+
+    got = sorted((str(r["day"]), r["v"])
+                 for r in spark.read.parquet(root).collect())
+    assert got == [("2024-01-01", 1), ("2024-01-01", 2),
+                   ("2024-01-02", 30), ("2024-01-02", 31),
+                   ("2024-01-03", 4)], got
+
+    # contrast: static overwrite of the same restatement wipes days
+    write_partitioned(restated, root, ["day"])
+    left = {str(r["day"]) for r in spark.read.parquet(root).collect()}
+    assert left == {"2024-01-02"}

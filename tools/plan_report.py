@@ -64,7 +64,7 @@ HEADLINE = [
     "compression_quality", "linestatus_priority_mix",
     "surplus_stock_suppliers", "segment_dedup",
     "rolling_7d_revenue", "negative_samples", "user_value_ewma",
-    "top_events_per_user",
+    "top_events_per_user", "ann_incremental_topk",
 ]
 
 _JOIN_RE = re.compile(
