@@ -1139,8 +1139,12 @@ def segment_dedup(spark: SparkSession, sf_dir: str,
     and order-insensitive), survivors join back on the same hash
     (hash equality == segment equality modulo 2^-64, the
     dedup_shared_windows contract), and the rebuild is one per-doc
-    agg whose state is bounded by a single document's length —
-    three shuffles total, each linear in corpus size, at any SF.
+    agg whose state is bounded by a single document's length.
+    Per-doc segment counts come straight off the UN-exploded docs
+    frame (ceil(|tokens|/seg_len)) — never a second pass over the
+    exploded relation just to count it. The shuffles — winner agg,
+    hash join back, per-doc rebuild, final doc_id join — are each
+    linear in corpus size at any SF.
     Output digest is md5 (computed identically by Spark and DuckDB)
     so the oracle hashes the rebuilt TEXT, not just counts."""
     ensure_session_conf(spark)
@@ -1167,8 +1171,10 @@ def segment_dedup(spark: SparkSession, sf_dir: str,
                                 F.collect_list(F.struct("seg_idx", "seg"))),
                             lambda s: s.seg),
                         " ").alias("txt")))
-    totals = segs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segments"))
+    # derivable without touching the exploded relation; the isNotNull
+    # mirrors posexplode's drop of null-text docs
+    totals = (docs.select("doc_id", n_segs.cast("long").alias("n_segments"))
+              .where(F.col("n_segments").isNotNull()))
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select("doc_id",

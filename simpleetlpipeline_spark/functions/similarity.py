@@ -162,18 +162,16 @@ def _topk_per_probe(scored: DataFrame, k: int = TOP_K) -> DataFrame:
     is 10 tasks no matter the cluster size. Salting by hash(b_id)
     bounds every group to corpus/N_SALTS rows and the final stage to
     k*N_SALTS rows per probe. N_SALTS scales with corpus size.
+    Delegates to the generic operators.aggregates.salted_topk (one
+    implementation of the pattern in the tree), renaming its rank
+    column to this module's `rank` contract.
     """
-    salt = F.pmod(F.xxhash64("b_id"), F.lit(N_SALTS))
-    partial = Window.partitionBy("a_id", salt).orderBy(
-        F.desc("cosine_sim"), F.asc("b_id"))
-    final = Window.partitionBy("a_id").orderBy(
-        F.desc("cosine_sim"), F.asc("b_id"))
-    return (
-        scored.withColumn("pr", F.row_number().over(partial))
-        .filter(F.col("pr") <= k).drop("pr")
-        .withColumn("rank", F.row_number().over(final))
-        .filter(F.col("rank") <= k)
-    )
+    from simpleetlpipeline_spark.operators.aggregates import salted_topk
+
+    return salted_topk(
+        scored, ["a_id"], [F.desc("cosine_sim"), F.asc("b_id")], k,
+        n_salts=N_SALTS, salt_source=F.xxhash64("b_id"),
+    ).withColumnRenamed("topk_rank", "rank")
 
 
 def ann_topk(spark: SparkSession, sf_dir: str,

@@ -121,23 +121,36 @@ def salted_topk(df: DataFrame, keys: list[str], order_by: list[Column],
     TOTAL order (pass a unique tiebreaker column last) — otherwise
     tied rows at the k boundary may legitimately differ, same as
     any underspecified SQL top-k. Only the final rank column
-    `topk_rank` is appended.
+    `rank_col` (default `topk_rank`) is appended; a pre-existing
+    column of that name is an error (it would be silently clobbered
+    otherwise), and the internal temp columns pick non-colliding
+    names so the helper composes with its own output.
     """
     from pyspark.sql import Window
 
+    rank_col = "topk_rank"
+    if rank_col in df.columns:
+        raise ValueError(
+            f"salted_topk would clobber existing column {rank_col!r}; "
+            "rename it first")
+    salt_c, r1_c = "__salt", "__r1"
+    while salt_c in df.columns:
+        salt_c += "_"
+    while r1_c in df.columns:
+        r1_c += "_"
     # the salt must vary WITHIN a key (salting by key alone spreads
     # nothing): default is a hash of the whole row
     salt = F.pmod(
         salt_source if salt_source is not None
         else F.xxhash64(*[F.col(c) for c in df.columns]),
         F.lit(n_salts))
-    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    w1 = Window.partitionBy(*keys, salt_c).orderBy(*order_by)
     w2 = Window.partitionBy(*keys).orderBy(*order_by)
     return (
-        df.withColumn("__salt", salt)
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= k)
-        .withColumn("topk_rank", F.row_number().over(w2))
-        .filter(F.col("topk_rank") <= k)
-        .drop("__salt", "__r1")
+        df.withColumn(salt_c, salt)
+        .withColumn(r1_c, F.row_number().over(w1))
+        .filter(F.col(r1_c) <= k)
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+        .drop(salt_c, r1_c)
     )
