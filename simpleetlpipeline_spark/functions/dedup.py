@@ -1018,6 +1018,9 @@ def rolling_window_hashes_udf(n: int):
     def _roll(hs: pd.Series) -> pd.Series:
         out = []
         for arr in hs:
+            if arr is None:  # null-text doc: no windows (the SQL
+                out.append(np.empty(0, dtype=np.int64))  # twin's
+                continue                                 # NULL-drop)
             a = np.asarray(arr, dtype=np.int64).view(np.uint64)
             length = a.size
             if length == 0:

@@ -453,44 +453,33 @@ def _ingest_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     byte-identical *_copy.* twin for every doc_id % 50 == 0 — planted
     duplicates so the dedup rollup has real work.
 
-    Built once per (host, sf) under the system temp dir and reused;
-    the build is staged into a sibling dir and os.replace()d so a
-    crashed build can never be mistaken for a complete fixture. The
-    completeness marker lives NEXT TO the directory, not inside it —
-    binaryFile scans everything in the dir."""
-    import shutil
-    import tempfile
+    Cached via io.build_cached_fixture_dir: the key fingerprints the
+    source documents parquet (path + bytes + mtime), so a
+    regenerated corpus rebuilds the fixture instead of serving a
+    stale one, and the staged build + sibling completeness marker
+    keep a crashed build from ever looking complete (binaryFile
+    scans everything in the dir)."""
+    from simpleetlpipeline_spark.io import build_cached_fixture_dir
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_media_ingest_"
-        + os.path.basename(os.path.normpath(sf_dir)))
-    marker = base + ".complete"
-    if os.path.exists(marker) and os.path.isdir(base):
-        return base
-    docs = (
-        read_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id", "text")
-        .toPandas()
-    )
-    tmp = base + ".building"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        ext = _INGEST_EXT[(doc_id // 10) % 3]
-        data = text.encode("utf-8")
-        with open(os.path.join(tmp, f"doc{doc_id}.{ext}"), "wb") as fh:
-            fh.write(data)
-        if doc_id % 50 == 0:
-            with open(os.path.join(tmp, f"doc{doc_id}_copy.{ext}"),
-                      "wb") as fh:
+    def _build(tmp: str) -> None:
+        docs = (
+            read_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text")
+            .toPandas()
+        )
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            ext = _INGEST_EXT[(doc_id // 10) % 3]
+            data = text.encode("utf-8")
+            with open(os.path.join(tmp, f"doc{doc_id}.{ext}"), "wb") as fh:
                 fh.write(data)
-    shutil.rmtree(base, ignore_errors=True)
-    os.replace(tmp, base)
-    with open(marker, "w") as fh:
-        fh.write(str(len(docs)))
-    return base
+            if doc_id % 50 == 0:
+                with open(os.path.join(tmp, f"doc{doc_id}_copy.{ext}"),
+                          "wb") as fh:
+                    fh.write(data)
+
+    return build_cached_fixture_dir(
+        "media_ingest", os.path.join(sf_dir, "documents.parquet"), _build)
 
 
 def media_ingest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -488,9 +488,17 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select("label", F.posexplode(as_double_vec(F.col("embedding")))
                    .alias("dim", "v"))
+        # mean from an EXACT int64 sum of 8dp-quantized components —
+        # F.avg over raw doubles folds in partition order and can
+        # flip the 6dp floor at a grid boundary between engines
+        # (module float-determinism contract)
         .groupBy("label", "dim")
-        .agg((F.floor(F.avg("v") * 1e6) / 1e6).alias("centroid_val"),
+        .agg(F.sum(F.floor(F.col("v") * 1e8).cast("long")).alias("__sq"),
              F.count(F.lit(1)).alias("n_vectors"))
+        .select("label", "dim",
+                (F.floor(F.col("__sq") / (F.col("n_vectors") * F.lit(100.0)))
+                 / 1e6).alias("centroid_val"),
+                "n_vectors")
     )
 
 
@@ -553,7 +561,9 @@ ORACLE_SQL = {
     "label_centroids": """
         SELECT label,
                CAST(r.i - 1 AS INT) AS dim,
-               floor(avg(CAST(embedding[r.i] AS DOUBLE)) * 1e6) / 1e6
+               floor(CAST(sum(CAST(floor(CAST(embedding[r.i] AS DOUBLE)
+                                         * 1e8) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 100.0)) / 1e6
                    AS centroid_val,
                count(*) AS n_vectors
         FROM embeddings, range(1, 65) AS r(i)
@@ -915,7 +925,12 @@ def embedding_outliers(spark: SparkSession, sf_dir: str,
         emb.select("label", F.posexplode(as_double_vec(F.col("embedding")))
                    .alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg((F.floor(F.avg("v") * 1e6) / 1e6).alias("cv"))
+        # exact int64-sum mean, same contract as label_centroids
+        .agg(F.sum(F.floor(F.col("v") * 1e8).cast("long")).alias("__sq"),
+             F.count(F.lit(1)).alias("__n"))
+        .select("label", "dim",
+                (F.floor(F.col("__sq") / (F.col("__n") * F.lit(100.0)))
+                 / 1e6).alias("cv"))
         .groupBy("label")
         .agg(F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "cv"))),
@@ -947,7 +962,9 @@ ORACLE_SQL["embedding_outliers"] = f"""
         SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
         FROM embeddings, range(1, 65) AS r(i)
     ), cent AS (
-        SELECT label, dim, floor(avg(v) * 1e6) / 1e6 AS cv
+        SELECT label, dim,
+               floor(CAST(sum(CAST(floor(v * 1e8) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 100.0)) / 1e6 AS cv
         FROM dims GROUP BY 1, 2
     ), carr AS (
         SELECT label, list(cv ORDER BY dim) AS centroid
@@ -1258,21 +1275,32 @@ def ann_recall_report(spark: SparkSession, sf_dir: str,
     against the index costs themselves.
     """
     ensure_session_conf(spark)
-    exact = ann_topk(spark, sf_dir, k=k).select(
-        "a_id", F.col("b_id").alias("truth"))
+    from simpleetlpipeline_spark.cache import track
+
+    # the exact scorer is the expensive stage; persist ONE copy and
+    # reuse it both as ground truth (probed once per method) and as
+    # the self-check method row — without this the O(|probes| x n)
+    # crossJoin pipeline re-ran from the scan ~4x for identical rows
+    exact_topk = track(ann_topk(spark, sf_dir, k=k).persist())
+    # disjoint column names on each side: the exact method row joins
+    # the persisted frame with ITSELF, and same-lineage a_id == a_id
+    # would resolve trivially true instead of as the probe equi-join
+    exact = exact_topk.select(F.col("a_id").alias("t_aid"),
+                              F.col("b_id").alias("truth"))
     methods = {
-        "exact": ann_topk(spark, sf_dir, k=k),
+        "exact": exact_topk,
         "ivf": ann_ivf_topk(spark, sf_dir, k=k),
         "lsh": ann_lsh_topk(spark, sf_dir, k=k),
     }
     reports = []
     for name, df in methods.items():
-        got = df.select("a_id", F.col("b_id").alias("guess"))
-        hits = (exact.join(got, (exact["a_id"] == got["a_id"])
+        got = df.select(F.col("a_id").alias("g_aid"),
+                        F.col("b_id").alias("guess"))
+        hits = (exact.join(got, (F.col("t_aid") == F.col("g_aid"))
                            & (F.col("truth") == F.col("guess")))
-                .groupBy(exact["a_id"]).agg(F.count(F.lit(1)).alias("h")))
-        per_probe = (exact.select("a_id").distinct()
-                     .join(hits, "a_id", "left")
+                .groupBy("t_aid").agg(F.count(F.lit(1)).alias("h")))
+        per_probe = (exact.select("t_aid").distinct()
+                     .join(hits, "t_aid", "left")
                      .select((F.coalesce("h", F.lit(0)) / k).alias("r")))
         reports.append(per_probe.agg(
             F.lit(name).alias("method"),

@@ -1161,9 +1161,12 @@ def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         import pandas as pd
+        # None-safe: a null-text doc yields null bytes/ratio (raw_len
+        # is already null there), not an AttributeError mid-batch
         return pd.Series([
+            None if t is None else
             len(zlib.compress(t.encode("utf-8"), COMPRESSION_LEVEL))
-            for t in texts])
+            for t in texts], dtype="Int64")
 
     raw_len = F.length(F.col("text").cast("binary")).cast("long")
     return (

@@ -471,3 +471,51 @@ def overwrite_partitions_dynamic(df: DataFrame, path: str,
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy(*partition_cols)
        .parquet(path))
+
+
+def build_cached_fixture_dir(name: str, source_path: str,
+                             build_fn) -> str:
+    """Build-once cached fixture directory derived from a source
+    table file/dir, shared by the media-ingest and JSONL-log
+    fixtures (one implementation of the stage/replace/marker dance).
+
+    The cache key is `name` + a FINGERPRINT of the source (absolute
+    path, total bytes, newest mtime) — not just the sf_dir basename,
+    so a regenerated source (e.g. a make_sf1.py re-run with changed
+    contents) or a different corpus sharing a directory name
+    REBUILDS instead of silently serving a stale fixture to the
+    gate. The build stages into a unique mkdtemp sibling (two
+    concurrent builders can't collide on a fixed '.building' path)
+    and commits via os.replace; the completeness marker lives NEXT
+    TO the directory because scans read everything inside it.
+    `build_fn(staging_dir)` writes the fixture contents into the
+    (already-created) staging directory."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    total, newest = 0, 0
+    if os.path.isfile(source_path):
+        st = os.stat(source_path)
+        total, newest = st.st_size, st.st_mtime_ns
+    else:
+        for root, _, files in os.walk(source_path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                total += st.st_size
+                newest = max(newest, st.st_mtime_ns)
+    key = hashlib.md5(
+        f"{os.path.abspath(source_path)}|{total}|{newest}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_{name}_{key}")
+    marker = base + ".complete"
+    if os.path.exists(marker) and os.path.isdir(base):
+        return base
+    tmp = tempfile.mkdtemp(prefix=f"spark_graft_{name}_building_")
+    build_fn(tmp)
+    shutil.rmtree(base, ignore_errors=True)
+    os.replace(tmp, base)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base

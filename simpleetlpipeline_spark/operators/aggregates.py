@@ -121,10 +121,11 @@ def salted_topk(df: DataFrame, keys: list[str], order_by: list[Column],
     TOTAL order (pass a unique tiebreaker column last) — otherwise
     tied rows at the k boundary may legitimately differ, same as
     any underspecified SQL top-k. Only the final rank column
-    `rank_col` (default `topk_rank`) is appended; a pre-existing
-    column of that name is an error (it would be silently clobbered
-    otherwise), and the internal temp columns pick non-colliding
-    names so the helper composes with its own output.
+    `topk_rank` is appended (rename it downstream if needed); a
+    pre-existing column of that name is an error (it would be
+    silently clobbered otherwise), and the internal temp columns
+    pick non-colliding names so the helper composes with its own
+    output.
     """
     from pyspark.sql import Window
 

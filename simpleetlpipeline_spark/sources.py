@@ -307,43 +307,30 @@ class JsonlEventsWriter(DataSourceWriter):
 def _jsonl_fixture_dir(spark, sf_dir: str) -> str:
     """Deterministic JSONL log directory derived from the events
     table: every 5th event (event_id % 5 == 0), written through the
-    REAL JsonlEventsWriter (two-phase commit, manifest) once per
-    (host, sf) and reused. Staged into a sibling dir and os.replace()d
-    with a completeness marker NEXT TO the directory, exactly like the
-    media ingest fixture (functions/multimodal.py)."""
-    import shutil
-    import tempfile
-
+    REAL JsonlEventsWriter (two-phase commit, manifest). Cached via
+    io.build_cached_fixture_dir (source-fingerprint key, staged
+    build, sibling completeness marker — one implementation shared
+    with the media ingest fixture)."""
     from pyspark.sql import functions as F
 
-    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.io import build_cached_fixture_dir, read_table
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_jsonl_ingest_v2_"
-        + os.path.basename(os.path.normpath(sf_dir)))
-    marker = base + ".complete"
-    if os.path.exists(marker) and os.path.isdir(base):
-        return base
-    tmp = base + ".building"
-    shutil.rmtree(tmp, ignore_errors=True)
-    subset = (
-        read_table(spark, sf_dir, "events")
-        .filter(F.col("event_id") % 5 == 0)
-        .select("event_id",
-                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
-                "user_id", "event_type", "value"))
-    register_jsonl_events(spark)
-    # 8 writer tasks -> 8 committed log files: the per-file partition
-    # planning both readers rely on for parallelism is actually
-    # exercised (a single-file fixture parses serially).
-    subset.repartition(8).write.format("jsonl_events") \
-        .option("path", tmp).mode("append").save()
-    shutil.rmtree(base, ignore_errors=True)
-    os.replace(tmp, base)
-    with open(marker, "w") as fh:
-        fh.write("ok")
-    return base
+    def _build(tmp: str) -> None:
+        subset = (
+            read_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") % 5 == 0)
+            .select("event_id",
+                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+                    "user_id", "event_type", "value"))
+        register_jsonl_events(spark)
+        # 8 writer tasks -> 8 committed log files: the per-file partition
+        # planning both readers rely on for parallelism is actually
+        # exercised (a single-file fixture parses serially).
+        subset.repartition(8).write.format("jsonl_events") \
+            .option("path", tmp).mode("append").save()
+
+    return build_cached_fixture_dir(
+        "jsonl_ingest", os.path.join(sf_dir, "events.parquet"), _build)
 
 
 INGEST_EVENT_TYPES = ("view", "purchase")
@@ -417,12 +404,11 @@ def streaming_jsonl_rollup(spark, sf_dir: str):
     folds map-side within each micro-batch, and the source's
     file-granular offsets mean a restart resumes from the last
     committed file — the property tests/test_sources.py pins.
-    Honest limitation: SimpleDataSourceStreamReader feeds each
-    micro-batch from ONE python worker (the simple API has no
-    partition planning) — fine for a correctness surface; a
-    production deployment implements the full
-    DataSourceStreamReader.partitions() (per-file splits, like this
-    module's batch reader) or fronts the logs with Kafka.
+    The reader is the full partition-planned DataSourceStreamReader
+    (per-file splits via partitions(), like the batch reader — an
+    earlier cut used the single-worker Simple API; commit ae1b738
+    upgraded it), so micro-batch parsing parallelizes across the
+    batch's files.
     """
     from pyspark.sql import functions as F
 

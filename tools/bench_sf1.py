@@ -114,7 +114,10 @@ def main() -> None:
     rated = [q for q in queries.values() if q["ratio"] is not None]
     heavy = [q["ratio"] for q in rated
              if (q["sf1_sec"] or 0) > ABS_OK_SEC]
-    worst = max(heavy or [max(q["ratio"] for q in rated)])
+    # all-errored run: still write the artifact (it carries the
+    # per-query error report) instead of dying on max() of nothing
+    worst = max(heavy or [max(q["ratio"] for q in rated)]) if rated \
+        else None
     result = {
         "metric": "sf1_over_sf0.1_runtime_ratio",
         "value": worst,
