@@ -1695,3 +1695,61 @@ ORACLE_SQL["top_events_per_user"] = f"""
     WHERE rnk <= {TOPK_PER_USER}
     ORDER BY user_id, topk_rank
 """
+
+
+PATTERN_CONVERSION = "v[^p]*p"
+
+
+def event_pattern_conversions(spark: SparkSession, sf_dir: str,
+                              pattern: str = PATTERN_CONVERSION) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE capability Spark SQL lacks, compiled to a regex
+    over the user's event-initial string (the five event types have
+    distinct initials, so one char per event): `v[^p]*p` counts
+    view->purchase conversions with no earlier purchase intervening,
+    scanned left-to-right non-overlapping by both engines' regex
+    semantics (the pattern class has a unique match per start, so
+    leftmost-first and leftmost-longest agree). The sequence is
+    built in deterministic (ts, event_id) order and the output
+    carries its md5, so the oracle hashes the CONSTRUCTION, not just
+    the count.
+
+    Scale: one per-user agg whose state is one user's event string
+    (the sessionization bound — a regex over it is linear); no
+    windows, no second pass. At 100 TB the hot-key mitigation is the
+    same time-chunking note as user_value_ewma."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("ch"))
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+            lambda s: s.ch),
+        "")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("__seq"))
+        .select("user_id", "n_events",
+                F.regexp_count(F.col("__seq"), F.lit(pattern))
+                 .cast("bigint").alias("n_conversions"),
+                F.md5(F.col("__seq")).alias("seq_md5"))
+        .orderBy("user_id")
+    )
+
+
+QUERIES["event_pattern_conversions"] = event_pattern_conversions
+
+ORACLE_SQL["event_pattern_conversions"] = f"""
+    WITH seqs AS (
+        SELECT user_id, count(*) AS n_events,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(length(regexp_extract_all(seq, '{PATTERN_CONVERSION}'))
+                AS BIGINT) AS n_conversions,
+           md5(seq) AS seq_md5
+    FROM seqs ORDER BY user_id
+"""
