@@ -1753,3 +1753,83 @@ ORACLE_SQL["event_pattern_conversions"] = f"""
            md5(seq) AS seq_md5
     FROM seqs ORDER BY user_id
 """
+
+
+#: Benford expected first-digit proportions, precomputed to fixed
+#: 10dp literals so BOTH engines consume identical constants (each
+#: engine's own log10 could differ by an ulp and flip a floored
+#: comparison downstream).
+BENFORD_EXPECTED = {
+    1: "0.3010299957", 2: "0.1760912591", 3: "0.1249387366",
+    4: "0.0969100130", 5: "0.0791812460", 6: "0.0669467896",
+    7: "0.0579919470", 8: "0.0511525224", 9: "0.0457574906",
+}
+
+
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the
+    financial-data-quality screen (fabricated or unit-mangled money
+    columns drift from the log distribution). Per leading digit:
+    observed count, observed proportion, the Benford expectation,
+    and the digit's chi-square contribution n*(obs-exp)^2/exp.
+
+    Determinism: the first significant digit comes from the decimal
+    STRING of the exact 2dp integer form (cast to DECIMAL(18,2),
+    scale by 100, cast to BIGINT — integer-to-string renders
+    identically in both engines; double-to-string and log10-based
+    extraction both have cross-engine ulp hazards), proportions are
+    exact-count ratios, and expectations are shared literals. One
+    map-side-combined agg into 9 groups, plus a one-row total
+    broadcast."""
+    ensure_session_conf(spark)
+    v2 = (F.col("o_totalprice").cast("decimal(18,2)") * 100) \
+        .cast("bigint")
+    orders = (read_table(spark, sf_dir, "orders")
+              .select(F.substring(v2.cast("string"), 1, 1)
+                      .cast("int").alias("digit"))
+              .filter(F.col("digit") >= 1))
+    counts = orders.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    exp_col = F.element_at(
+        F.array(*[F.lit(float(BENFORD_EXPECTED[d])) for d in range(1, 10)]),
+        F.col("digit"))
+    obs = F.col("n") / F.col("__total")
+    chi = F.col("__total") * (obs - exp_col) * (obs - exp_col) / exp_col
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("digit", "n",
+                (F.floor(obs * 1e6) / 1e6).alias("observed_p"),
+                exp_col.alias("expected_p"),
+                (F.floor(chi * 1e6) / 1e6).alias("chi2_component"))
+        .orderBy("digit")
+    )
+
+
+QUERIES["benford_digit_test"] = benford_digit_test
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {v}" for d, v in BENFORD_EXPECTED.items())
+
+ORACLE_SQL["benford_digit_test"] = f"""
+    WITH digits AS (
+        SELECT CAST(substring(CAST(CAST(CAST(o_totalprice
+                     AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+                    1, 1) AS INT) AS digit
+        FROM orders
+    ), counts AS (
+        SELECT digit, count(*) AS n FROM digits
+        WHERE digit >= 1 GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           floor(CAST(n AS DOUBLE) / t * 1e6) / 1e6 AS observed_p,
+           CAST(CASE digit {_BENFORD_CASE} END AS DOUBLE)
+               AS expected_p,
+           floor(t * (CAST(n AS DOUBLE) / t
+                      - CASE digit {_BENFORD_CASE} END)
+                   * (CAST(n AS DOUBLE) / t
+                      - CASE digit {_BENFORD_CASE} END)
+                 / (CASE digit {_BENFORD_CASE} END) * 1e6) / 1e6
+               AS chi2_component
+    FROM counts CROSS JOIN tot ORDER BY digit
+"""

@@ -65,7 +65,7 @@ HEADLINE = [
     "surplus_stock_suppliers", "segment_dedup",
     "rolling_7d_revenue", "negative_samples", "user_value_ewma",
     "top_events_per_user", "ann_incremental_topk",
-    "event_pattern_conversions",
+    "event_pattern_conversions", "benford_digit_test",
 ]
 
 _JOIN_RE = re.compile(
