@@ -1180,3 +1180,121 @@ ORACLE_SQL["basket_lift_rules"] = f"""
     ORDER BY confidence DESC, antecedent ASC, consequent ASC
     LIMIT {RULES_TOP_N}
 """
+
+
+TRI_MIN_SUPPORT = 2
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str,
+                         min_support: int = TRI_MIN_SUPPORT,
+                         basket_cap: int = BASKET_CAP) -> DataFrame:
+    """Triangle census of the copurchase graph — the third classic
+    graph algorithm alongside PageRank (copurchase_pagerank) and
+    connected components (dedup clustering): edge/wedge/triangle
+    counts and the global clustering coefficient 3T/W, the
+    graph-cohesion score recommender pipelines track as baskets
+    evolve.
+
+    Edges are support-thresholded copurchase pairs (same posting-
+    list derivation as copurchase_pairs — one basket shuffle, a<b
+    canonical, BASKET_CAP bounding any hot order), persisted once
+    and reused by all three hops. Triangles enumerate each exactly
+    once via the ordering a<b<c: wedge join on the middle vertex,
+    closure join on (a, c). At 100 TB the standard hardening is
+    degree-ordered orientation before the wedge join (bounds
+    per-vertex fan-out by arboricity); the support threshold plays
+    that role at catalog scale. Every count is integer-exact; the
+    only float is the final ratio, floored 6dp from exact integers
+    (deterministic in both engines)."""
+    from simpleetlpipeline_spark.cache import track
+
+    ensure_session_conf(spark)
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.slice(F.sort_array(F.collect_set("l_partkey")),
+                     1, basket_cap).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+        ),
+    ))
+    edges = track(
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_support)
+        .select("pa", "pb")
+        .persist()
+    )
+    deg = (edges.select(F.col("pa").alias("node"))
+           .unionAll(edges.select(F.col("pb").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"))
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    closing = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = (e1.join(e2, F.col("b") == F.col("b2"))
+           .join(closing, ["a", "c"], "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.floor(F.lit(3.0) * F.col("n_triangles")
+                / F.col("n_wedges") * 1e6) / 1e6)
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_edges", "n_wedges", "n_triangles",
+                cc.alias("global_clustering"))
+    )
+
+
+QUERIES["copurchase_triangles"] = copurchase_triangles
+
+ORACLE_SQL["copurchase_triangles"] = f"""
+    WITH baskets AS (
+        SELECT l_orderkey,
+               list_slice(list_sort(list(DISTINCT l_partkey)),
+                          1, {BASKET_CAP}) AS parts
+        FROM lineitem GROUP BY 1
+    ), pairs AS (
+        SELECT u.pa, u.pb
+        FROM (
+            SELECT unnest(flatten(list_transform(parts,
+                (x, i) -> list_transform(
+                    list_slice(parts, i + 1, greatest(len(parts), 0)),
+                    y -> struct_pack(pa := x, pb := y))))) AS u
+            FROM baskets WHERE len(parts) >= 2
+        )
+    ), edges AS (
+        SELECT pa, pb FROM pairs GROUP BY 1, 2
+        HAVING count(*) >= {TRI_MIN_SUPPORT}
+    ), deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT pa AS node FROM edges
+            UNION ALL SELECT pb FROM edges
+        ) GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM edges e1 JOIN edges e2 ON e1.pb = e2.pa
+            JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+               AS n_triangles,
+           floor(3.0 * (SELECT count(*)
+                        FROM edges e1 JOIN edges e2 ON e1.pb = e2.pa
+                        JOIN edges e3 ON e3.pa = e1.pa
+                                     AND e3.pb = e2.pb)
+                 / (SELECT sum(d * (d - 1) // 2) FROM deg)
+                 * 1e6) / 1e6 AS global_clustering
+"""
