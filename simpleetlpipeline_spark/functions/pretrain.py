@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.functions.dedup import word_ngram_hashes_col
@@ -958,4 +958,75 @@ ORACLE_SQL["negative_samples"] = f"""
         WHERE p.o_custkey = c.o_custkey
           AND p.l_partkey = c.neg_partkey)
     ORDER BY custkey, sample_idx
+"""
+
+
+TOKEN_SAMPLE_K = 50
+
+
+def token_weighted_sample(spark: SparkSession, sf_dir: str,
+                          k: int = TOKEN_SAMPLE_K) -> DataFrame:
+    """Length-proportional systematic sampling: pick ~k documents
+    with probability proportional to token count — the eval-set /
+    inspection sampler that doesn't under-represent long documents
+    the way uniform row sampling does. A document is selected when
+    its token mass crosses one of k equal strides of the corpus's
+    total token count, so the whole selection is INTEGER arithmetic
+    (cumulative int64 sums, floor-divided stride indices): no RNG,
+    no floats, identical in both engines and across reruns. A
+    document long enough to span multiple stride boundaries is
+    selected once (collapsing its strides — so the sample is <= k,
+    exactly k when no doc owns more than 1/k of the corpus).
+
+    Scale note: the cumulative sum is a single ordered window over
+    the (doc_id, n_tokens) MANIFEST — |docs| skinny rows, the same
+    tier as the zorder/shard manifests; the 100 TB swap-in is the
+    classic two-pass distributed prefix sum (per-partition totals
+    broadcast as offsets), which preserves these exact selections
+    because the arithmetic is associative integer addition."""
+    from simpleetlpipeline_spark.functions.text import tokens_col
+
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long")
+        .alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = docs.select(
+        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum"))
+    total = cum.agg(F.max("cum").alias("__total"))
+    sel = (cum.crossJoin(F.broadcast(total))
+           .withColumn(
+               "stride_idx",
+               F.floor(F.col("cum") * k / F.col("__total")))
+           .withColumn(
+               "prev_idx",
+               F.floor((F.col("cum") - F.col("n_tokens")) * k
+                       / F.col("__total")))
+           .filter(F.col("stride_idx") > F.col("prev_idx")))
+    return (sel.select("doc_id", "n_tokens",
+                       F.col("stride_idx").cast("long").alias("stride_idx"))
+            .orderBy("doc_id"))
+
+
+QUERIES["token_weighted_sample"] = token_weighted_sample
+
+ORACLE_SQL["token_weighted_sample"] = f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM m
+    ), t AS (SELECT max(cum) AS total FROM c)
+    SELECT doc_id, n_tokens,
+           CAST(cum * {TOKEN_SAMPLE_K} // total AS BIGINT) AS stride_idx
+    FROM c CROSS JOIN t
+    WHERE cum * {TOKEN_SAMPLE_K} // total
+          > (cum - n_tokens) * {TOKEN_SAMPLE_K} // total
+    ORDER BY doc_id
 """

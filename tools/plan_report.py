@@ -66,7 +66,7 @@ HEADLINE = [
     "rolling_7d_revenue", "negative_samples", "user_value_ewma",
     "top_events_per_user", "ann_incremental_topk",
     "event_pattern_conversions", "benford_digit_test",
-    "copurchase_triangles",
+    "copurchase_triangles", "token_weighted_sample",
 ]
 
 _JOIN_RE = re.compile(
