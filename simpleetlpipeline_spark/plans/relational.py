@@ -44,7 +44,7 @@ Scale notes (the 100 TB framing for each):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
@@ -1297,4 +1297,144 @@ ORACLE_SQL["copurchase_triangles"] = f"""
                                      AND e3.pb = e2.pb)
                  / (SELECT sum(d * (d - 1) // 2) FROM deg)
                  * 1e6) / 1e6 AS global_clustering
+"""
+
+
+CF_EVAL_CUTOFF = "2000-01-01"
+CF_EVAL_NEIGHBORS = 3
+
+
+def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
+                       cutoff: str = CF_EVAL_CUTOFF,
+                       n_neighbors: int = CF_EVAL_NEIGHBORS) -> DataFrame:
+    """Leakage-safe recommender evaluation — the harness that turns
+    item_cooccurrence_cf from a score table into a measured system:
+    TEMPORAL split (train = orders before the cutoff, test = after;
+    random splits leak future co-purchases into training), item-item
+    association built ONLY from train baskets, each user's
+    recommendation set = the top-`n_neighbors` associates of their
+    train items minus what they already bought, and the metric is
+    hit-rate: the share of held-out test purchases (by users with
+    train history) present in their recommendation set.
+
+    Every count is integer-exact; neighbor top-k ties break on the
+    item id; the single float is the final ratio, floored 6dp from
+    exact integers. Shape: one basket shuffle for pairs, a
+    |items|-keyed window for neighbor top-k (support-bounded; the
+    salted form is the swap-in per salted_topk), user-keyed
+    semi/anti joins for the rec set — all linear at any SF."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    train_oi = (orders.filter(F.col("o_orderdate") < cutoff)
+                .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+                .select("o_custkey", "l_partkey").distinct())
+    test_oi = (orders.filter(F.col("o_orderdate") >= cutoff)
+               .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+               .select("o_custkey", "l_partkey").distinct())
+
+    train_baskets = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "l_partkey")
+        .groupBy("o_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pair_structs = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+        ),
+    ))
+    pairs = (train_baskets.select(F.explode(pair_structs).alias("p"))
+             .select("p.pa", "p.pb")
+             .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_ab")))
+    assoc = (pairs.select("pa", "pb", "n_ab")
+             .unionAll(pairs.select(F.col("pb").alias("pa"),
+                                    F.col("pa").alias("pb"), "n_ab")))
+    w = Window.partitionBy("pa").orderBy(F.desc("n_ab"), F.asc("pb"))
+    neighbors = (assoc.withColumn("r", F.row_number().over(w))
+                 .filter(F.col("r") <= n_neighbors)
+                 .select("pa", F.col("pb").alias("rec")))
+
+    recs = (train_oi.join(neighbors,
+                          F.col("l_partkey") == F.col("pa"))
+            .select("o_custkey", F.col("rec").alias("l_partkey"))
+            .distinct()
+            .join(train_oi, ["o_custkey", "l_partkey"], "left_anti"))
+
+    eval_users = train_oi.select("o_custkey").distinct()
+    test_eval = test_oi.join(eval_users, "o_custkey", "left_semi")
+    hits = test_eval.join(recs, ["o_custkey", "l_partkey"], "left_semi")
+    n_test = test_eval.agg(F.count(F.lit(1)).alias("n_test_purchases"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_test.crossJoin(F.broadcast(n_hits))
+        .select("n_test_purchases", "n_hits",
+                (F.floor(F.col("n_hits") / F.col("n_test_purchases")
+                         * 1e6) / 1e6).alias("hit_rate"))
+    )
+
+
+QUERIES["cf_holdout_hitrate"] = cf_holdout_hitrate
+
+ORACLE_SQL["cf_holdout_hitrate"] = f"""
+    WITH train_orders AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '{CF_EVAL_CUTOFF}'
+    ), test_orders AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{CF_EVAL_CUTOFF}'
+    ), train_oi AS (
+        SELECT DISTINCT o_custkey, l_partkey
+        FROM train_orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), test_oi AS (
+        SELECT DISTINCT o_custkey, l_partkey
+        FROM test_orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), train_pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               count(*) AS n_ab
+        FROM (SELECT DISTINCT o_orderkey, l_partkey
+              FROM train_orders JOIN lineitem ON o_orderkey = l_orderkey) a
+        JOIN (SELECT DISTINCT o_orderkey, l_partkey
+              FROM train_orders JOIN lineitem ON o_orderkey = l_orderkey) b
+          ON a.o_orderkey = b.o_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), assoc AS (
+        SELECT pa, pb, n_ab FROM train_pairs
+        UNION ALL SELECT pb, pa, n_ab FROM train_pairs
+    ), neighbors AS (
+        SELECT pa, pb AS rec FROM (
+            SELECT pa, pb, row_number() OVER (
+                PARTITION BY pa ORDER BY n_ab DESC, pb ASC) AS r
+            FROM assoc
+        ) WHERE r <= {CF_EVAL_NEIGHBORS}
+    ), recs AS (
+        SELECT DISTINCT t.o_custkey, n.rec AS l_partkey
+        FROM train_oi t JOIN neighbors n ON t.l_partkey = n.pa
+        WHERE NOT EXISTS (
+            SELECT 1 FROM train_oi o
+            WHERE o.o_custkey = t.o_custkey AND o.l_partkey = n.rec)
+    ), test_eval AS (
+        SELECT * FROM test_oi
+        WHERE o_custkey IN (SELECT o_custkey FROM train_oi)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM test_eval)
+               AS n_test_purchases,
+           (SELECT CAST(count(*) AS BIGINT) FROM test_eval te
+            WHERE EXISTS (SELECT 1 FROM recs r
+                          WHERE r.o_custkey = te.o_custkey
+                            AND r.l_partkey = te.l_partkey)) AS n_hits,
+           floor((SELECT count(*) FROM test_eval te
+                  WHERE EXISTS (SELECT 1 FROM recs r
+                                WHERE r.o_custkey = te.o_custkey
+                                  AND r.l_partkey = te.l_partkey))
+                 * 1.0
+                 / (SELECT count(*) FROM test_eval) * 1e6) / 1e6
+               AS hit_rate
 """

@@ -67,6 +67,7 @@ HEADLINE = [
     "top_events_per_user", "ann_incremental_topk",
     "event_pattern_conversions", "benford_digit_test",
     "copurchase_triangles", "token_weighted_sample",
+    "cf_holdout_hitrate",
 ]
 
 _JOIN_RE = re.compile(
