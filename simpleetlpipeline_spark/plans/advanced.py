@@ -1833,3 +1833,169 @@ ORACLE_SQL["benford_digit_test"] = f"""
                AS chi2_component
     FROM counts CROSS JOIN tot ORDER BY digit
 """
+
+
+AB_MOD = 100003
+AB_MUL = 48271
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over the event stream: users split
+    50/50 into control/treatment by a deterministic integer ticket
+    (user_id reduced mod a prime then multiplied — the
+    train_split_assign contract, identical in both engines; no RNG,
+    so the assignment is stable across reruns and reporting days),
+    and the metric is view->purchase user conversion. Emits one row
+    per arm (users, converters, conversion rate) — the z-statistic
+    on the pooled rate derives from these exact integers downstream;
+    keeping the report integer-valued keeps the gate hash exact.
+
+    Shape: two hash aggregates over (user, arm) then arm — map-side
+    combined, |arms| final groups, no joins wider than the event
+    scan itself."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type")
+    arm = F.when(
+        ((F.col("user_id") % AB_MOD) * AB_MUL) % 2 == 0,
+        F.lit("control")).otherwise(F.lit("treatment"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") == "view", 1)
+                   .otherwise(0)).alias("viewed"),
+             F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("purchased"))
+        .filter(F.col("viewed") == 1)
+        .select(arm.alias("arm"), "purchased")
+    )
+    return (
+        per_user.groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n_users"),
+             F.sum("purchased").alias("n_converters"))
+        .select("arm", "n_users",
+                F.col("n_converters").cast("bigint").alias("n_converters"),
+                (F.floor(F.col("n_converters") / F.col("n_users") * 1e6)
+                 / 1e6).alias("conversion_rate"))
+        .orderBy("arm")
+    )
+
+
+QUERIES["ab_test_report"] = ab_test_report
+
+ORACLE_SQL["ab_test_report"] = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS viewed,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS purchased
+        FROM events GROUP BY 1
+    ), armed AS (
+        SELECT CASE WHEN ((user_id % {AB_MOD}) * {AB_MUL}) % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS arm,
+               purchased
+        FROM per_user WHERE viewed = 1
+    )
+    SELECT arm, count(*) AS n_users,
+           CAST(sum(purchased) AS BIGINT) AS n_converters,
+           floor(CAST(sum(purchased) AS DOUBLE) / count(*) * 1e6) / 1e6
+               AS conversion_rate
+    FROM armed GROUP BY 1 ORDER BY 1
+"""
+
+
+TREND_EPOCH = "1995-01-01"
+
+
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares revenue trend: slope/intercept/R^2 of daily
+    order revenue against the day number — the capacity-planning
+    regression, computed from SUFFICIENT STATISTICS so one pass
+    yields the fit (the feature_scaling_stats trick extended to
+    second cross-moments). Every sum is exact: x is an integer day
+    number, y is exact integer cents (DECIMAL(18,2) * 100), and Sxx
+    / Sxy / Syy accumulate as DECIMAL(38,0) products of integers —
+    no float ever enters a fold, so partition order cannot move a
+    bit. slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) then derives
+    through a fixed IEEE chain on identical numbers in both
+    engines, floored 6dp (slope/intercept in cents/day and cents).
+
+    Shape: one map-side-combined daily rollup (|days| groups), one
+    one-row moment aggregate. Nothing else."""
+    ensure_session_conf(spark)
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.datediff(F.to_date("o_orderdate"),
+                           F.lit(TREND_EPOCH)).alias("x"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+        .groupBy("x").agg(F.sum("cents").alias("y"))
+    )
+    xd, yd = F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)")
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"), F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"))
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return m.select(
+        F.col("n").alias("n_days"),
+        (F.floor(slope * 1e6) / 1e6).alias("slope_cents_per_day"),
+        (F.floor(intercept * 1e6) / 1e6).alias("intercept_cents"),
+        (F.floor(r2 * 1e6) / 1e6).alias("r2"))
+
+
+QUERIES["revenue_trend_ols"] = revenue_trend_ols
+
+ORACLE_SQL["revenue_trend_ols"] = f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{TREND_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), m AS (
+        SELECT count(*) AS n,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS sxy,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS syy
+        FROM daily
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1e6) / 1e6 AS slope_cents_per_day,
+           floor((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                 * 1e6) / 1e6 AS intercept_cents,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1e6) / 1e6 AS r2
+    FROM m
+"""

@@ -67,7 +67,7 @@ HEADLINE = [
     "top_events_per_user", "ann_incremental_topk",
     "event_pattern_conversions", "benford_digit_test",
     "copurchase_triangles", "token_weighted_sample",
-    "cf_holdout_hitrate",
+    "cf_holdout_hitrate", "ab_test_report", "revenue_trend_ols",
 ]
 
 _JOIN_RE = re.compile(
