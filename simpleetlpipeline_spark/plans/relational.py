@@ -1323,21 +1323,29 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
     |items|-keyed window for neighbor top-k (support-bounded; the
     salted form is the swap-in per salted_topk), user-keyed
     semi/anti joins for the rec set — all linear at any SF."""
+    from simpleetlpipeline_spark.cache import track
+
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate")
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
-    train_oi = (orders.filter(F.col("o_orderdate") < cutoff)
-                .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-                .select("o_custkey", "l_partkey").distinct())
+    # one materialization of the train join feeds the user-item set,
+    # the basket build, AND (twice) the rec-set anti-join — without
+    # the persist Catalyst re-runs the orders x lineitem shuffle for
+    # each consumer
+    train_items = track(
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "l_partkey")
+        .persist())
+    train_oi = train_items.select("o_custkey", "l_partkey").distinct()
     test_oi = (orders.filter(F.col("o_orderdate") >= cutoff)
                .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
                .select("o_custkey", "l_partkey").distinct())
 
     train_baskets = (
-        orders.filter(F.col("o_orderdate") < cutoff)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        train_items
         .select("o_orderkey", "l_partkey")
         .groupBy("o_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
