@@ -1446,3 +1446,145 @@ ORACLE_SQL["cf_holdout_hitrate"] = f"""
                  / (SELECT count(*) FROM test_eval) * 1e6) / 1e6
                AS hit_rate
 """
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction to latest state — the change-data-capture
+    primitive the reference's in-place SQLite UPDATEs (main.py:558-
+    571) would become on an append-only lake: a keyed change log is
+    compacted to one surviving row per key (latest by sequence), and
+    deletes tombstone the key out entirely.
+
+    The events table plays the change log deterministically: key =
+    user_id, sequence = (ts, event_id) (event_id is unique, so the
+    order is total), op = DELETE when event_type='error' else UPSERT.
+    A key whose LATEST entry is a delete is gone; otherwise its
+    latest row is the live state. The result rolls the live state up
+    by event_type with integer-exact value cents (floor(value*100)
+    is the same IEEE double op in both engines before the exact
+    BIGINT sum).
+
+    Shape: ONE hash aggregate — max_by(payload, (ts, event_id))
+    folds map-side to a single row per key, so the shuffle carries
+    |keys| rows, not the log. No window over the raw log (a per-key
+    window would sort the whole corpus; argmax folds). That is the
+    CDC-compaction plan that survives 100 TB: compaction cost is
+    bounded by live-key cardinality, and a routine base⊕delta merge
+    (see monthly_sales_incremental) keeps reprocessing incremental.
+    """
+    ensure_session_conf(spark)
+    log = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    latest = (
+        log.groupBy("user_id")
+        .agg(F.max_by(F.struct("event_type", "cents"),
+                      F.struct("ts", "event_id")).alias("last"))
+        .select("user_id", "last.event_type", "last.cents")
+    )
+    return (
+        latest.filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_live_keys"),
+             F.sum("cents").alias("value_cents"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES["cdc_latest_state"] = cdc_latest_state
+
+ORACLE_SQL["cdc_latest_state"] = """
+    WITH latest AS (
+        SELECT user_id, event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_live_keys,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM latest
+    WHERE rn = 1 AND event_type <> 'error'
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+def fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the schema-level data-quality
+    check the reference's per-column validators (main.py:499-540:
+    nulls, ranges, formats) cannot express: does determinant X fix
+    dependent Y across the whole table? Four candidate FDs, two that
+    hold by construction and two that real data violates:
+
+      nation->region     nation: the dimension hierarchy — every
+                         nation sits in exactly one region, so 0
+                         violations (roll-ups over it are safe).
+      orderkey->custkey  orders: primary key determines custkey —
+                         0 violations (key sanity).
+      partkey->suppkey   lineitem: each part ships from multiple
+                         suppliers — violated on purpose.
+      user->event_type   events: users emit many event types —
+                         violated on purpose.
+
+    Per FD: distinct determinant count and how many determinants map
+    to >1 dependent value. Shape: one map-side-combined hash agg per
+    FD (grouped count_distinct partials), then a one-row fold each;
+    the union is four tiny rows. At 100 TB you would fuse FDs that
+    share a determinant into one agg pass and sample-first to
+    prioritize which FDs deserve the exact pass."""
+    ensure_session_conf(spark)
+
+    def _check(df: DataFrame, name: str, key, dep) -> DataFrame:
+        return (
+            df.select(key.alias("k"), dep.alias("v"))
+            .groupBy("k").agg(F.count_distinct("v").alias("nv"))
+            .agg(F.lit(name).alias("fd"),
+                 F.count(F.lit(1)).alias("n_keys"),
+                 F.sum(F.when(F.col("nv") > 1, 1)
+                       .otherwise(0)).alias("n_violating_keys"))
+        )
+
+    nation = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    events = read_table(spark, sf_dir, "events")
+    return (
+        _check(nation, "nation->region",
+               F.col("n_nationkey"), F.col("n_regionkey"))
+        .unionAll(_check(orders, "orderkey->custkey",
+                         F.col("o_orderkey"), F.col("o_custkey")))
+        .unionAll(_check(lineitem, "partkey->suppkey",
+                         F.col("l_partkey"), F.col("l_suppkey")))
+        .unionAll(_check(events, "user->event_type",
+                         F.col("user_id"), F.col("event_type")))
+        .orderBy("fd")
+    )
+
+
+QUERIES["fd_audit"] = fd_audit
+
+ORACLE_SQL["fd_audit"] = """
+    WITH checks AS (
+        SELECT 'nation->region' AS fd, CAST(n_nationkey AS VARCHAR) AS k,
+               CAST(n_regionkey AS VARCHAR) AS v FROM nation
+        UNION ALL
+        SELECT 'orderkey->custkey', CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'partkey->suppkey', CAST(l_partkey AS VARCHAR),
+               CAST(l_suppkey AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'user->event_type', CAST(user_id AS VARCHAR),
+               event_type FROM events
+    ), per_key AS (
+        SELECT fd, k, count(DISTINCT v) AS nv
+        FROM checks GROUP BY fd, k
+    )
+    SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys
+    FROM per_key GROUP BY fd ORDER BY fd
+"""

@@ -68,6 +68,7 @@ HEADLINE = [
     "event_pattern_conversions", "benford_digit_test",
     "copurchase_triangles", "token_weighted_sample",
     "cf_holdout_hitrate", "ab_test_report", "revenue_trend_ols",
+    "cdc_latest_state", "fd_audit",
 ]
 
 _JOIN_RE = re.compile(
