@@ -618,3 +618,21 @@ def test_salted_topk_identity_and_two_stage_plan(spark):
             .filter(F.col("topk_rank") <= 5))
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, want.select(*got.columns).collect())))
+
+
+def test_cdc_latest_state_plan_argmax_folds_no_window(spark, sf_dir):
+    """CDC compaction must plan as a map-side-folding argmax hash
+    aggregate — a per-key window would sort the whole change log."""
+    plan = _plan(QUERIES["cdc_latest_state"](spark, sf_dir))
+    assert "Window" not in plan, "compaction must not window the raw log"
+    assert "partial_max_by" in plan, "argmax must fold map-side"
+    # only the needed columns reach the scan
+    assert "props" not in plan, "unused column must be pruned"
+
+
+def test_fd_audit_plan_pruned_scans_no_joins(spark, sf_dir):
+    plan = _plan(QUERIES["fd_audit"](spark, sf_dir))
+    for absent in ("Join", "c_name", "o_totalprice", "l_quantity"):
+        assert absent not in plan, f"{absent} must not appear"
+    assert "partial_count(distinct" in plan.lower() or \
+        "partial_count" in plan, "count-distinct must have a partial stage"
