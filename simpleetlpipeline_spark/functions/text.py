@@ -1179,3 +1179,117 @@ def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["compression_quality"] = compression_quality  # rows-only (zlib)
+
+
+#: BM25 ranking constants (Robertson k1/b defaults) and the fixed
+#: demo query. k1+1 and 1-b are written as literals so Spark and
+#: DuckDB parse the identical double constants.
+BM25_QUERY_TERMS = ("join", "hash", "stream")
+BM25_TOP_K = 15
+
+
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str,
+                     k: int = BM25_TOP_K) -> DataFrame:
+    """Top-k documents by BM25 relevance to a fixed term query —
+    the search-ranking primitive over the corpus (tf-idf's
+    production successor; tfidf_top_terms is the per-doc variant).
+
+    Determinism contract: dl, tf, df, N, total_dl are all exact
+    integers; the per-(doc,term) score runs through ONE pinned IEEE
+    chain — idf = ln(1 + (N - df + 0.5)/(df + 0.5)), norm =
+    tf*2.2 / (tf + 1.2*(0.25 + 0.75*((dl*N)/total_dl))) — and is
+    FLOOR-quantized to micro-units (1e6) per term BEFORE the
+    per-doc sum, so the cross-term fold is over int64s and the
+    output column (score_micro BIGINT) hash-compares exactly. Only
+    ln() itself carries a last-ulp cross-engine risk, the same
+    accepted bound as tfidf_top_terms.
+
+    Shape: tokenize -> explode -> filter to the |Q| query terms
+    (pushed below the (doc,term) agg, so shuffle volume is
+    matching-term occurrences only) -> tf hash agg -> df as a
+    per-token window over the same tf stream -> broadcast the
+    one-row corpus stats -> per-doc integer sum -> top-k as
+    TakeOrderedAndProject. No all-pairs stage at any scale."""
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    from simpleetlpipeline_spark.io import fan_out
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    toks = F.filter(tokens_col(F.col("text")), lambda x: x != "")
+    base = docs.select("doc_id", F.size(toks).cast("long").alias("dl"),
+                       toks.alias("tokens"))
+    corpus = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("dl").alias("total_dl"))
+    tf = (
+        base.select("doc_id", "dl",
+                    F.explode("tokens").alias("token"))
+        .filter(F.col("token").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_w = Window.partitionBy("token")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .crossJoin(F.broadcast(corpus))
+    )
+    n_d = F.col("n_docs").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    total_d = F.col("total_dl").cast("double")
+    idf = F.log(F.lit(1.0) + (n_d - df_d + 0.5) / (df_d + 0.5))
+    norm = (tf_d * 2.2
+            / (tf_d + 1.2 * (0.25 + 0.75 * ((dl_d * n_d) / total_d))))
+    per_term = scored.select(
+        "doc_id",
+        F.floor(idf * norm * 1e6).cast("long").alias("term_micro"))
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.sum("term_micro").cast("bigint").alias("score_micro"),
+             F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+QUERIES["bm25_doc_ranking"] = bm25_doc_ranking
+
+ORACLE_SQL["bm25_doc_ranking"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(trim(text)),
+                                                  '\\s+'),
+                               x -> x != '')) AS dl,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS tokens
+        FROM documents
+    ), corpus AS (
+        SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM base
+    ), tf AS (
+        SELECT doc_id, dl, t AS token, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(tokens) AS t FROM base)
+        WHERE t IN ('join', 'hash', 'stream')
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT doc_id,
+               CAST(floor(
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                             + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * 2.2
+                      / (CAST(tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75
+                                  * ((CAST(dl AS DOUBLE)
+                                      * CAST(n_docs AS DOUBLE))
+                                     / CAST(total_dl AS DOUBLE)))))
+                   * 1e6) AS BIGINT) AS term_micro
+        FROM (SELECT doc_id, dl, token, tf,
+                     count(*) OVER (PARTITION BY token) AS df
+              FROM tf), corpus
+    )
+    SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM scored GROUP BY 1
+    ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_TOP_K}
+"""

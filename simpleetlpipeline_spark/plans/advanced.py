@@ -1999,3 +1999,106 @@ ORACLE_SQL["revenue_trend_ols"] = f"""
                  * 1e6) / 1e6 AS r2
     FROM m
 """
+
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market
+    segment and order priority — the categorical-association audit
+    (is priority mix uniform across segments?). The reference's
+    validation suite checks per-column properties (main.py:700-760);
+    this is the cross-column generalization an analyst reaches for
+    next.
+
+    Exactness contract: observed counts and marginals are integers;
+    each cell's (obs*N - row*col) difference is computed in
+    DECIMAL(19,0) products (max width DuckDB can multiply without
+    overflow; values fit through N ~ 1.5e9 rows), squared and
+    divided in double via a parenthesis-pinned chain, then FLOOR
+    quantized to nano-units (1e9) per cell BEFORE the cross-cell
+    sum — so the fold is over exact int64s and partition order
+    cannot move a bit. chi2 is presented as the single division
+    chi2_nano/1e9 (one deterministic IEEE op).
+
+    Shape: one orders->customer equi-join (dim side broadcast-
+    eligible; at 100 TB both sides shuffle on the key — no skew,
+    custkey is uniform), one map-side-combined hash agg to |segments
+    x priorities| cells (~25 rows), then windows over the tiny cell
+    table. Nothing after the agg touches big data."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+
+    def d19(c):
+        return c.cast("decimal(19,0)")
+
+    w_seg = Window.partitionBy("c_mktsegment")
+    w_pri = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    t = (
+        cells
+        .withColumn("row_t", F.sum("obs").over(w_seg))
+        .withColumn("col_t", F.sum("obs").over(w_pri))
+        .withColumn("n", F.sum("obs").over(w_all))
+    )
+    num = (d19(F.col("obs")) * d19(F.col("n"))
+           - d19(F.col("row_t")) * d19(F.col("col_t"))).cast("double")
+    den = ((F.col("n").cast("double") * F.col("row_t").cast("double"))
+           * F.col("col_t").cast("double"))
+    per_cell = t.select(
+        "c_mktsegment", "o_orderpriority", "obs",
+        F.floor(num * num / den * 1e9).cast("long").alias("term_nano"))
+    return per_cell.agg(
+        F.sum("obs").cast("bigint").alias("n_rows"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        ((F.countDistinct("c_mktsegment") - 1)
+         * (F.countDistinct("o_orderpriority") - 1))
+        .cast("bigint").alias("dof"),
+        F.sum("term_nano").cast("bigint").alias("chi2_nano"),
+    ).select("n_rows", "n_segments", "n_priorities", "dof", "chi2_nano",
+             (F.col("chi2_nano") / 1e9).alias("chi2"))
+
+
+QUERIES["chi_square_independence"] = chi_square_independence
+
+ORACLE_SQL["chi_square_independence"] = """
+    WITH cells AS (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ), t AS (
+        SELECT c_mktsegment, o_orderpriority, obs,
+               sum(obs) OVER (PARTITION BY c_mktsegment) AS row_t,
+               sum(obs) OVER (PARTITION BY o_orderpriority) AS col_t,
+               sum(obs) OVER () AS n
+        FROM cells
+    ), per_cell AS (
+        SELECT obs,
+               c_mktsegment, o_orderpriority,
+               CAST(floor(
+                   CAST(CAST(obs AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                        - CAST(row_t AS DECIMAL(19,0))
+                          * CAST(col_t AS DECIMAL(19,0)) AS DOUBLE)
+                   * CAST(CAST(obs AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+                          - CAST(row_t AS DECIMAL(19,0))
+                            * CAST(col_t AS DECIMAL(19,0)) AS DOUBLE)
+                   / ((CAST(n AS DOUBLE) * CAST(row_t AS DOUBLE))
+                      * CAST(col_t AS DOUBLE))
+                   * 1e9) AS BIGINT) AS term_nano
+        FROM t
+    )
+    SELECT CAST(sum(obs) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST((count(DISTINCT c_mktsegment) - 1)
+                * (count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof,
+           CAST(sum(term_nano) AS BIGINT) AS chi2_nano,
+           CAST(sum(term_nano) AS DOUBLE) / 1e9 AS chi2
+    FROM per_cell
+"""
