@@ -2018,20 +2018,39 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot move a bit. chi2 is presented as the single division
     chi2_nano/1e9 (one deterministic IEEE op).
 
+    Zero cells: a (segment, priority) combination observed nowhere
+    still contributes (0 - E)^2/E — the groupBy alone would drop it
+    and bias chi2 low, so the observed cells are left-joined onto
+    the full distinct-segments x distinct-priorities grid first
+    (caught by test_chi_square_perfect_dependence, where half the
+    2x2 grid is empty).
+
     Shape: one orders->customer equi-join (dim side broadcast-
     eligible; at 100 TB both sides shuffle on the key — no skew,
     custkey is uniform), one map-side-combined hash agg to |segments
-    x priorities| cells (~25 rows), then windows over the tiny cell
-    table. Nothing after the agg touches big data."""
+    x priorities| cells (~25 rows), then a tiny grid cross-join and
+    windows over the cell table. Nothing after the agg touches big
+    data."""
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority")
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
-    cells = (
+    observed = (
         orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_mktsegment", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("obs"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # broadcast the priorities side: a category list is always tiny,
+    # and a plain crossJoin of two distributed one-column frames
+    # would plan as CartesianProduct
+    grid = (observed.select("c_mktsegment").distinct()
+            .crossJoin(F.broadcast(
+                observed.select("o_orderpriority").distinct())))
+    cells = (
+        grid.join(observed, ["c_mktsegment", "o_orderpriority"], "left")
+        .select("c_mktsegment", "o_orderpriority",
+                F.coalesce(F.col("n"), F.lit(0)).alias("obs"))
     )
 
     def d19(c):
@@ -2068,10 +2087,18 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["chi_square_independence"] = chi_square_independence
 
 ORACLE_SQL["chi_square_independence"] = """
-    WITH cells AS (
-        SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+    WITH observed AS (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS n
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
+    ), cells AS (
+        SELECT s.c_mktsegment, p.o_orderpriority,
+               coalesce(o.n, 0) AS obs
+        FROM (SELECT DISTINCT c_mktsegment FROM observed) s
+        CROSS JOIN (SELECT DISTINCT o_orderpriority FROM observed) p
+        LEFT JOIN observed o
+          ON o.c_mktsegment = s.c_mktsegment
+         AND o.o_orderpriority = p.o_orderpriority
     ), t AS (
         SELECT c_mktsegment, o_orderpriority, obs,
                sum(obs) OVER (PARTITION BY c_mktsegment) AS row_t,
@@ -2101,4 +2128,300 @@ ORACLE_SQL["chi_square_independence"] = """
            CAST(sum(term_nano) AS BIGINT) AS chi2_nano,
            CAST(sum(term_nano) AS DOUBLE) / 1e9 AS chi2
     FROM per_cell
+"""
+
+
+#: Kaplan-Meier time base: integer micro-seconds per day, so
+#: durations are timezone-free integer day counts (no calendar
+#: functions — a hostile session timezone cannot move a boundary).
+KM_DAY_US = 86_400_000_000
+
+
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup -> first-purchase
+    conversion time, right-censored at the study end (the global max
+    event timestamp). The product-limit estimator is THE standard
+    time-to-event readout (churn, conversion latency); nothing in
+    the catalog covered censored durations.
+
+    Semantics: a subject is a user with >= 1 signup; t0 = earliest
+    signup; the event is the earliest purchase at or after t0;
+    users without one are censored at study end. Durations are
+    floor((t_us - t0_us) DIV day_us) — pure integer arithmetic on
+    unix microseconds, so the session timezone is irrelevant.
+
+    Determinism contract: n_risk / n_events / n_censored are exact
+    integers from windows over the tiny per-day table; each step's
+    ln((n_risk-d)/n_risk) is floor-quantized to lp7 int64 BEFORE
+    the cumulative sum, and that sum runs over an ORDERED window
+    (fold order pinned by duration_day). survival re-exposes it as
+    floor(exp(lp7/1e7)*1e6)/1e6 — one exp per row, the accepted
+    last-ulp bound. A day where every remaining subject converts
+    (n_events == n_risk) has survival exactly 0.0 and NULL lp7
+    (ln(0) is not representable; documented sentinel).
+
+    Shape: two event-type filtered aggregates keyed by user (ONE
+    shuffle each, map-side combined), a broadcast one-row study-end
+    scalar, a per-day rollup (<= observation-window days rows), then
+    ordered windows on that tiny table. The unpartitioned windows
+    never see raw events."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type")
+    us = F.unix_micros(F.col("ts"))
+    sign = (ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id").agg(F.min(us).alias("t0")))
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("pt"))
+    per_user = (
+        sign.join(pur, "user_id", "left")
+        .groupBy("user_id", "t0")
+        .agg(F.min(F.when(F.col("pt") >= F.col("t0"), F.col("pt")))
+             .alias("first_pt"))
+    )
+    study_end = ev.agg(F.max(us).alias("end_us"))
+    durations = (
+        per_user.crossJoin(F.broadcast(study_end))
+        .select(
+            F.when(F.col("first_pt").isNotNull(), 1).otherwise(0)
+            .alias("is_event"),
+            F.expr(f"(coalesce(first_pt, end_us) - t0) "
+                   f"div {KM_DAY_US}").alias("duration_day"))
+    )
+    days = (
+        durations.groupBy("duration_day")
+        .agg(F.sum("is_event").cast("bigint").alias("n_events"),
+             F.sum(1 - F.col("is_event")).cast("bigint")
+             .alias("n_censored"))
+    )
+    w_rem = (Window.orderBy("duration_day")
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    w_cum = (Window.orderBy("duration_day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    risked = days.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w_rem))
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.floor(F.log((F.col("n_risk").cast("double")
+                       - F.col("n_events").cast("double"))
+                      / F.col("n_risk").cast("double")) * 1e7)
+        .cast("long"))
+    surv = risked.withColumn("term_lp7", term).withColumn(
+        "log_surv_lp7",
+        F.when(F.col("n_events") < F.col("n_risk"),
+               F.sum("term_lp7").over(w_cum)))
+    return (
+        surv.filter(F.col("n_events") > 0)
+        .select(
+            "duration_day", "n_risk", "n_events", "n_censored",
+            F.col("log_surv_lp7").cast("bigint").alias("log_surv_lp7"),
+            F.when(F.col("log_surv_lp7").isNull(), F.lit(0.0))
+            .otherwise(F.floor(F.exp(F.col("log_surv_lp7") / 1e7) * 1e6)
+                       / 1e6).alias("survival"))
+        .orderBy("duration_day")
+    )
+
+
+QUERIES["kaplan_meier_survival"] = kaplan_meier_survival
+
+ORACLE_SQL["kaplan_meier_survival"] = f"""
+    WITH sign AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ), pur AS (
+        SELECT user_id, epoch_us(ts) AS pt
+        FROM events WHERE event_type = 'purchase'
+    ), per_user AS (
+        SELECT s.user_id, s.t0,
+               min(CASE WHEN p.pt >= s.t0 THEN p.pt END) AS first_pt
+        FROM sign s LEFT JOIN pur p ON s.user_id = p.user_id
+        GROUP BY 1, 2
+    ), study AS (
+        SELECT max(epoch_us(ts)) AS end_us FROM events
+    ), durations AS (
+        SELECT CASE WHEN first_pt IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_event,
+               (coalesce(first_pt, end_us) - t0) // {KM_DAY_US}
+                   AS duration_day
+        FROM per_user, study
+    ), days AS (
+        SELECT duration_day,
+               CAST(sum(is_event) AS BIGINT) AS n_events,
+               CAST(sum(1 - is_event) AS BIGINT) AS n_censored
+        FROM durations GROUP BY 1
+    ), risked AS (
+        SELECT duration_day, n_events, n_censored,
+               sum(n_events + n_censored) OVER (
+                   ORDER BY duration_day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS n_risk
+        FROM days
+    ), terms AS (
+        SELECT *,
+               CASE WHEN n_events < n_risk THEN
+                   CAST(floor(ln((CAST(n_risk AS DOUBLE)
+                                  - CAST(n_events AS DOUBLE))
+                                 / CAST(n_risk AS DOUBLE)) * 1e7)
+                        AS BIGINT)
+               END AS term_lp7
+        FROM risked
+    ), cum AS (
+        SELECT *,
+               CASE WHEN n_events < n_risk THEN
+                   sum(term_lp7) OVER (
+                       ORDER BY duration_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               END AS log_surv_lp7
+        FROM terms
+    )
+    SELECT duration_day, CAST(n_risk AS BIGINT) AS n_risk,
+           n_events, n_censored,
+           CAST(log_surv_lp7 AS BIGINT) AS log_surv_lp7,
+           CASE WHEN log_surv_lp7 IS NULL THEN 0.0
+                ELSE floor(exp(CAST(log_surv_lp7 AS DOUBLE) / 1e7) * 1e6)
+                     / 1e6
+           END AS survival
+    FROM cum
+    WHERE n_events > 0
+    ORDER BY duration_day
+"""
+
+
+#: Attribution lookback window (microseconds): a purchase credits
+#: marketing touches (click/view) by the same user within the 24h
+#: before it. Integer micros — timezone-free bucketing.
+ATTR_WINDOW_US = 86_400_000_000
+
+
+def revenue_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing revenue attribution over the event stream: each
+    purchase's value is credited to the click/view touches by the
+    same user in the 24h before it, under two standard models —
+    last_touch (all credit to the latest touch) and linear (equal
+    split). Emits one row per (model, touch_type) with exact
+    integer micro-cents.
+
+    Interval-join shape (the 100 TB story): touches carry ONE time
+    bucket of width W; each purchase probes its own bucket and the
+    previous one, so candidate generation is an EQUI-join on
+    (user, bucket) with 2x purchase fan-out — never a range join's
+    per-user cross product. Per-purchase windows (touch count,
+    recency rank) run over groups bounded by per-user 24h event
+    density. Purchases with no touch in the window carry no credit
+    and are excluded by the inner join (documented).
+
+    Exactness: value -> cents via DECIMAL(18,2)*100 (the house
+    money contract); linear shares are (cents * 1e6) DIV n_touch —
+    integer truncation, identical in both engines for non-negative
+    operands; every output measure is a BIGINT sum of int64s, so
+    the gate hash is exact with no float anywhere."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    us = F.unix_micros(F.col("ts"))
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(F.col("user_id").alias("t_user"),
+                us.alias("tts"),
+                F.col("event_type").alias("touch_type"),
+                F.col("event_id").alias("touch_id"),
+                F.expr(f"unix_micros(ts) div {ATTR_WINDOW_US}")
+                .alias("bucket"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                us.alias("pts"),
+                F.col("event_id").alias("purchase_id"),
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long").alias("value_cents"),
+                F.expr(f"unix_micros(ts) div {ATTR_WINDOW_US}")
+                .alias("p_bucket"))
+        .select("*", F.explode(F.array(F.col("p_bucket"),
+                                       F.col("p_bucket") - 1))
+                .alias("probe_bucket"))
+    )
+    pairs = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("probe_bucket") == F.col("bucket"))
+        & (F.col("tts") > F.col("pts") - ATTR_WINDOW_US)
+        & (F.col("tts") <= F.col("pts")),
+        "inner")
+    w_p = Window.partitionBy("purchase_id")
+    w_rank = w_p.orderBy(F.desc("tts"), F.desc("touch_id"))
+    ranked = (pairs
+              .withColumn("n_touch", F.count(F.lit(1)).over(w_p))
+              .withColumn("recency_rank", F.row_number().over(w_rank)))
+    last_touch = (
+        ranked.filter(F.col("recency_rank") == 1)
+        .groupBy("touch_type")
+        .agg(F.sum(F.col("value_cents") * 1_000_000)
+             .cast("bigint").alias("attributed_micro_cents"),
+             F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .select(F.lit("last_touch").alias("model"), "touch_type",
+                "attributed_micro_cents", "n_purchases")
+    )
+    linear = (
+        ranked
+        .withColumn("share_micro",
+                    F.expr("(value_cents * 1000000) div n_touch"))
+        .groupBy("touch_type")
+        .agg(F.sum("share_micro").cast("bigint")
+             .alias("attributed_micro_cents"),
+             F.countDistinct("purchase_id").cast("bigint")
+             .alias("n_purchases"))
+        .select(F.lit("linear").alias("model"), "touch_type",
+                "attributed_micro_cents", "n_purchases")
+    )
+    return last_touch.unionByName(linear).orderBy("model", "touch_type")
+
+
+QUERIES["revenue_attribution"] = revenue_attribution
+
+ORACLE_SQL["revenue_attribution"] = f"""
+    WITH touches AS (
+        SELECT user_id AS t_user, epoch_us(ts) AS tts,
+               event_type AS touch_type, event_id AS touch_id,
+               epoch_us(ts) // {ATTR_WINDOW_US} AS bucket
+        FROM events WHERE event_type IN ('click', 'view')
+    ), purchases AS (
+        SELECT user_id AS p_user, epoch_us(ts) AS pts,
+               event_id AS purchase_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS value_cents,
+               unnest([epoch_us(ts) // {ATTR_WINDOW_US},
+                       epoch_us(ts) // {ATTR_WINDOW_US} - 1])
+                   AS probe_bucket
+        FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+        SELECT p.purchase_id, p.value_cents, p.pts,
+               t.tts, t.touch_type, t.touch_id
+        FROM purchases p JOIN touches t
+          ON p.p_user = t.t_user AND p.probe_bucket = t.bucket
+         AND t.tts > p.pts - {ATTR_WINDOW_US} AND t.tts <= p.pts
+    ), ranked AS (
+        SELECT *,
+               count(*) OVER (PARTITION BY purchase_id) AS n_touch,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY tts DESC, touch_id DESC)
+                   AS recency_rank
+        FROM pairs
+    ), last_touch AS (
+        SELECT 'last_touch' AS model, touch_type,
+               CAST(sum(value_cents * 1000000) AS BIGINT)
+                   AS attributed_micro_cents,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM ranked WHERE recency_rank = 1 GROUP BY 2
+    ), linear AS (
+        SELECT 'linear' AS model, touch_type,
+               CAST(sum((value_cents * 1000000) // n_touch) AS BIGINT)
+                   AS attributed_micro_cents,
+               CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases
+        FROM ranked GROUP BY 2
+    )
+    SELECT * FROM last_touch
+    UNION ALL
+    SELECT * FROM linear
+    ORDER BY model, touch_type
 """

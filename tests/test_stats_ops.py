@@ -1,0 +1,120 @@
+"""Semantic tests for the round-5 statistics/search/attribution ops
+(beyond the DuckDB oracle, which checks engine agreement but not the
+intended chi-square / BM25 / Kaplan-Meier / attribution semantics)."""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime, timedelta
+
+from simpleetlpipeline_spark.functions.text import bm25_doc_ranking
+from simpleetlpipeline_spark.plans.advanced import (
+    chi_square_independence,
+    kaplan_meier_survival,
+    revenue_attribution,
+)
+from simpleetlpipeline_spark.schemas import TESTDATA_SCHEMAS
+
+
+def _write(spark, tmp_path, name, rows):
+    (spark.createDataFrame(rows, TESTDATA_SCHEMAS[name])
+     .coalesce(1)
+     .write.parquet(os.path.join(str(tmp_path), f"{name}.parquet")))
+
+
+def test_chi_square_perfect_dependence(spark, tmp_path):
+    # 2x2 contingency [[10,0],[0,10]]: expected=5 per cell,
+    # chi2 = 4 * (10-5)^2/5 = 20 exactly, dof = 1.
+    day = datetime(2024, 1, 1)
+    cust = [(k, f"c{k}", 0, 0.0, "SEG_A" if k < 10 else "SEG_B")
+            for k in range(20)]
+    orders = [(k, k, "Completed", 1.0, day,
+               "1-URGENT" if k < 10 else "2-HIGH") for k in range(20)]
+    _write(spark, tmp_path, "customer", cust)
+    _write(spark, tmp_path, "orders", orders)
+    [r] = chi_square_independence(spark, str(tmp_path)).collect()
+    assert (r["n_rows"], r["n_segments"], r["n_priorities"],
+            r["dof"]) == (20, 2, 2, 1)
+    assert r["chi2_nano"] == 20_000_000_000
+    assert r["chi2"] == 20.0
+
+
+def test_bm25_scores_match_hand_formula(spark, tmp_path):
+    # 2 docs; doc 0 mentions 'join' 3x in dl=4, doc 1 once in dl=6.
+    # N=2, total_dl=10; only 'join' is a query term.
+    docs = [(0, "join join join scan", "en", "s", 19),
+            (1, "join scan scan scan scan scan", "en", "s", 30)]
+    _write(spark, tmp_path, "documents", docs)
+    got = {r["doc_id"]: (r["score_micro"], r["n_terms_matched"])
+           for r in bm25_doc_ranking(spark, str(tmp_path)).collect()}
+
+    def expected(tf, dl, df=2, n=2, total=10):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        norm = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ((dl * n) / total)))
+        return math.floor(idf * norm * 1e6)
+
+    assert got == {0: (expected(3, 4), 1), 1: (expected(1, 6), 1)}
+    # tf dominance: the tf=3 doc must outrank the tf=1 doc
+    assert got[0][0] > got[1][0]
+
+
+def _ev(rows):
+    return [(i, ts, uid, et, val, "{}")
+            for i, (ts, uid, et, val) in enumerate(rows)]
+
+
+def test_kaplan_meier_risk_sets_and_survival(spark, tmp_path):
+    # user 1 converts on day 0, user 2 on day 2, user 3 censored at
+    # the study end (day 5, set by its own last event). KM:
+    #   day 0: n_risk 3, 1 event -> S = 2/3
+    #   day 2: n_risk 2, 1 event -> S = 2/3 * 1/2 = 1/3
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = _ev([
+        (t0, 1, "signup", 0.0),
+        (t0 + timedelta(hours=12), 1, "purchase", 5.0),
+        (t0, 2, "signup", 0.0),
+        (t0 + timedelta(days=2, hours=12), 2, "purchase", 5.0),
+        (t0, 3, "signup", 0.0),
+        (t0 + timedelta(days=5), 3, "click", 1.0),   # sets study end
+    ])
+    _write(spark, tmp_path, "events", rows)
+    got = kaplan_meier_survival(spark, str(tmp_path)).collect()
+    assert [(r["duration_day"], r["n_risk"], r["n_events"],
+             r["n_censored"]) for r in got] == [(0, 3, 1, 0), (2, 2, 1, 0)]
+    assert abs(got[0]["survival"] - 2 / 3) < 1e-4
+    assert abs(got[1]["survival"] - 1 / 3) < 1e-4
+
+
+def test_attribution_models_window_and_bucket_boundary(spark, tmp_path):
+    # user 1: click then view then purchase(10.00) -> last_touch all
+    #   to view; linear splits 50/50.
+    # user 2: purchase with NO touch in 24h -> no credit anywhere.
+    # user 3: purchase 30min into a bucket, its only touch 1h before
+    #   (previous bucket) -> must be found via the bucket-1 probe.
+    t0 = datetime(2024, 1, 2, 12, 0, 0)
+    b3 = datetime(2024, 1, 3, 0, 30, 0)  # 30min past a 24h boundary
+    rows = _ev([
+        (t0, 1, "click", 1.0),
+        (t0 + timedelta(hours=1), 1, "view", 1.0),
+        (t0 + timedelta(hours=2), 1, "purchase", 10.0),
+        (t0 - timedelta(hours=30), 2, "view", 1.0),  # outside 24h
+        (t0, 2, "purchase", 40.0),
+        (b3 - timedelta(hours=1), 3, "click", 1.0),
+        (b3, 3, "purchase", 6.0),
+    ])
+    _write(spark, tmp_path, "events", rows)
+    got = {(r["model"], r["touch_type"]):
+           (r["attributed_micro_cents"], r["n_purchases"])
+           for r in revenue_attribution(spark, str(tmp_path)).collect()}
+    micro = 1_000_000
+    assert got == {
+        ("last_touch", "view"): (1000 * micro, 1),
+        ("last_touch", "click"): (600 * micro, 1),
+        ("linear", "click"): (500 * micro + 600 * micro, 2),
+        ("linear", "view"): (500 * micro, 1),
+    }
+    # conservation: linear credit sums to the attributed purchases'
+    # full value (1000 + 600 cents), user 2's 40.00 goes nowhere
+    assert (got[("linear", "click")][0] + got[("linear", "view")][0]
+            == 1600 * micro)

@@ -69,6 +69,8 @@ HEADLINE = [
     "copurchase_triangles", "token_weighted_sample",
     "cf_holdout_hitrate", "ab_test_report", "revenue_trend_ols",
     "cdc_latest_state", "fd_audit",
+    "chi_square_independence", "bm25_doc_ranking",
+    "kaplan_meier_survival", "revenue_attribution",
 ]
 
 _JOIN_RE = re.compile(
