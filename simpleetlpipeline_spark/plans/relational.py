@@ -1588,3 +1588,186 @@ ORACLE_SQL["fd_audit"] = """
                AS n_violating_keys
     FROM per_key GROUP BY fd ORDER BY fd
 """
+
+
+#: Cohort years for the retention set-op report: the first and last
+#: full years in the orders window (explicit timestamp RANGES so the
+#: bounds land in PushedFilters — year() would evaluate per row).
+RETENTION_YEAR_A = 1995
+RETENTION_YEAR_B = 2000
+
+
+def customer_retention_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buyer-cohort retention via relational set operators: customers
+    who ordered in both cohort years (retained = INTERSECT), only the
+    first (churned = EXCEPT), or only the second (acquired = reverse
+    EXCEPT). INTERSECT/EXCEPT were the one relational-algebra family
+    the catalog didn't exercise; Spark plans them as left-semi /
+    left-anti joins over the deduped keysets, exactly the shape you
+    want at 100 TB (the year filters prune parquet row groups, each
+    cohort dedups map-side to |customers| keys, and the semi/anti
+    joins shuffle key-only rows).
+
+    Output is the 3-row (cohort, n_customers) report — exact integer
+    counts, trivially gate-hashable.
+
+    Each cohort keyset feeds two of the three set-op branches, so
+    both are persisted (cache.track-owned): one pruned scan + dedup
+    per cohort instead of three."""
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.cache import track
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate")
+
+    def cohort(year: int):
+        return track(orders.filter(
+            (F.col("o_orderdate") >= f"{year}-01-01")
+            & (F.col("o_orderdate") < f"{year + 1}-01-01"))
+            .select("o_custkey").distinct().persist())
+
+    a, b = cohort(RETENTION_YEAR_A), cohort(RETENTION_YEAR_B)
+    counts = [
+        a.intersect(b).agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("retained").alias("cohort"), "n"),
+        a.exceptAll(b).agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("churned").alias("cohort"), "n"),
+        b.exceptAll(a).agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("acquired").alias("cohort"), "n"),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    return out.select("cohort", F.col("n").cast("bigint")
+                      .alias("n_customers")).orderBy("cohort")
+
+
+QUERIES["customer_retention_set_ops"] = customer_retention_set_ops
+
+ORACLE_SQL["customer_retention_set_ops"] = f"""
+    WITH a AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{RETENTION_YEAR_A}-01-01'
+          AND o_orderdate < TIMESTAMP '{RETENTION_YEAR_A + 1}-01-01'
+    ), b AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{RETENTION_YEAR_B}-01-01'
+          AND o_orderdate < TIMESTAMP '{RETENTION_YEAR_B + 1}-01-01'
+    )
+    SELECT 'acquired' AS cohort,
+           CAST((SELECT count(*) FROM (SELECT * FROM b EXCEPT
+                                       SELECT * FROM a)) AS BIGINT)
+               AS n_customers
+    UNION ALL
+    SELECT 'churned',
+           CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT
+                                       SELECT * FROM b)) AS BIGINT)
+    UNION ALL
+    SELECT 'retained',
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT
+                                       SELECT * FROM b)) AS BIGINT)
+    ORDER BY cohort
+"""
+
+
+def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop BFS reach ("blast radius") of the most-connected part in
+    the copurchase graph: which parts are one or two co-purchases
+    away from the hub product. Bounded-depth graph traversal was the
+    one graph primitive the catalog lacked (pagerank/triangles/CC
+    exist); unrolled as per-hop semi/anti joins, the shape an
+    iterative BFS takes on any cluster.
+
+    Edges reuse the copurchase_pairs posting-list contract (per-order
+    sorted distinct basket, BASKET_CAP slice, positional a<b pairs —
+    one basket shuffle, no orderkey self-join), symmetrized by a
+    cheap union. The hub is the max-degree vertex (ties -> min
+    partkey), selected as a ONE-ROW broadcast join — no collect.
+    Each hop is |frontier|-keyed equi-join + distinct + anti-join
+    against visited; at depth 2 with a capped basket fan-out the
+    frontier is bounded by hub_degree * max_degree.
+
+    Output: (l_partkey, hop) for hops 1 and 2 — exact integers.
+
+    The symmetrized edge list feeds three consumers (degree ranking,
+    hop-1 expansion, hop-2 expansion), so it is persisted
+    (cache.track-owned): ONE basket shuffle feeds the whole
+    traversal instead of being recomputed per hop."""
+    ensure_session_conf(spark)
+    from simpleetlpipeline_spark.cache import track
+
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.slice(F.sort_array(F.collect_set("l_partkey")),
+                     1, BASKET_CAP).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = F.flatten(F.transform(
+        F.col("parts"),
+        lambda x, i: F.transform(
+            F.slice(F.col("parts"), i + 2,
+                    F.greatest(F.size("parts") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    edges = (baskets.select(F.explode(pairs).alias("e"))
+             .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+             .distinct())
+    sym = track(edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .persist())
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    seed = (deg.orderBy(F.desc("degree"), F.asc("a")).limit(1)
+            .select(F.col("a").alias("seed")))
+    hop1 = (sym.join(F.broadcast(seed), sym.a == F.col("seed"))
+            .select(F.col("b").alias("part")).distinct())
+    frontier2 = (sym.join(hop1.withColumnRenamed("part", "f1"),
+                          sym.a == F.col("f1"))
+                 .select(F.col("b").alias("part")).distinct())
+    hop2 = (frontier2
+            .join(hop1, "part", "left_anti")
+            .join(F.broadcast(seed), frontier2.part == F.col("seed"),
+                  "left_anti"))
+    out = (hop1.select("part", F.lit(1).alias("hop"))
+           .unionByName(hop2.select("part", F.lit(2).alias("hop"))))
+    return (out.select(F.col("part").cast("bigint").alias("l_partkey"),
+                       F.col("hop").cast("int").alias("hop"))
+            .orderBy("hop", "l_partkey"))
+
+
+QUERIES["copurchase_khop_reach"] = copurchase_khop_reach
+
+ORACLE_SQL["copurchase_khop_reach"] = f"""
+    WITH baskets AS (
+        SELECT l_orderkey,
+               list_slice(list_sort(list(DISTINCT l_partkey)),
+                          1, {BASKET_CAP}) AS parts
+        FROM lineitem GROUP BY 1
+    ), exploded AS (
+        SELECT l_orderkey, unnest(parts) AS p
+        FROM baskets WHERE len(parts) >= 2
+    ), edges AS (
+        SELECT DISTINCT e1.p AS a, e2.p AS b
+        FROM exploded e1 JOIN exploded e2 USING (l_orderkey)
+        WHERE e1.p < e2.p
+    ), sym AS (
+        SELECT a, b FROM edges
+        UNION ALL
+        SELECT b AS a, a AS b FROM edges
+    ), seed AS (
+        SELECT a AS seed FROM sym GROUP BY a
+        ORDER BY count(*) DESC, a ASC LIMIT 1
+    ), hop1 AS (
+        SELECT DISTINCT b AS part FROM sym, seed WHERE a = seed
+    ), hop2 AS (
+        SELECT DISTINCT s.b AS part
+        FROM sym s JOIN hop1 h ON s.a = h.part
+        WHERE s.b NOT IN (SELECT part FROM hop1)
+          AND s.b NOT IN (SELECT seed FROM seed)
+    )
+    SELECT CAST(part AS BIGINT) AS l_partkey, CAST(1 AS INTEGER) AS hop
+    FROM hop1
+    UNION ALL
+    SELECT CAST(part AS BIGINT), CAST(2 AS INTEGER) FROM hop2
+    ORDER BY hop, l_partkey
+"""

@@ -118,3 +118,41 @@ def test_attribution_models_window_and_bucket_boundary(spark, tmp_path):
     # full value (1000 + 600 cents), user 2's 40.00 goes nowhere
     assert (got[("linear", "click")][0] + got[("linear", "view")][0]
             == 1600 * micro)
+
+
+def test_retention_set_ops_cohorts(spark, tmp_path):
+    # customers 1,2 order in 1995; 2,3 in 2000 -> retained={2},
+    # churned={1}, acquired={3}; customer 4 (other year) is invisible.
+    def o(key, cust, year):
+        return (key, cust, "Completed", 1.0,
+                datetime(year, 6, 1), "1-URGENT")
+    rows = [o(1, 1, 1995), o(2, 2, 1995), o(3, 2, 2000), o(4, 3, 2000),
+            o(5, 2, 1995), o(6, 4, 1997)]
+    _write(spark, tmp_path, "orders", rows)
+    from simpleetlpipeline_spark.plans.relational import (
+        customer_retention_set_ops,
+    )
+    got = {r["cohort"]: r["n_customers"]
+           for r in customer_retention_set_ops(spark, str(tmp_path))
+           .collect()}
+    assert got == {"retained": 1, "churned": 1, "acquired": 1}
+
+
+def test_khop_reach_hub_and_frontiers(spark, tmp_path):
+    # edges 1-2, 2-3, 3-6, 4-5: degree ties (2 and 3 both have 2)
+    # break to min partkey -> seed 2; hop1 {1,3}; hop2 {6} (2 itself
+    # and hop1 are excluded; 4-5 is a disconnected component).
+    day = datetime(1995, 1, 1)
+    rows = []
+    for i, (okey, parts) in enumerate(
+            [(1, [1, 2]), (2, [2, 3]), (3, [4, 5]), (4, [3, 6])]):
+        for p in parts:
+            rows.append((okey, p, 1, 1, 1.0, 1.0, 0.0, 0.0,
+                         "N", "O", day))
+    _write(spark, tmp_path, "lineitem", rows)
+    from simpleetlpipeline_spark.plans.relational import (
+        copurchase_khop_reach,
+    )
+    got = [(r["l_partkey"], r["hop"])
+           for r in copurchase_khop_reach(spark, str(tmp_path)).collect()]
+    assert got == [(1, 1), (3, 1), (6, 2)]

@@ -71,6 +71,7 @@ HEADLINE = [
     "cdc_latest_state", "fd_audit",
     "chi_square_independence", "bm25_doc_ranking",
     "kaplan_meier_survival", "revenue_attribution",
+    "customer_retention_set_ops", "copurchase_khop_reach",
 ]
 
 _JOIN_RE = re.compile(
