@@ -2425,3 +2425,220 @@ ORACLE_SQL["revenue_attribution"] = f"""
     SELECT * FROM linear
     ORDER BY model, touch_type
 """
+
+
+def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over daily order revenue: the day
+    d maximizing |sum_{i<=d}(y_i - mean)| — the standard level-shift
+    detector (did revenue step up/down, and when?). Nothing in the
+    catalog located WHERE a series changed; the OLS trend and
+    seasonality index summarize the whole window.
+
+    Exactness: the CUSUM statistic is kept FULLY integer by scaling
+    out the mean's division — n*sum_{i<=d}(y_i) - d*total equals
+    n*CUSUM_d, computed in DECIMAL(38,0) products of exact cent
+    sums, so the argmax ordering compares exact integers (ties break
+    to the earliest day). Means before/after the changepoint derive
+    by one double division each, floored 4dp.
+
+    Shape: one map-side-combined daily rollup (|days| groups), then
+    ordered windows over the tiny day table (the
+    monthly_revenue_running contract: the unpartitioned window never
+    sees raw orders), TakeOrdered(1) for the argmax."""
+    ensure_session_conf(spark)
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.datediff(F.to_date("o_orderdate"),
+                           F.lit(TREND_EPOCH)).alias("day"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+        .groupBy("day").agg(F.sum("cents").alias("y"))
+    )
+    w_cum = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    t = (daily
+         .withColumn("prefix", F.sum("y").over(w_cum))
+         .withColumn("d", F.row_number().over(Window.orderBy("day")))
+         .withColumn("n", F.count(F.lit(1)).over(w_all))
+         .withColumn("total", F.sum("y").over(w_all)))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    scored = t.withColumn(
+        "cusum_scaled", d38("n") * d38("prefix") - d38("d") * d38("total"))
+    pick = (scored
+            .orderBy(F.abs(F.col("cusum_scaled")).desc(), F.asc("day"))
+            .limit(1))
+    mean_before = (F.col("prefix").cast("double")
+                   / F.col("d").cast("double"))
+    mean_after = ((F.col("total") - F.col("prefix")).cast("double")
+                  / F.nullif((F.col("n") - F.col("d")).cast("double"),
+                             F.lit(0.0)))
+    return pick.select(
+        F.col("day").cast("int").alias("changepoint_day"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("cusum_scaled"),
+        (F.floor(mean_before * 1e4) / 1e4).alias("mean_before_cents"),
+        (F.floor(mean_after * 1e4) / 1e4).alias("mean_after_cents"))
+
+
+QUERIES["revenue_cusum_changepoint"] = revenue_cusum_changepoint
+
+ORACLE_SQL["revenue_cusum_changepoint"] = f"""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '{TREND_EPOCH}',
+                         CAST(o_orderdate AS DATE)) AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT day, y,
+               sum(y) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS prefix,
+               row_number() OVER (ORDER BY day) AS d,
+               count(*) OVER () AS n,
+               sum(y) OVER () AS total
+        FROM daily
+    ), scored AS (
+        SELECT *,
+               CAST(n AS DECIMAL(38,0)) * CAST(prefix AS DECIMAL(38,0))
+               - CAST(d AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))
+                   AS cusum_scaled
+        FROM t
+    )
+    SELECT CAST(day AS INTEGER) AS changepoint_day,
+           CAST(n AS BIGINT) AS n_days,
+           cusum_scaled,
+           floor(CAST(prefix AS DOUBLE) / CAST(d AS DOUBLE) * 1e4) / 1e4
+               AS mean_before_cents,
+           floor(CAST(total - prefix AS DOUBLE)
+                 / nullif(CAST(n - d AS DOUBLE), 0.0) * 1e4) / 1e4
+               AS mean_after_cents
+    FROM scored
+    ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 1
+"""
+
+
+#: PSI binning/smoothing geometry: 10 equal-width bins over the
+#: observed cent range, Laplace (+1) smoothing so empty bins are
+#: well-defined (the standard industry PSI recipe).
+PSI_BINS = 10
+
+
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution:
+    first half of the observation window (reference) vs second half
+    (current) — the ML-ops drift audit ("did the metric's
+    distribution move?"). Emits one row per bin with exact counts
+    and the bin's nano-quantized PSI term; sum(term_nano)/1e9 is the
+    PSI.
+
+    Determinism: the window split (epoch-micros midpoint) and the
+    bin index ((cents-min)*10 DIV (range+1), provably in 0..9) are
+    pure integer arithmetic; smoothed proportions are single
+    divisions of exact ints; each bin's (p-q)*ln(p/q) is
+    floor-quantized to 1e9 BEFORE any cross-bin use. Empty bins are
+    materialized from a literal 0..9 spine (the chi-square zero-cell
+    lesson) so both sides always emit exactly PSI_BINS rows.
+
+    Shape: one scalar agg over the scan (min/max cents, window
+    midpoint), broadcast; one (bin, side) hash agg — 20 final
+    groups, map-side combined; then literal-spine joins on tiny
+    frames. One pass over big data."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select("ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    rows = ev.select(us.alias("us"), cents.alias("cents"))
+    scal = rows.agg(
+        F.min("cents").alias("min_c"), F.max("cents").alias("max_c"),
+        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid_us"))
+    binned = (
+        rows.crossJoin(F.broadcast(scal))
+        .select(
+            F.when(F.col("us") <= F.col("mid_us"), F.lit("ref"))
+            .otherwise(F.lit("cur")).alias("side"),
+            F.least(
+                F.expr(f"((cents - min_c) * {PSI_BINS}) "
+                       f"div (max_c - min_c + 1)"),
+                F.lit(PSI_BINS - 1)).alias("bin"))
+        .groupBy("side", "bin").agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("b"))
+        .select(F.col("b").cast("long").alias("bin")))
+    ref = binned.filter(F.col("side") == "ref").select(
+        "bin", F.col("n").alias("n_ref"))
+    cur = binned.filter(F.col("side") == "cur").select(
+        "bin", F.col("n").alias("n_cur"))
+    cells = (spine.join(ref, "bin", "left").join(cur, "bin", "left")
+             .select("bin",
+                     F.coalesce(F.col("n_ref"), F.lit(0)).alias("n_ref"),
+                     F.coalesce(F.col("n_cur"), F.lit(0)).alias("n_cur")))
+    w_all = Window.partitionBy()
+    t = (cells
+         .withColumn("tot_ref", F.sum("n_ref").over(w_all))
+         .withColumn("tot_cur", F.sum("n_cur").over(w_all)))
+    p = ((F.col("n_ref") + 1).cast("double")
+         / (F.col("tot_ref") + PSI_BINS).cast("double"))
+    q = ((F.col("n_cur") + 1).cast("double")
+         / (F.col("tot_cur") + PSI_BINS).cast("double"))
+    return (t.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.floor((p - q) * F.log(p / q) * 1e9).cast("bigint")
+        .alias("term_nano"))
+        .orderBy("bin"))
+
+
+QUERIES["events_value_psi"] = events_value_psi
+
+ORACLE_SQL["events_value_psi"] = f"""
+    WITH rows_ AS (
+        SELECT epoch_us(ts) AS us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM events
+    ), scal AS (
+        SELECT min(cents) AS min_c, max(cents) AS max_c,
+               CAST((min(us) + max(us)) / 2 AS BIGINT) AS mid_us
+        FROM rows_
+    ), binned AS (
+        SELECT CASE WHEN us <= mid_us THEN 'ref' ELSE 'cur' END AS side,
+               least(((cents - min_c) * {PSI_BINS})
+                     // (max_c - min_c + 1), {PSI_BINS - 1}) AS bin,
+               count(*) AS n
+        FROM rows_, scal GROUP BY 1, 2
+    ), spine AS (
+        SELECT CAST(range AS BIGINT) AS bin FROM range({PSI_BINS})
+    ), cells AS (
+        SELECT s.bin,
+               coalesce((SELECT n FROM binned b
+                         WHERE b.side = 'ref' AND b.bin = s.bin), 0)
+                   AS n_ref,
+               coalesce((SELECT n FROM binned b
+                         WHERE b.side = 'cur' AND b.bin = s.bin), 0)
+                   AS n_cur
+        FROM spine s
+    ), t AS (
+        SELECT *,
+               sum(n_ref) OVER () AS tot_ref,
+               sum(n_cur) OVER () AS tot_cur
+        FROM cells
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(floor(
+               (CAST(n_ref + 1 AS DOUBLE) / CAST(tot_ref + {PSI_BINS}
+                                                 AS DOUBLE)
+                - CAST(n_cur + 1 AS DOUBLE) / CAST(tot_cur + {PSI_BINS}
+                                                   AS DOUBLE))
+               * ln((CAST(n_ref + 1 AS DOUBLE)
+                     / CAST(tot_ref + {PSI_BINS} AS DOUBLE))
+                    / (CAST(n_cur + 1 AS DOUBLE)
+                       / CAST(tot_cur + {PSI_BINS} AS DOUBLE)))
+               * 1e9) AS BIGINT) AS term_nano
+    FROM t ORDER BY bin
+"""

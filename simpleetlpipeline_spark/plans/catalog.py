@@ -19,7 +19,7 @@ from simpleetlpipeline_spark.functions import (
     text,
 )
 from simpleetlpipeline_spark import sources
-from simpleetlpipeline_spark.operators import scd
+from simpleetlpipeline_spark.operators import erasure, scd
 from simpleetlpipeline_spark.plans import (
     advanced,
     analytics,
@@ -33,7 +33,8 @@ from simpleetlpipeline_spark.streaming import windows as streaming_windows
 QUERIES = dict(analytics.QUERIES)
 ORACLE_SQL = dict(analytics.ORACLE_SQL)
 
-for _mod in (advanced, relational, subqueries, scd, text, dedup, similarity,
+for _mod in (advanced, relational, subqueries, scd, erasure,
+             text, dedup, similarity,
              multimodal,
              curation, pretrain, sources,
              sketches, streaming_windows, streaming_stateful,

@@ -123,7 +123,12 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # collects the K x dim codebook and the
                            # probe vectors at construction (driver-
                            # built ADC tables, same class as kmeans)
-                           "pq_ann_topk")}
+                           "pq_ann_topk",
+                           # runs the whole erasure drill (write v1,
+                           # erase, write v2, read back counts) at
+                           # construction — the etl_pipeline_run
+                           # contract
+                           "user_erasure_audit")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)

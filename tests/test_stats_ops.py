@@ -156,3 +156,87 @@ def test_khop_reach_hub_and_frontiers(spark, tmp_path):
     got = [(r["l_partkey"], r["hop"])
            for r in copurchase_khop_reach(spark, str(tmp_path)).collect()]
     assert got == [(1, 1), (3, 1), (6, 2)]
+
+
+def test_cusum_locates_level_shift(spark, tmp_path):
+    # revenue 1.00/day for days 0-3 then 2.00/day for days 4-7:
+    # CUSUM is most negative at the last low day. Exact check:
+    # n*prefix - d*total at d=4 is 8*400 - 4*1200 = -1600.
+    rows = [(d, 1, "Completed", 1.0 if d < 4 else 2.0,
+             datetime(1995, 1, 1) + timedelta(days=d), "1-URGENT")
+            for d in range(8)]
+    _write(spark, tmp_path, "orders", rows)
+    from simpleetlpipeline_spark.plans.advanced import (
+        revenue_cusum_changepoint,
+    )
+    [r] = revenue_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert (r["changepoint_day"], r["n_days"]) == (3, 8)
+    assert int(r["cusum_scaled"]) == -1600
+    assert r["mean_before_cents"] == 100.0
+    assert r["mean_after_cents"] == 200.0
+
+
+def test_psi_total_shift_and_empty_bins(spark, tmp_path):
+    # reference half all 1.00, current half all 2.00: mass moves
+    # from bin 0 to bin 9; bins 1-8 are empty on BOTH sides and must
+    # still emit rows with term 0.
+    t0 = datetime(2024, 1, 1)
+    rows = _ev(
+        [(t0 + timedelta(hours=h), 1, "view", 1.0) for h in range(10)]
+        + [(t0 + timedelta(days=20, hours=h), 1, "view", 2.0)
+           for h in range(10)])
+    _write(spark, tmp_path, "events", rows)
+    from simpleetlpipeline_spark.plans.advanced import events_value_psi
+    got = {r["bin"]: (r["n_ref"], r["n_cur"], r["term_nano"])
+           for r in events_value_psi(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(10))
+    assert got[0][:2] == (10, 0)
+    assert got[9][:2] == (0, 10)
+    # smoothed term: (11/20 - 1/20) * ln(11) on both moved bins
+    expect = math.floor(0.5 * math.log(11.0) * 1e9)
+    assert got[0][2] == expect and got[9][2] == expect
+    assert all(got[b] == (0, 0, 0) for b in range(1, 9))
+
+
+def test_erasure_commits_new_version_and_keeps_time_travel(
+        spark, tmp_path):
+    import json
+    import os
+
+    from simpleetlpipeline_spark.io import (
+        read_table_version,
+        write_table_version,
+    )
+    from simpleetlpipeline_spark.operators.erasure import erase_user
+
+    t0 = datetime(2024, 1, 1)
+    rows = _ev([(t0 + timedelta(minutes=i), uid, "view", 1.0)
+                for i, uid in enumerate([1, 1, 1, 2, 2])])
+    df = spark.createDataFrame(rows, TESTDATA_SCHEMAS["events"])
+    root = os.path.join(str(tmp_path), "events")
+    write_table_version(df, root)
+    target = df.filter("user_id = 1").select("user_id").distinct()
+    vdir = erase_user(spark, root, "user_id", target, schema=df.schema)
+    # current snapshot: only user 2's rows survive
+    cur = read_table_version(spark, root, schema=df.schema)
+    assert [r["user_id"] for r in cur.collect()] == [2, 2]
+    # time travel: v1 still holds all 5 rows (keep_versions=2)
+    v1 = read_table_version(spark, root, version=1, schema=df.schema)
+    assert v1.count() == 5
+    # the erasure is stamped into the committed version's metadata
+    with open(os.path.join(vdir, "_META.json")) as fh:
+        assert json.load(fh)["op"] == "user_erasure"
+
+
+def test_erasure_audit_row_is_exact(spark, tmp_path):
+    # most-active user (ties -> min id) is user 1 with 3 of 5 rows
+    t0 = datetime(2024, 1, 1)
+    rows = _ev([(t0 + timedelta(minutes=i), uid, "view", 1.0)
+                for i, uid in enumerate([1, 1, 1, 2, 2])])
+    _write(spark, tmp_path, "events", rows)
+    from simpleetlpipeline_spark.operators.erasure import (
+        user_erasure_audit,
+    )
+    [r] = user_erasure_audit(spark, str(tmp_path)).collect()
+    assert (r["target_user_id"], r["rows_before"], r["rows_removed"],
+            r["rows_after"]) == (1, 5, 3, 2)

@@ -72,6 +72,8 @@ HEADLINE = [
     "chi_square_independence", "bm25_doc_ranking",
     "kaplan_meier_survival", "revenue_attribution",
     "customer_retention_set_ops", "copurchase_khop_reach",
+    "revenue_cusum_changepoint", "events_value_psi",
+    "user_erasure_audit",
 ]
 
 _JOIN_RE = re.compile(
