@@ -2642,3 +2642,197 @@ ORACLE_SQL["events_value_psi"] = f"""
                * 1e9) AS BIGINT) AS term_nano
     FROM t ORDER BY bin
 """
+
+
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user: each event's
+    value holds until the user's next event (the step-function /
+    last-observation-carried-forward reading of the stream), the
+    final one until the global study end. TWAP is the standard
+    fix for irregular sampling — a plain avg() overweights bursts;
+    nothing else in the catalog weights by holding DURATION.
+
+    Exactness: durations are integer micros from lead(ts) over the
+    per-user ordered window; value_cents * dur_us products run in
+    DECIMAL(38,0) (cents * window-micros overflows int64), both
+    sums are exact, and the TWAP is ONE double division floored to
+    4dp. Ties on ts break by event_id in the window order.
+
+    Shape: one shuffle keyed by user (window lead + group agg share
+    it), a broadcast one-row study-end scalar. Per-user state is a
+    running pair of exact sums — no skew beyond per-user event
+    counts."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    us = F.unix_micros(F.col("ts"))
+    rows = ev.select(
+        "user_id", F.col("event_id").alias("eid"), us.alias("us"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    study_end = rows.agg(F.max("us").alias("end_us"))
+    w = Window.partitionBy("user_id").orderBy("us", "eid")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    timed = (
+        rows.crossJoin(F.broadcast(study_end))
+        .withColumn("dur_us",
+                    F.coalesce(F.lead("us").over(w), F.col("end_us"))
+                    - F.col("us"))
+    )
+    return (
+        timed.groupBy("user_id")
+        .agg(F.sum(d38(F.col("cents")) * d38(F.col("dur_us")))
+             .alias("wsum"),
+             F.sum(d38(F.col("dur_us"))).alias("wtot"),
+             F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .filter(F.col("wtot") > 0)
+        .select("user_id", "n_events",
+                (F.floor(F.col("wsum").cast("double")
+                         / F.col("wtot").cast("double") * 1e4) / 1e4)
+                .alias("twap_cents"))
+        .orderBy("user_id")
+    )
+
+
+QUERIES["user_value_twap"] = user_value_twap
+
+ORACLE_SQL["user_value_twap"] = """
+    WITH rows_ AS (
+        SELECT user_id, event_id AS eid, epoch_us(ts) AS us,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM events
+    ), study AS (
+        SELECT max(us) AS end_us FROM rows_
+    ), timed AS (
+        SELECT user_id, cents,
+               coalesce(lead(us) OVER (PARTITION BY user_id
+                                       ORDER BY us, eid), end_us) - us
+                   AS dur_us
+        FROM rows_, study
+    ), agg AS (
+        SELECT user_id,
+               sum(CAST(cents AS DECIMAL(38,0))
+                   * CAST(dur_us AS DECIMAL(38,0))) AS wsum,
+               sum(CAST(dur_us AS DECIMAL(38,0))) AS wtot,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM timed GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           floor(CAST(wsum AS DOUBLE) / CAST(wtot AS DOUBLE) * 1e4)
+               / 1e4 AS twap_cents
+    FROM agg WHERE wtot > 0 ORDER BY user_id
+"""
+
+
+#: Autocorrelation lags reported by revenue_autocorrelation (a week
+#: of daily lags — enough to expose weekly seasonality).
+ACF_MAX_LAG = 7
+
+
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily order revenue at lags 1..7
+    — the time-series diagnostic behind seasonality detection ("does
+    revenue echo itself a week later?"). Complements the OLS trend
+    (global slope) and CUSUM (single break) with dependence
+    STRUCTURE; days are indexed by row_number so calendar gaps don't
+    misalign lags.
+
+    Exactness: with y exact cents, every moment (S_k = sum y_t*y_{t+k},
+    P_k/Q_k marginal sums, global n/Sy/Syy) is an exact DECIMAL(38,0);
+    r_k's numerator and denominator are scaled by n^2 to clear the
+    mean's division — n^2*S_k - n*Sy*(P_k+Q_k) + m_k*Sy^2 over
+    n*(n*Syy - Sy^2) — so ONE double division (floored 6dp) is the
+    only inexact step. Fits DECIMAL(38,0) through ~1e11-cent days
+    across ~10^4 days (1e32 << 1e38).
+
+    Shape: one map-side daily rollup, a 7-row literal lag spine
+    cross-joined (broadcast) and equi-joined back to the day table
+    on d+lag, per-lag hash agg, one-row global moments broadcast.
+    Every post-rollup frame is |days|- or |lags|-sized."""
+    ensure_session_conf(spark)
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.datediff(F.to_date("o_orderdate"),
+                           F.lit(TREND_EPOCH)).alias("day"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+        .groupBy("day").agg(F.sum("cents").alias("y"))
+        .withColumn("d", F.row_number().over(Window.orderBy("day")))
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    glob = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("syy"))
+    spine = (spark.range(1).select(
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("l"))
+        .select(F.col("l").cast("int").alias("lag")))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = (a.crossJoin(F.broadcast(spine))
+             .join(b, F.col("da") + F.col("lag") == F.col("db")))
+    moments = (
+        pairs.groupBy("lag")
+        .agg(F.sum(d38(F.col("ya")) * d38(F.col("yb"))).alias("sk"),
+             F.sum(d38(F.col("ya"))).alias("pk"),
+             F.sum(d38(F.col("yb"))).alias("qk"),
+             F.count(F.lit(1)).cast("long").alias("m"))
+        .crossJoin(F.broadcast(glob))
+    )
+    n38 = d38(F.col("n"))
+    num = (n38 * n38 * F.col("sk")
+           - n38 * F.col("sy") * (F.col("pk") + F.col("qk"))
+           + d38(F.col("m")) * F.col("sy") * F.col("sy"))
+    den = n38 * (n38 * F.col("syy") - F.col("sy") * F.col("sy"))
+    return (moments.select(
+        "lag", F.col("m").cast("bigint").alias("n_pairs"),
+        (F.floor(num.cast("double")
+                 / F.nullif(den.cast("double"), F.lit(0.0)) * 1e6)
+         / 1e6).alias("acf"))
+        .orderBy("lag"))
+
+
+QUERIES["revenue_autocorrelation"] = revenue_autocorrelation
+
+ORACLE_SQL["revenue_autocorrelation"] = f"""
+    WITH daily AS (
+        SELECT day, y, row_number() OVER (ORDER BY day) AS d
+        FROM (
+            SELECT date_diff('day', DATE '{TREND_EPOCH}',
+                             CAST(o_orderdate AS DATE)) AS day,
+                   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY 1
+        )
+    ), gstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS syy
+        FROM daily
+    ), spine AS (
+        SELECT CAST(range AS INTEGER) AS lag
+        FROM range(1, {ACF_MAX_LAG + 1})
+    ), moments AS (
+        SELECT lag,
+               sum(CAST(a.y AS DECIMAL(38,0))
+                   * CAST(b.y AS DECIMAL(38,0))) AS sk,
+               sum(CAST(a.y AS DECIMAL(38,0))) AS pk,
+               sum(CAST(b.y AS DECIMAL(38,0))) AS qk,
+               CAST(count(*) AS BIGINT) AS m
+        FROM daily a CROSS JOIN spine
+        JOIN daily b ON a.d + lag = b.d
+        GROUP BY 1
+    )
+    SELECT lag, m AS n_pairs,
+           floor((CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+                      * sk
+                  - CAST(n AS DECIMAL(38,0)) * sy * (pk + qk)
+                  + CAST(m AS DECIMAL(38,0)) * sy * sy)::DOUBLE
+                 / nullif((CAST(n AS DECIMAL(38,0))
+                           * (CAST(n AS DECIMAL(38,0)) * syy
+                              - sy * sy))::DOUBLE, 0.0)
+                 * 1e6) / 1e6 AS acf
+    FROM moments, gstats ORDER BY lag
+"""

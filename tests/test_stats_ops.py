@@ -240,3 +240,54 @@ def test_erasure_audit_row_is_exact(spark, tmp_path):
     [r] = user_erasure_audit(spark, str(tmp_path)).collect()
     assert (r["target_user_id"], r["rows_before"], r["rows_removed"],
             r["rows_after"]) == (1, 5, 3, 2)
+
+
+def test_twap_weights_by_holding_duration(spark, tmp_path):
+    # user 1: 1.00 held 10s then 3.00 held 30s (to study end) ->
+    # TWAP = (100*10 + 300*30)/40 = 250 cents, NOT avg(100,300)=200.
+    # user 2's only event IS the study end: zero holding time, so it
+    # is excluded (wtot=0 contract).
+    t0 = datetime(2024, 1, 1)
+    rows = _ev([
+        (t0, 1, "view", 1.0),
+        (t0 + timedelta(seconds=10), 1, "view", 3.0),
+        (t0 + timedelta(seconds=40), 2, "view", 7.77),
+    ])
+    _write(spark, tmp_path, "events", rows)
+    from simpleetlpipeline_spark.plans.advanced import user_value_twap
+    got = {r["user_id"]: (r["n_events"], r["twap_cents"])
+           for r in user_value_twap(spark, str(tmp_path)).collect()}
+    assert got == {1: (2, 250.0)}
+
+
+def test_acf_alternating_series(spark, tmp_path):
+    # perfectly alternating 1.00/2.00 daily revenue: lag-1 ACF is
+    # strongly negative, lag-2 strongly positive; values must equal
+    # the scaled-integer formula exactly.
+    rows = [(d, 1, "Completed", 1.0 if d % 2 == 0 else 2.0,
+             datetime(1995, 1, 1) + timedelta(days=d), "1-URGENT")
+            for d in range(8)]
+    _write(spark, tmp_path, "orders", rows)
+    from simpleetlpipeline_spark.plans.advanced import (
+        revenue_autocorrelation,
+    )
+    got = {r["lag"]: (r["n_pairs"], r["acf"])
+           for r in revenue_autocorrelation(spark, str(tmp_path))
+           .collect()}
+    y = [100 if d % 2 == 0 else 200 for d in range(8)]
+    n, sy = len(y), sum(y)
+    syy = sum(v * v for v in y)
+
+    def expect(k):
+        pairs = list(zip(y[:-k], y[k:]))
+        sk = sum(a * b for a, b in pairs)
+        pk = sum(a for a, _ in pairs)
+        qk = sum(b for _, b in pairs)
+        m = len(pairs)
+        num = n * n * sk - n * sy * (pk + qk) + m * sy * sy
+        den = n * (n * syy - sy * sy)
+        return (m, math.floor(num / den * 1e6) / 1e6)
+
+    assert got[1] == expect(1) and got[1][1] < -0.8
+    assert got[2] == expect(2) and got[2][1] > 0.7
+    assert set(got) == set(range(1, 8))

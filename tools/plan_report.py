@@ -74,6 +74,7 @@ HEADLINE = [
     "customer_retention_set_ops", "copurchase_khop_reach",
     "revenue_cusum_changepoint", "events_value_psi",
     "user_erasure_audit",
+    "user_value_twap", "revenue_autocorrelation",
 ]
 
 _JOIN_RE = re.compile(
