@@ -2836,3 +2836,95 @@ ORACLE_SQL["revenue_autocorrelation"] = f"""
                  * 1e6) / 1e6 AS acf
     FROM moments, gstats ORDER BY lag
 """
+
+
+def categorical_entropy_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Shannon entropy of the catalog's categorical columns (event
+    type, document source, document language, customer segment) —
+    the information-content audit behind feature selection and
+    drift baselines ("how concentrated is this column?"). The
+    chi-square entry measures cross-column ASSOCIATION; this is the
+    marginal-distribution complement.
+
+    Exactness: category counts are integers; each category's
+    -(n/N)*ln(n/N) term is floor-quantized to nano-units BEFORE the
+    cross-category sum (int64 fold, order-free); normalized entropy
+    divides by ln(k) in one final double chain, floored 6dp (k=1
+    columns yield NULL via nullif — a constant column has no
+    normalizable entropy).
+
+    Shape: one map-side-combined count agg per source column (each
+    |categories|-sized), a per-column window total, then a 4-row
+    union. One narrow scan per table."""
+    ensure_session_conf(spark)
+
+    def profile(df, col, label):
+        counts = (df.select(F.col(col).alias("cat"))
+                  .groupBy("cat").agg(F.count(F.lit(1)).alias("n_cat")))
+        w = Window.partitionBy()
+        t = (counts
+             .withColumn("n_rows", F.sum("n_cat").over(w))
+             .withColumn("k", F.count(F.lit(1)).over(w)))
+        p = F.col("n_cat").cast("double") / F.col("n_rows").cast("double")
+        return (t.withColumn("term_nano",
+                             F.floor(-p * F.log(p) * 1e9).cast("long"))
+                .groupBy("n_rows", "k")
+                .agg(F.sum("term_nano").alias("entropy_nano"))
+                .select(F.lit(label).alias("column_name"),
+                        F.col("n_rows").cast("bigint").alias("n_rows"),
+                        F.col("k").cast("bigint").alias("n_categories"),
+                        F.col("entropy_nano").cast("bigint")
+                        .alias("entropy_nano"),
+                        (F.floor(F.col("entropy_nano") / 1e9
+                                 / F.nullif(F.log(F.col("k")
+                                                  .cast("double")),
+                                            F.lit(0.0)) * 1e6) / 1e6)
+                        .alias("normalized")))
+
+    ev = read_table(spark, sf_dir, "events")
+    docs = read_table(spark, sf_dir, "documents")
+    cust = read_table(spark, sf_dir, "customer")
+    out = (profile(ev, "event_type", "events.event_type")
+           .unionByName(profile(docs, "source", "documents.source"))
+           .unionByName(profile(docs, "lang", "documents.lang"))
+           .unionByName(profile(cust, "c_mktsegment",
+                                "customer.c_mktsegment")))
+    return out.orderBy("column_name")
+
+
+QUERIES["categorical_entropy_profile"] = categorical_entropy_profile
+
+_ENTROPY_ONE = """
+    SELECT '{label}' AS column_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(k AS BIGINT) AS n_categories,
+           CAST(sum(term_nano) AS BIGINT) AS entropy_nano,
+           floor(CAST(sum(term_nano) AS DOUBLE) / 1e9
+                 / nullif(ln(CAST(k AS DOUBLE)), 0.0) * 1e6) / 1e6
+               AS normalized
+    FROM (
+        SELECT n_cat,
+               sum(n_cat) OVER () AS n_rows,
+               count(*) OVER () AS k,
+               CAST(floor(-(CAST(n_cat AS DOUBLE)
+                            / sum(n_cat) OVER ())
+                          * ln(CAST(n_cat AS DOUBLE)
+                               / sum(n_cat) OVER ()) * 1e9)
+                    AS BIGINT) AS term_nano
+        FROM (SELECT {col} AS cat, count(*) AS n_cat
+              FROM {table} GROUP BY 1)
+    )
+    GROUP BY n_rows, k
+"""
+
+ORACLE_SQL["categorical_entropy_profile"] = " UNION ALL ".join([
+    _ENTROPY_ONE.format(label="events.event_type", col="event_type",
+                        table="events"),
+    _ENTROPY_ONE.format(label="documents.source", col="source",
+                        table="documents"),
+    _ENTROPY_ONE.format(label="documents.lang", col="lang",
+                        table="documents"),
+    _ENTROPY_ONE.format(label="customer.c_mktsegment",
+                        col="c_mktsegment", table="customer"),
+]) + " ORDER BY column_name"

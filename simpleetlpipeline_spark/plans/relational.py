@@ -1668,30 +1668,14 @@ ORACLE_SQL["customer_retention_set_ops"] = f"""
 """
 
 
-def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-hop BFS reach ("blast radius") of the most-connected part in
-    the copurchase graph: which parts are one or two co-purchases
-    away from the hub product. Bounded-depth graph traversal was the
-    one graph primitive the catalog lacked (pagerank/triangles/CC
-    exist); unrolled as per-hop semi/anti joins, the shape an
-    iterative BFS takes on any cluster.
-
-    Edges reuse the copurchase_pairs posting-list contract (per-order
-    sorted distinct basket, BASKET_CAP slice, positional a<b pairs —
-    one basket shuffle, no orderkey self-join), symmetrized by a
-    cheap union. The hub is the max-degree vertex (ties -> min
-    partkey), selected as a ONE-ROW broadcast join — no collect.
-    Each hop is |frontier|-keyed equi-join + distinct + anti-join
-    against visited; at depth 2 with a capped basket fan-out the
-    frontier is bounded by hub_degree * max_degree.
-
-    Output: (l_partkey, hop) for hops 1 and 2 — exact integers.
-
-    The symmetrized edge list feeds three consumers (degree ranking,
-    hop-1 expansion, hop-2 expansion), so it is persisted
-    (cache.track-owned): ONE basket shuffle feeds the whole
-    traversal instead of being recomputed per hop."""
-    ensure_session_conf(spark)
+def _sym_copurchase_edges(spark: SparkSession, sf_dir: str,
+                          persist: bool = True) -> DataFrame:
+    """Symmetrized distinct copurchase edge list (a, b): the
+    copurchase_pairs posting-list contract (per-order sorted distinct
+    basket, BASKET_CAP slice, positional a<b pairs — one basket
+    shuffle, no orderkey self-join), unioned in both directions.
+    Persisted (cache.track-owned) by default since every graph
+    consumer reads it more than once."""
     from simpleetlpipeline_spark.cache import track
 
     baskets = (
@@ -1713,9 +1697,36 @@ def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (baskets.select(F.explode(pairs).alias("e"))
              .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
              .distinct())
-    sym = track(edges.unionByName(
+    sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .persist())
+    return track(sym.persist()) if persist else sym
+
+
+def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop BFS reach ("blast radius") of the most-connected part in
+    the copurchase graph: which parts are one or two co-purchases
+    away from the hub product. Bounded-depth graph traversal was the
+    one graph primitive the catalog lacked (pagerank/triangles/CC
+    exist); unrolled as per-hop semi/anti joins, the shape an
+    iterative BFS takes on any cluster.
+
+    Edges reuse the copurchase_pairs posting-list contract (per-order
+    sorted distinct basket, BASKET_CAP slice, positional a<b pairs —
+    one basket shuffle, no orderkey self-join), symmetrized by a
+    cheap union. The hub is the max-degree vertex (ties -> min
+    partkey), selected as a ONE-ROW broadcast join — no collect.
+    Each hop is |frontier|-keyed equi-join + distinct + anti-join
+    against visited; at depth 2 with a capped basket fan-out the
+    frontier is bounded by hub_degree * max_degree.
+
+    Output: (l_partkey, hop) for hops 1 and 2 — exact integers.
+
+    The symmetrized edge list feeds three consumers (degree ranking,
+    hop-1 expansion, hop-2 expansion), so it is persisted
+    (_sym_copurchase_edges): ONE basket shuffle feeds the whole
+    traversal instead of being recomputed per hop."""
+    ensure_session_conf(spark)
+    sym = _sym_copurchase_edges(spark, sf_dir)
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
     seed = (deg.orderBy(F.desc("degree"), F.asc("a")).limit(1)
             .select(F.col("a").alias("seed")))
@@ -1770,4 +1781,127 @@ ORACLE_SQL["copurchase_khop_reach"] = f"""
     UNION ALL
     SELECT CAST(part AS BIGINT), CAST(2 AS INTEGER) FROM hop2
     ORDER BY hop, l_partkey
+"""
+
+
+def copurchase_degree_powerlaw(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Power-law fit of the copurchase degree distribution: OLS of
+    ln(n_parts_with_degree) on ln(degree) over the degree histogram
+    — the scale-free-network diagnostic (a heavy-tailed catalog
+    needs hub-aware partitioning; a near-uniform one doesn't). The
+    slope is the (negated) power-law exponent; r2 says how
+    power-law-like the graph actually is.
+
+    Exactness: degrees and histogram counts are exact integers; each
+    histogram point's (ln degree, ln count) is floor-quantized to
+    lp7 int64 FIRST, so all five OLS moments are exact DECIMAL(38,0)
+    sums of int64 products (fold-order free); slope/intercept/r2
+    then derive through one pinned double chain each, floored 6dp
+    (the revenue_trend_ols contract on quantized log coordinates).
+
+    Shape: the shared persisted edge list -> one degree agg
+    (|parts| groups) -> one histogram agg (|distinct degrees|
+    groups) -> a one-row moment aggregate. Nothing after the degree
+    agg touches more than |distinct degrees| rows."""
+    ensure_session_conf(spark)
+    sym = _sym_copurchase_edges(spark, sf_dir)
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_parts"))
+    pts = hist.select(
+        F.floor(F.log(F.col("degree").cast("double")) * 1e7)
+        .cast("long").alias("x"),
+        F.floor(F.log(F.col("n_parts").cast("double")) * 1e7)
+        .cast("long").alias("y"))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x")) * d38(F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("x")) * d38(F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("y")) * d38(F.col("y"))).alias("syy"))
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    # lp7 coordinates: slope is unit-free (1e7 cancels); intercept
+    # needs the 1e7 scale back out
+    slope = (md * sxy - sx * sy) / (md * sxx - sx * sx)
+    intercept = ((sy - slope * sx) / md) / 1e7
+    r2 = ((md * sxy - sx * sy) * (md * sxy - sx * sy)
+          / ((md * sxx - sx * sx) * (md * syy - sy * sy)))
+    return m.select(
+        F.col("m").cast("bigint").alias("n_degree_points"),
+        (F.floor(slope * 1e6) / 1e6).alias("slope"),
+        (F.floor(intercept * 1e6) / 1e6).alias("intercept_ln_count"),
+        (F.floor(r2 * 1e6) / 1e6).alias("r2"))
+
+
+QUERIES["copurchase_degree_powerlaw"] = copurchase_degree_powerlaw
+
+ORACLE_SQL["copurchase_degree_powerlaw"] = f"""
+    WITH baskets AS (
+        SELECT l_orderkey,
+               list_slice(list_sort(list(DISTINCT l_partkey)),
+                          1, {BASKET_CAP}) AS parts
+        FROM lineitem GROUP BY 1
+    ), exploded AS (
+        SELECT l_orderkey, unnest(parts) AS p
+        FROM baskets WHERE len(parts) >= 2
+    ), edges AS (
+        SELECT DISTINCT e1.p AS a, e2.p AS b
+        FROM exploded e1 JOIN exploded e2 USING (l_orderkey)
+        WHERE e1.p < e2.p
+    ), sym AS (
+        SELECT a, b FROM edges
+        UNION ALL SELECT b, a FROM edges
+    ), hist AS (
+        SELECT degree, count(*) AS n_parts FROM (
+            SELECT a, count(*) AS degree FROM sym GROUP BY 1
+        ) GROUP BY 1
+    ), pts AS (
+        SELECT CAST(floor(ln(CAST(degree AS DOUBLE)) * 1e7) AS BIGINT)
+                   AS x,
+               CAST(floor(ln(CAST(n_parts AS DOUBLE)) * 1e7) AS BIGINT)
+                   AS y
+        FROM hist
+    ), mo AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               sum(CAST(x AS DECIMAL(38,0))) AS sx,
+               sum(CAST(y AS DECIMAL(38,0))) AS sy,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx,
+               sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS sxy,
+               sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS syy
+        FROM pts
+    )
+    SELECT m AS n_degree_points,
+           floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * 1e6) / 1e6 AS slope,
+           floor((CAST(sy AS DOUBLE)
+                  - ((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(m AS DOUBLE) / 1e7
+                 * 1e6) / 1e6 AS intercept_ln_count,
+           floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1e6) / 1e6 AS r2
+    FROM mo
 """

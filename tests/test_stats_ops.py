@@ -291,3 +291,50 @@ def test_acf_alternating_series(spark, tmp_path):
     assert got[1] == expect(1) and got[1][1] < -0.8
     assert got[2] == expect(2) and got[2][1] > 0.7
     assert set(got) == set(range(1, 8))
+
+
+def test_entropy_profile_uniform_and_constant(spark, tmp_path):
+    # events: 2 types 50/50 -> entropy = ln 2, normalized ~ 1.
+    # documents.source and customer segment are CONSTANT columns:
+    # entropy 0 and normalized NULL (ln(k=1)=0 has no scale).
+    t0 = datetime(2024, 1, 1)
+    _write(spark, tmp_path, "events",
+           _ev([(t0 + timedelta(minutes=i), 1,
+                 "view" if i % 2 == 0 else "click", 1.0)
+                for i in range(4)]))
+    _write(spark, tmp_path, "documents",
+           [(i, "x", "en", "s", 1) for i in range(3)])
+    _write(spark, tmp_path, "customer",
+           [(i, f"c{i}", 0, 0.0, "SEG") for i in range(3)])
+    from simpleetlpipeline_spark.plans.advanced import (
+        categorical_entropy_profile,
+    )
+    got = {r["column_name"]: (r["n_categories"], r["entropy_nano"],
+                              r["normalized"])
+           for r in categorical_entropy_profile(spark, str(tmp_path))
+           .collect()}
+    ln2_term = math.floor(0.5 * math.log(2.0) * 1e9)
+    assert got["events.event_type"] == (2, 2 * ln2_term, 0.999999)
+    assert got["customer.c_mktsegment"] == (1, 0, None)
+    assert got["documents.source"] == (1, 0, None)
+    assert got["documents.lang"] == (1, 0, None)
+
+
+def test_powerlaw_exact_two_point_fit(spark, tmp_path):
+    # star: orders {1,2} {1,3} {1,4} -> degrees 1:3 and 2,3,4:1 ->
+    # histogram points (deg 1, 3 parts) and (deg 3, 1 part): a
+    # perfect two-point line with slope exactly -1 and r2 = 1.
+    day = datetime(1995, 1, 1)
+    rows = []
+    for okey, parts in [(1, [1, 2]), (2, [1, 3]), (3, [1, 4])]:
+        for p in parts:
+            rows.append((okey, p, 1, 1, 1.0, 1.0, 0.0, 0.0,
+                         "N", "O", day))
+    _write(spark, tmp_path, "lineitem", rows)
+    from simpleetlpipeline_spark.plans.relational import (
+        copurchase_degree_powerlaw,
+    )
+    [r] = copurchase_degree_powerlaw(spark, str(tmp_path)).collect()
+    assert r["n_degree_points"] == 2
+    assert r["slope"] == -1.0
+    assert r["r2"] == 1.0

@@ -75,6 +75,7 @@ HEADLINE = [
     "revenue_cusum_changepoint", "events_value_psi",
     "user_erasure_audit",
     "user_value_twap", "revenue_autocorrelation",
+    "categorical_entropy_profile", "copurchase_degree_powerlaw",
 ]
 
 _JOIN_RE = re.compile(
