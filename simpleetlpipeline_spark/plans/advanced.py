@@ -2032,15 +2032,20 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the cell table. Nothing after the agg touches big
     data."""
     ensure_session_conf(spark)
+    from simpleetlpipeline_spark.cache import track
+
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority")
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
-    observed = (
+    # persisted: the observed cells feed THREE consumers (two
+    # distinct category lists + the grid left-join); without the
+    # cache each one would re-run the big-data join+agg pass
+    observed = track(
         orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
+        .persist())
     # broadcast the priorities side: a category list is always tiny,
     # and a plain crossJoin of two distributed one-column frames
     # would plan as CartesianProduct

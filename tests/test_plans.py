@@ -641,3 +641,52 @@ def test_fd_audit_plan_pruned_scans_no_joins(spark, sf_dir):
         assert absent not in plan, f"{absent} must not appear"
     assert "partial_count(distinct" in plan.lower() or \
         "partial_count" in plan, "count-distinct must have a partial stage"
+
+
+def test_bm25_plan_topk_and_term_filter_below_agg(spark, sf_dir):
+    """BM25 must TakeOrderedAndProject the top-k (no global sort
+    materialization) and filter to the query terms BEFORE the
+    (doc, term) aggregate so shuffle volume is matching-term
+    occurrences only."""
+    plan = _plan(QUERIES["bm25_doc_ranking"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the isin() term filter must sit under a Filter, not after the agg
+    assert plan.index("Filter") > -1 and "token" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_plan_equijoin_no_range_explosion(spark, sf_dir):
+    """The interval join must be an EQUI-join on (user, bucket) —
+    never a nested-loop range join over per-user event histories."""
+    plan = _plan(QUERIES["revenue_attribution"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "probe_bucket" in plan, "bucketed probe keys must drive the join"
+
+
+def test_chi_square_plan_single_bigdata_pass(spark, sf_dir):
+    """Everything after the (segment, priority) agg is category-
+    cardinality-sized: the observed-cell cache serves all three
+    consumers (two distinct lists + the grid join), so the
+    orders->customer join+agg pass runs ONCE."""
+    plan = _plan(QUERIES["chi_square_independence"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") == 3, \
+        "all three consumers must read the persisted cell table"
+
+
+def test_twap_plan_one_user_shuffle(spark, sf_dir):
+    """lead() window and the TWAP agg must share ONE user-keyed
+    exchange (plus the one-row study-end broadcast)."""
+    plan = _plan(QUERIES["user_value_twap"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, \
+        "window and agg must reuse the same user-keyed shuffle"
+
+
+def test_kaplan_meier_windows_never_see_raw_events(spark, sf_dir):
+    """The unpartitioned KM windows run over the per-day rollup;
+    the raw event scan must be aggregated (user-keyed) first."""
+    plan = _plan(QUERIES["kaplan_meier_survival"](spark, sf_dir))
+    # the per-day table the windows run on comes from a duration agg
+    assert "duration_day" in plan
+    assert "CartesianProduct" not in plan
