@@ -1293,3 +1293,89 @@ ORACLE_SQL["bm25_doc_ranking"] = f"""
     FROM scored GROUP BY 1
     ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_TOP_K}
 """
+
+
+#: Multilingual rebalancing temperature (the standard alpha ~ 0.7 /
+#: temperature-sampling exponent from multilingual-pretraining
+#: practice): alpha < 1 upsamples low-resource languages.
+SAMPLING_ALPHA = 0.7
+
+
+def language_sampling_weights(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights: w_l
+    proportional to (tokens_l / total)^alpha, normalized — the
+    standard recipe for rebalancing a multilingual pretraining mix
+    so low-resource languages aren't drowned out. effective_epochs
+    (weight * total / tokens_l) says how many passes over each
+    language the rebalanced mix implies.
+
+    Determinism: per-language BPE token counts are exact integers;
+    pow(p, alpha) runs once per LANGUAGE (a handful of rows) and is
+    floor-quantized to nano-units; the normalization divides by the
+    exact int64 sum of the quantized weights, so the weights column
+    is a ratio of integers (one double division, floored 6dp) and
+    cross-engine pow() ulp noise cannot move the normalization base.
+
+    Shape: one map-side-combined per-language token agg over the
+    scan; everything after is |languages|-sized."""
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang",
+                    F.size(F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), 0))
+                    .cast("long").alias("n_tok"))
+        .groupBy("lang").agg(F.sum("n_tok").alias("tokens"))
+    )
+    w_all = Window.partitionBy()
+    t = per_lang.withColumn("total", F.sum("tokens").over(w_all))
+    p = F.col("tokens").cast("double") / F.col("total").cast("double")
+    q = t.withColumn(
+        "w_nano",
+        F.floor(F.pow(p, F.lit(SAMPLING_ALPHA)) * 1e9).cast("long"))
+    qq = q.withColumn("w_sum", F.sum("w_nano").over(w_all))
+    weight = F.col("w_nano").cast("double") / F.col("w_sum").cast("double")
+    return (qq.select(
+        "lang",
+        F.col("tokens").cast("bigint").alias("tokens"),
+        F.col("w_nano").cast("bigint").alias("w_nano"),
+        (F.floor(weight * 1e6) / 1e6).alias("weight"),
+        (F.floor(weight * F.col("total").cast("double")
+                 / F.col("tokens").cast("double") * 1e4) / 1e4)
+        .alias("effective_epochs"))
+        .orderBy("lang"))
+
+
+QUERIES["language_sampling_weights"] = language_sampling_weights
+
+ORACLE_SQL["language_sampling_weights"] = f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(lower(text),
+                                               '{BPE_TOKEN_RE}')))
+                    AS BIGINT) AS tokens
+        FROM documents GROUP BY 1
+    ), t AS (
+        SELECT lang, tokens, sum(tokens) OVER () AS total
+        FROM per_lang
+    ), q AS (
+        SELECT *,
+               CAST(floor(pow(CAST(tokens AS DOUBLE)
+                              / CAST(total AS DOUBLE),
+                              {SAMPLING_ALPHA}) * 1e9) AS BIGINT)
+                   AS w_nano
+        FROM t
+    ), qq AS (
+        SELECT *, sum(w_nano) OVER () AS w_sum FROM q
+    )
+    SELECT lang, tokens, w_nano,
+           floor(CAST(w_nano AS DOUBLE) / CAST(w_sum AS DOUBLE) * 1e6)
+               / 1e6 AS weight,
+           floor(CAST(w_nano AS DOUBLE) / CAST(w_sum AS DOUBLE)
+                 * CAST(total AS DOUBLE) / CAST(tokens AS DOUBLE)
+                 * 1e4) / 1e4 AS effective_epochs
+    FROM qq ORDER BY lang
+"""

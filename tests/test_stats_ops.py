@@ -338,3 +338,26 @@ def test_powerlaw_exact_two_point_fit(spark, tmp_path):
     assert r["n_degree_points"] == 2
     assert r["slope"] == -1.0
     assert r["r2"] == 1.0
+
+
+def test_sampling_weights_upsample_low_resource(spark, tmp_path):
+    # 'aa' has 4x the tokens of 'bb': alpha=0.7 must pull weights
+    # closer than 80/20 while preserving the order, and effective
+    # epochs must exceed 1 for the low-resource language only.
+    docs = ([(i, "tok tok tok tok", "aa", "s", 15) for i in range(4)]
+            + [(100, "tok tok tok tok", "bb", "s", 15)])
+    _write(spark, tmp_path, "documents", docs)
+    from simpleetlpipeline_spark.functions.text import (
+        SAMPLING_ALPHA,
+        language_sampling_weights,
+    )
+    got = {r["lang"]: r for r in
+           language_sampling_weights(spark, str(tmp_path)).collect()}
+    wa = math.floor((16 / 20) ** SAMPLING_ALPHA * 1e9)
+    wb = math.floor((4 / 20) ** SAMPLING_ALPHA * 1e9)
+    assert got["aa"]["w_nano"] == wa and got["bb"]["w_nano"] == wb
+    assert got["aa"]["weight"] == math.floor(wa / (wa + wb) * 1e6) / 1e6
+    # temperature flattens: 0.2 < weight(bb) < ... < weight(aa) < 0.8
+    assert 0.2 < got["bb"]["weight"] < 0.5 < got["aa"]["weight"] < 0.8
+    assert got["bb"]["effective_epochs"] > 1.0 > \
+        got["aa"]["effective_epochs"]
