@@ -322,3 +322,73 @@ def test_segment_dedup_matches_reference_any_corpus(spark, tmp_path_factory,
         r = got[doc_id]
         assert (r["n_segments"], r["n_kept"]) == (n_segs, n_kept), doc_id
         assert r["kept_text_md5"] == hashlib.md5(txt.encode()).hexdigest()
+
+
+from pyspark.sql.types import TimestampType  # noqa: E402
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+@given(events=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),           # user
+        st.integers(min_value=0, max_value=72),          # hour offset
+        st.sampled_from(["click", "view", "purchase"]),
+        st.integers(min_value=1, max_value=9999),        # cents
+    ),
+    min_size=1, max_size=30))
+@SET
+def test_attribution_conservation(spark, tmp_path_factory, events):
+    """Linear attribution must conserve money: summed credits equal
+    the full value of every purchase with >= 1 touch in its window,
+    up to the documented DIV-truncation (< n_touch micro-cents per
+    purchase); purchases with no touch contribute nothing."""
+    import os
+    from datetime import datetime, timedelta
+
+    from simpleetlpipeline_spark.plans.advanced import (
+        ATTR_WINDOW_US,
+        revenue_attribution,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(hours=h), u, et, c / 100.0, "{}")
+            for i, (u, h, et, c) in enumerate(events)]
+    sf_dir = str(tmp_path_factory.mktemp("attr"))
+    (spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1)
+     .write.parquet(os.path.join(sf_dir, "events.parquet")))
+
+    got = revenue_attribution(spark, sf_dir).collect()
+    by_model = {}
+    for r in got:
+        by_model.setdefault(r["model"], 0)
+        by_model[r["model"]] += r["attributed_micro_cents"]
+
+    # sequential reference: purchases with a touch in (t-24h, t]
+    touches = [(u, t0 + timedelta(hours=h)) for (u, h, et, c) in events
+               if et in ("click", "view")]
+    attributed, n_pairs = 0, 0
+    for (u, h, et, c) in events:
+        if et != "purchase":
+            continue
+        pts = t0 + timedelta(hours=h)
+        n_touch = sum(
+            1 for (tu, tts) in touches
+            if tu == u and pts - timedelta(microseconds=ATTR_WINDOW_US)
+            < tts <= pts)
+        if n_touch:
+            attributed += c * 1_000_000
+            n_pairs += 1
+    if attributed == 0:
+        assert by_model == {}
+        return
+    assert by_model["last_touch"] == attributed
+    # linear loses < n_touch micro-cents per purchase to truncation
+    assert 0 <= attributed - by_model["linear"] < n_pairs * 1_000
