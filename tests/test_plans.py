@@ -690,3 +690,21 @@ def test_kaplan_meier_windows_never_see_raw_events(spark, sf_dir):
     # the per-day table the windows run on comes from a duration agg
     assert "duration_day" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skyline_frontier_plan_two_phase_window(spark, sf_dir):
+    """The skyline's 100 TB shape: the supplier dim broadcasts, the
+    column-pruned fact join feeds ONE per-supplier hash agg, and the
+    global (unpartitioned) window runs only on phase-1 survivors —
+    there are exactly two sweep layers and no quadratic dominance
+    join (no cartesian / nested-loop anywhere)."""
+    plan = _plan(QUERIES["supplier_efficiency_frontier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "supplier dim must broadcast"
+    assert plan.count("SPARK_PARTITION_ID") >= 1, \
+        "phase 1 must sweep within partitions (pid-keyed window)"
+    # local sweep + global sweep: two mx_lt computations, no more
+    assert plan.count("__mx_lt") >= 2
+    assert "l_comment" not in plan and "s_address" not in plan, \
+        "scans must be column-pruned"

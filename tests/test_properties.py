@@ -392,3 +392,31 @@ def test_attribution_conservation(spark, tmp_path_factory, events):
     assert by_model["last_touch"] == attributed
     # linear loses < n_touch micro-cents per purchase to truncation
     assert 0 <= attributed - by_model["linear"] < n_pairs * 1_000
+
+
+@given(pts=st.lists(
+    st.tuples(st.integers(-5, 5), st.integers(-5, 5)),
+    min_size=0, max_size=30))
+@SET
+def test_skyline_2d_matches_bruteforce(spark, pts):
+    """skyline_2d (two-phase window sweep) == O(n^2) dominance scan,
+    for any point multiset including duplicate points and single-dim
+    ties, regardless of how rows land in partitions."""
+    from pyspark.sql.types import IntegerType
+    from simpleetlpipeline_spark.plans.advanced import skyline_2d
+
+    schema = StructType([StructField("x", LongType()),
+                         StructField("y", LongType()),
+                         StructField("rid", LongType())])
+    rows = [(x, y, i) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    got = sorted((r.x, r.y, r.rid)
+                 for r in skyline_2d(df, "x", "y").collect())
+
+    def dominated(p, q):  # q dominates p
+        return (q[0] <= p[0] and q[1] >= p[1]
+                and (q[0] < p[0] or q[1] > p[1]))
+
+    want = sorted(p for p in rows
+                  if not any(dominated(p, q) for q in rows))
+    assert got == want

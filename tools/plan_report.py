@@ -76,7 +76,7 @@ HEADLINE = [
     "user_erasure_audit",
     "user_value_twap", "revenue_autocorrelation",
     "categorical_entropy_profile", "copurchase_degree_powerlaw",
-    "language_sampling_weights",
+    "language_sampling_weights", "supplier_efficiency_frontier",
 ]
 
 _JOIN_RE = re.compile(
