@@ -3079,3 +3079,88 @@ ORACLE_SQL["supplier_efficiency_frontier"] = """
     WHERE (w.mx_lt IS NULL OR w.rev > w.mx_lt) AND w.rev = w.mx_eq
     ORDER BY lat_e4
 """
+
+
+def revenue_trend_theil_sen(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Theil–Sen robust revenue trend: the MEDIAN of all pairwise
+    daily-revenue slopes — the estimator a capacity planner reaches
+    for when revenue_trend_ols is dragged around by promo-day
+    outliers (OLS breaks down at one bad point; Theil–Sen tolerates
+    ~29% contamination). Returned next to nothing else so the two
+    trend queries read as a pair: same daily frame, same epoch, same
+    slope units.
+
+    Determinism: x is the integer day number (TREND_EPOCH), y exact
+    integer cents; each pairwise slope is quantized ONCE as
+    floor(dy * 100 / dx) — dy*100 stays under 2^53 up to ~1e13
+    daily cents (SF ~1e5), so the double division is IEEE-exact in
+    both engines and every slope is an exact integer in 0.01-cent
+    units. The median interpolates at worst to x.5 (exact), and the
+    final unit change divides by 100 — no float fold anywhere.
+
+    Shape & scale: the daily rollup is |days| groups (map-side
+    combined); the pairwise self-join is O(|days|^2) BY DESIGN —
+    days is the CALENDAR dimension, bounded by the observation span
+    (~2.4k days -> ~3M pairs) and INDEPENDENT of row count, so the
+    quadratic term does not grow with corpus size; the median is one
+    exact percentile over those pairs. The inequality self-join
+    plans as a broadcast nested loop over the tiny daily frame —
+    bounded-by-design, like the scalar-count crossJoins."""
+    from simpleetlpipeline_spark.cache import track
+
+    ensure_session_conf(spark)
+    # persisted: the tiny |days|-row rollup feeds BOTH sides of the
+    # pairwise join plus the n_days count — without it the full
+    # orders scan+agg would run three times
+    daily = track(
+        read_table(spark, sf_dir, "orders")
+        .select(F.datediff(F.to_date("o_orderdate"),
+                           F.lit(TREND_EPOCH)).cast("long").alias("x"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+        .groupBy("x").agg(F.sum("cents").alias("y"))
+        .persist())
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(F.floor((F.col("yb") - F.col("ya")).cast("double") * 100
+                        / (F.col("xb") - F.col("xa")).cast("double"))
+                .cast("long").alias("slope_e2"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.percentile("slope_e2", F.lit(0.5)).alias("__p50"))
+        .crossJoin(F.broadcast(n_days))
+        .select(F.col("n_days").cast("bigint").alias("n_days"),
+                F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                (F.floor(F.col("__p50") / 100 * 1e6) / 1e6)
+                .alias("slope_cents_per_day"))
+    )
+
+
+QUERIES["revenue_trend_theil_sen"] = revenue_trend_theil_sen
+
+ORACLE_SQL["revenue_trend_theil_sen"] = f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '{TREND_EPOCH}',
+                              CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS x,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), slopes AS (
+        SELECT CAST(floor(CAST(b.y - a.y AS DOUBLE) * 100
+                          / CAST(b.x - a.x AS DOUBLE)) AS BIGINT)
+                   AS slope_e2
+        FROM daily a JOIN daily b ON b.x > a.x
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(quantile_cont(CAST(slope_e2 AS DOUBLE), 0.5)
+                 / 100 * 1e6) / 1e6 AS slope_cents_per_day
+    FROM slopes
+"""

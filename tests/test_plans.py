@@ -708,3 +708,12 @@ def test_skyline_frontier_plan_two_phase_window(spark, sf_dir):
     assert plan.count("__mx_lt") >= 2
     assert "l_comment" not in plan and "s_address" not in plan, \
         "scans must be column-pruned"
+
+
+def test_theil_sen_scans_orders_once(spark, sf_dir):
+    """The O(days^2) pair join is bounded by design, but the ORDERS
+    scan is not: the persisted daily rollup must serve both join
+    sides and the n_days count, so the big scan+agg runs once."""
+    plan = _plan(QUERIES["revenue_trend_theil_sen"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") == 3, \
+        "both pair sides + n_days must read the cached daily rollup"

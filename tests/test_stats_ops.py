@@ -361,3 +361,30 @@ def test_sampling_weights_upsample_low_resource(spark, tmp_path):
     assert 0.2 < got["bb"]["weight"] < 0.5 < got["aa"]["weight"] < 0.8
     assert got["bb"]["effective_epochs"] > 1.0 > \
         got["aa"]["effective_epochs"]
+
+
+def test_theil_sen_shrugs_off_outlier_that_drags_ols(spark, tmp_path):
+    """y = 200 + 3x dollars on days 0..9 with day 9 replaced by a
+    100x promo spike: OLS chases the spike; Theil-Sen still reports
+    the clean slope of 300 cents/day (most pairwise slopes are
+    spike-free, so the median is the true slope)."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        revenue_trend_ols,
+        revenue_trend_theil_sen,
+    )
+
+    base = datetime(1995, 1, 1)
+    rows = []
+    for d in range(10):
+        amount = 200.0 + 3.0 * d if d < 9 else 100_000.0
+        rows.append((d, 1, "F", amount, base + timedelta(days=d), "1-URGENT"))
+    _write(spark, tmp_path, "orders", rows)
+
+    ts = revenue_trend_theil_sen(spark, str(tmp_path)).collect()[0]
+    assert ts.n_days == 10
+    assert ts.n_pairs == 45
+    assert ts.slope_cents_per_day == 300.0
+
+    ols = revenue_trend_ols(spark, str(tmp_path)).collect()[0]
+    assert ols.slope_cents_per_day > 100_000.0, \
+        "OLS must be visibly dragged by the spike (the contrast)"

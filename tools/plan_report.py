@@ -77,6 +77,7 @@ HEADLINE = [
     "user_value_twap", "revenue_autocorrelation",
     "categorical_entropy_profile", "copurchase_degree_powerlaw",
     "language_sampling_weights", "supplier_efficiency_frontier",
+    "revenue_trend_theil_sen",
 ]
 
 _JOIN_RE = re.compile(
