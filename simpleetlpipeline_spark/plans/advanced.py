@@ -3164,3 +3164,121 @@ ORACLE_SQL["revenue_trend_theil_sen"] = f"""
                  / 100 * 1e6) / 1e6 AS slope_cents_per_day
     FROM slopes
 """
+
+
+def event_hour_mutual_information(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour of day — the
+    information-theoretic dependence measure next to the chi-square
+    TEST (chi_square_independence): chi-square answers 'is the
+    dependence statistically real', MI answers 'how many nats does
+    knowing the hour tell you about what users do'. Also reports
+    normalized MI (MI / min(H_type, H_hour)), the 0..1 form feature
+    selectors rank by.
+
+    Unlike chi-square/PSI, EMPTY cells are exactly zero MI terms
+    (p*ln(...) -> 0 as p -> 0), so the groupBy dropping unobserved
+    (type, hour) pairs is exact — no grid materialization needed
+    (the ZERO-CELL hazard documented for the contingency tests does
+    not apply here).
+
+    Determinism: every count is an exact int64; each cell's term
+    (n_ij/N) * ln((n_ij/n_i) * (N/n_j)) is quantized ONCE to nano
+    int64 (the lp7 pattern — ratios-of-ints in a fixed IEEE chain,
+    identical doubles in both engines), entropies likewise, and the
+    sums fold integers. The ln argument is computed as a product of
+    two bounded ratios so no intermediate exceeds 2^53 at any SF.
+
+    Shape: one scan + one hash agg to the |types| x 24 cell table
+    (persisted: it feeds both margins, the total, and the term sum);
+    everything downstream is cell-cardinality-sized with broadcast
+    joins. One shuffle over the fact, total."""
+    from simpleetlpipeline_spark.cache import track
+
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("h"))
+    cells = track(
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("nij")).persist())
+    mt = cells.groupBy("event_type").agg(F.sum("nij").alias("ni"))
+    mh = cells.groupBy("h").agg(F.sum("nij").alias("nj"))
+    tot = cells.agg(F.sum("nij").alias("n"))
+
+    nij = F.col("nij").cast("double")
+    ni = F.col("ni").cast("double")
+    nj = F.col("nj").cast("double")
+    nn = F.col("n").cast("double")
+    term = (nij / nn) * F.log((nij / ni) * (nn / nj))
+    mi = (cells.join(F.broadcast(mt), "event_type")
+          .join(F.broadcast(mh), "h")
+          .crossJoin(F.broadcast(tot))
+          .agg(F.sum(F.floor(term * 1e9).cast("long")).alias("mi_nano"),
+               F.count(F.lit(1)).alias("n_cells"),
+               F.max("n").alias("n_events")))
+
+    def entropy_nano(margin: DataFrame, cnt: str):
+        p = F.col(cnt).cast("double") / F.col("n").cast("double")
+        return (margin.crossJoin(F.broadcast(tot))
+                .agg(F.sum(F.floor(-p * F.log(p) * 1e9).cast("long"))
+                     .alias(f"h_{cnt}")))
+
+    ht, hh = entropy_nano(mt, "ni"), entropy_nano(mh, "nj")
+    nmi = (F.col("mi_nano").cast("double")
+           / F.least("h_ni", "h_nj").cast("double"))
+    return (
+        mi.crossJoin(F.broadcast(ht)).crossJoin(F.broadcast(hh))
+        .select(F.col("n_events").cast("bigint").alias("n_events"),
+                F.col("n_cells").cast("bigint").alias("n_cells"),
+                F.col("mi_nano").cast("bigint").alias("mi_nano"),
+                F.col("h_ni").cast("bigint").alias("h_type_nano"),
+                F.col("h_nj").cast("bigint").alias("h_hour_nano"),
+                (F.floor(nmi * 1e6) / 1e6).alias("nmi"))
+    )
+
+
+QUERIES["event_hour_mutual_information"] = event_hour_mutual_information
+
+ORACLE_SQL["event_hour_mutual_information"] = """
+    WITH cells AS (
+        SELECT event_type AS t, CAST(hour(ts) AS INT) AS h,
+               count(*) AS nij
+        FROM events GROUP BY 1, 2
+    ), mt AS (
+        SELECT t, CAST(sum(nij) AS BIGINT) AS ni FROM cells GROUP BY 1
+    ), mh AS (
+        SELECT h, CAST(sum(nij) AS BIGINT) AS nj FROM cells GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells
+    ), mi AS (
+        SELECT CAST(sum(CAST(floor(
+                   (CAST(c.nij AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                   * ln((CAST(c.nij AS DOUBLE) / CAST(mt.ni AS DOUBLE))
+                        * (CAST(tot.n AS DOUBLE)
+                           / CAST(mh.nj AS DOUBLE))) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS mi_nano,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(max(tot.n) AS BIGINT) AS n_events
+        FROM cells c
+        JOIN mt ON c.t = mt.t
+        JOIN mh ON c.h = mh.h
+        CROSS JOIN tot
+    ), ht AS (
+        SELECT CAST(sum(CAST(floor(
+                   -(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS h_type_nano
+        FROM mt CROSS JOIN tot
+    ), hh AS (
+        SELECT CAST(sum(CAST(floor(
+                   -(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(nj AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+                   AS BIGINT)) AS BIGINT) AS h_hour_nano
+        FROM mh CROSS JOIN tot
+    )
+    SELECT n_events, n_cells, mi_nano, h_type_nano, h_hour_nano,
+           floor(CAST(mi_nano AS DOUBLE)
+                 / CAST(least(h_type_nano, h_hour_nano) AS DOUBLE)
+                 * 1e6) / 1e6 AS nmi
+    FROM mi CROSS JOIN ht CROSS JOIN hh
+"""

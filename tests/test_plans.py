@@ -717,3 +717,19 @@ def test_theil_sen_scans_orders_once(spark, sf_dir):
     plan = _plan(QUERIES["revenue_trend_theil_sen"](spark, sf_dir))
     assert plan.count("InMemoryTableScan") == 3, \
         "both pair sides + n_days must read the cached daily rollup"
+
+
+def test_mutual_information_single_fact_pass(spark, sf_dir):
+    """The persisted cell table serves all four consumers (both
+    margins, the total, and the term sum), so the events scan + hash
+    agg run ONCE; everything downstream is cell-cardinality-sized."""
+    plan = _plan(QUERIES["event_hour_mutual_information"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # 8 cached-read references (mi side: cells + mt + mh + tot;
+    # each entropy branch: margin + tot), each re-printing the
+    # cached lineage — so every events.parquet mention in the text
+    # sits UNDER an InMemoryTableScan: the physical scan runs once
+    assert plan.count("InMemoryTableScan") == 8, \
+        "every consumer must read the persisted cell table"
+    assert plan.count("events.parquet") == plan.count("InMemoryTableScan"), \
+        "no uncached events scan may remain"

@@ -388,3 +388,40 @@ def test_theil_sen_shrugs_off_outlier_that_drags_ols(spark, tmp_path):
     ols = revenue_trend_ols(spark, str(tmp_path)).collect()[0]
     assert ols.slope_cents_per_day > 100_000.0, \
         "OLS must be visibly dragged by the spike (the contrast)"
+
+
+def test_mutual_information_dependence_extremes(spark, tmp_path):
+    """Perfect dependence (each type lives in its own hour, uniform):
+    MI = H_type = H_hour = ln(4) and NMI = 1. Independence (every
+    type uniform over every hour): MI = 0 and NMI = 0."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        event_hour_mutual_information,
+    )
+
+    base = datetime(2024, 1, 1)
+    dep = [(i * 4 + k, base + timedelta(hours=k), 1, f"type_{k}",
+            1.0, "{}")
+           for k in range(4) for i in range(5)]
+    _write(spark, tmp_path / "dep", "events", dep)
+    r = event_hour_mutual_information(
+        spark, str(tmp_path / "dep")).collect()[0]
+    ln4_nano = math.floor(math.log(4) * 1e9)
+    assert r.n_events == 20 and r.n_cells == 4
+    # 4 equal cells: each term floors once, entropy floors the same
+    # 4 equal margin terms -> identical nano sums
+    assert r.mi_nano == r.h_type_nano == r.h_hour_nano
+    assert abs(r.mi_nano - math.floor(-4 * (0.25 * math.log(0.25))
+                                      * 1e9)) <= 4
+    assert abs(r.mi_nano / 1e9 - math.log(4)) < 1e-6
+    assert r.nmi == 1.0
+
+    ind = [(k * 100 + h, base + timedelta(hours=h), 1, f"type_{k}",
+            1.0, "{}")
+           for k in range(4) for h in range(4)]
+    _write(spark, tmp_path / "ind", "events", ind)
+    r2 = event_hour_mutual_information(
+        spark, str(tmp_path / "ind")).collect()[0]
+    assert r2.n_cells == 16
+    # every cell term is ln(1) = 0 before flooring
+    assert r2.mi_nano == 0
+    assert r2.nmi == 0.0

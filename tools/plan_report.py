@@ -77,7 +77,7 @@ HEADLINE = [
     "user_value_twap", "revenue_autocorrelation",
     "categorical_entropy_profile", "copurchase_degree_powerlaw",
     "language_sampling_weights", "supplier_efficiency_frontier",
-    "revenue_trend_theil_sen",
+    "revenue_trend_theil_sen", "event_hour_mutual_information",
 ]
 
 _JOIN_RE = re.compile(
