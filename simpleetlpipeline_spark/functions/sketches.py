@@ -265,3 +265,110 @@ ORACLE_SQL["hll_shard_merge"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every pair of event types: exact
+    |A|, |B|, |A∩B|, |A∪B| and Jaccard (all hash-checked), plus an
+    HLL inclusion-exclusion estimate of the intersection —
+    est(A) + est(B) - est(A∪B) — asserted within its propagated
+    error bound. Sketch ALGEBRA is the point: HLLs union natively
+    (merge registers) but have no intersect, so engines estimate
+    overlap exactly this way; at 100 TB you keep one sketch per
+    audience (fixed bytes) and answer any pairwise overlap without
+    re-scanning either audience.
+
+    Exact side: one (type, user) de-dup shuffle; per-user type sets
+    explode into co-occurring pairs via a JVM higher-order function
+    (no user-keyed self-join — a user belongs to at most |types|
+    audiences, so the pair fan-out is C(|types|, 2) per user, not
+    row x row). Sketch side: events cross-joined with the broadcast
+    ~|types|-row type list to tag each row with its pairs, then ONE
+    hash agg whose map-side partially-merged HLL registers do the
+    heavy lifting. Pairs that share no user are dropped on both
+    engines (inner join against the exact pair table).
+
+    Error bound: each of the three estimates carries rsd-relative
+    error on ITS cardinality, so the intersection bound is
+    3 * rsd * (|A| + |B| + |A∪B|) using the exact witnesses — the
+    literal-TRUE oracle only matches when the estimate landed."""
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events")
+    ut = events.select(F.col("event_type").alias("t"),
+                       F.col("user_id").alias("u")).distinct()
+
+    per_type = ut.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs_expr = F.expr(
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), "
+        "y -> struct(x AS t1, y AS t2))))")
+    both = (ut.groupBy("u")
+            .agg(F.array_sort(F.collect_set("t")).alias("ts"))
+            .select(F.explode(pairs_expr).alias("p"))
+            .groupBy(F.col("p.t1").alias("t1"),
+                     F.col("p.t2").alias("t2"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_both")))
+
+    types = events.select(F.col("event_type").alias("ot")).distinct()
+    tagged = (events.join(
+        F.broadcast(types),
+        F.col("event_type") != F.col("ot"))
+        .select(F.least("event_type", "ot").alias("t1"),
+                F.greatest("event_type", "ot").alias("t2"),
+                "user_id"))
+    union_est = tagged.groupBy("t1", "t2").agg(
+        F.approx_count_distinct("user_id", rsd=HLL_RSD)
+        .alias("est_union"))
+    type_est = events.groupBy(F.col("event_type").alias("t")).agg(
+        F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("est"))
+
+    na, nb = F.col("a.n"), F.col("b.n")
+    n_union = (na + nb - F.col("n_both")).cast("bigint")
+    est_int = (F.col("ea.est") + F.col("eb.est") - F.col("est_union"))
+    bound = 3 * HLL_RSD * (na + nb + (na + nb - F.col("n_both")))
+    return (both
+            .join(F.broadcast(per_type.alias("a")),
+                  F.col("t1") == F.col("a.t"))
+            .join(F.broadcast(per_type.alias("b")),
+                  F.col("t2") == F.col("b.t"))
+            .join(F.broadcast(type_est.alias("ea")),
+                  F.col("t1") == F.col("ea.t"))
+            .join(F.broadcast(type_est.alias("eb")),
+                  F.col("t2") == F.col("eb.t"))
+            .join(F.broadcast(union_est), ["t1", "t2"])
+            .select(
+                "t1", "t2",
+                na.alias("n_t1"), nb.alias("n_t2"), F.col("n_both"),
+                n_union.alias("n_union"),
+                (F.floor(F.col("n_both").cast("double")
+                         / n_union.cast("double") * 1e6) / 1e6)
+                .alias("jaccard"),
+                (F.abs(est_int - F.col("n_both")) <= bound)
+                .alias("hll_ok"))
+            .orderBy("t1", "t2"))
+
+
+QUERIES["hll_audience_overlap"] = hll_audience_overlap
+
+ORACLE_SQL["hll_audience_overlap"] = """
+    WITH ut AS (
+        SELECT DISTINCT event_type AS t, user_id AS u FROM events
+    ), tc AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ), both_t AS (
+        SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+        GROUP BY 1, 2
+    )
+    SELECT b.t1, b.t2, ta.n AS n_t1, tb.n AS n_t2, b.n_both,
+           CAST(ta.n + tb.n - b.n_both AS BIGINT) AS n_union,
+           floor(CAST(b.n_both AS DOUBLE)
+                 / CAST(ta.n + tb.n - b.n_both AS DOUBLE) * 1e6)
+               / 1e6 AS jaccard,
+           TRUE AS hll_ok
+    FROM both_t b
+    JOIN tc ta ON b.t1 = ta.t
+    JOIN tc tb ON b.t2 = tb.t
+    ORDER BY 1, 2
+"""

@@ -3282,3 +3282,415 @@ ORACLE_SQL["event_hour_mutual_information"] = """
                  * 1e6) / 1e6 AS nmi
     FROM mi CROSS JOIN ht CROSS JOIN hh
 """
+
+
+# Bloom-filter semi-join reduction -----------------------------------
+#
+# 63 usable bits per int64 word (bit 63 never set: DuckDB's checked
+# `<<` rejects 1<<63, and staying in 0..62 keeps every word
+# non-negative so arithmetic vs logical right-shift can't differ).
+_BLOOM_P = 2_147_483_647          # 2^31 - 1, prime
+_BLOOM_M = 1_048_576              # filter size in bits (~128 KiB)
+_BLOOM_HASHES = ((1597334677, 15487469),
+                 (1203793907, 28491121),
+                 (784387469, 37482901))
+
+
+def _bloom_pos(key, a: int, b: int):
+    """Position of one hash: ((key mod P) * a + b) mod P mod M.
+    key mod P first so the product is bounded by 2^62 at ANY scale
+    factor (custkey grows with SF); every operand non-negative, so
+    Spark % == DuckDB % and the doubles never enter the chain."""
+    return ((key % _BLOOM_P) * a + b) % _BLOOM_P % _BLOOM_M
+
+
+def bloom_semijoin_reduction(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: build a 1 Mbit / 3-hash
+    Bloom filter over BUILDING-segment customer keys, probe every
+    order against it, and report the reduction quality (pass counts,
+    false-positive rate, zero false negatives) next to the filter's
+    own checksum (set-bit count).
+
+    THE 100 TB mechanism this demonstrates: a semi-join where the
+    build side is small but the probe side is the fact table ships a
+    ~128 KiB bitset to every task instead of shuffling the fact —
+    the runtime-filter / semi-join-reduction trick engines apply
+    before expensive joins. The report proves the contract a planner
+    relies on: no member is ever dropped (false_neg = 0 is a hard
+    invariant, not a sample), and the false-positive rate is the
+    only cost.
+
+    Determinism: multiplicative hashing over int64 (constants chosen
+    so every product fits 2^62), bit_or word aggregation, bit_count
+    checksum — all exact integers in both engines; the one double
+    (fp_rate) is a ratio of exact counts floored at 6dp.
+
+    Shape: build = one customer scan -> explode(3) -> hash agg to
+    <=16,646 words (persisted: feeds 3 probe joins + the checksum).
+    Probe = one orders scan with THREE broadcast left joins (word
+    lookup per hash) + one broadcast member-flag join; no shuffle
+    touches the fact table at all."""
+    from simpleetlpipeline_spark.cache import track
+
+    ensure_session_conf(spark)
+    keys = (read_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").cast("long").alias("k")))
+
+    pos = keys.select(F.explode(F.array(
+        *[_bloom_pos(F.col("k"), a, b) for a, b in _BLOOM_HASHES]
+    )).alias("p"))
+    words = track(
+        pos.select(F.expr("p div 63").alias("wi"),
+                   F.expr("shiftleft(cast(1 as bigint),"
+                          " cast(p % 63 as int))").alias("m"))
+        .groupBy("wi").agg(F.bit_or("m").alias("w")).persist())
+
+    probe = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+    for i, (a, b) in enumerate(_BLOOM_HASHES):
+        probe = probe.withColumn(f"p{i}", _bloom_pos(F.col("k"), a, b))
+    for i in range(len(_BLOOM_HASHES)):
+        side = words.select(F.col("wi").alias(f"wi{i}"),
+                            F.col("w").alias(f"w{i}"))
+        probe = probe.join(
+            F.broadcast(side),
+            F.expr(f"p{i} div 63") == F.col(f"wi{i}"), "left")
+    hit = [F.expr(f"shiftright(coalesce(w{i}, cast(0 as bigint)),"
+                  f" cast(p{i} % 63 as int)) & 1 = 1")
+           for i in range(len(_BLOOM_HASHES))]
+    bloom_pass = hit[0] & hit[1] & hit[2]
+
+    members = keys.select(F.col("k").alias("mk")).distinct()
+    probe = (probe.join(F.broadcast(members),
+                        F.col("k") == F.col("mk"), "left")
+             .select(F.col("cents"),
+                     bloom_pass.alias("bp"),
+                     F.col("mk").isNotNull().alias("mem")))
+
+    stats = words.agg(
+        F.count(F.lit(1)).cast("bigint").alias("words_nonzero"),
+        F.sum(F.bit_count("w")).cast("bigint").alias("bits_set"))
+
+    bp, mem = F.col("bp"), F.col("mem")
+    rep = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(mem.cast("long")).cast("bigint").alias("n_members"),
+        F.sum(bp.cast("long")).cast("bigint").alias("n_bloom_pass"),
+        F.sum((bp & ~mem).cast("long")).cast("bigint")
+        .alias("n_false_pos"),
+        F.sum((mem & ~bp).cast("long")).cast("bigint")
+        .alias("n_false_neg"),
+        F.sum(F.when(bp, F.col("cents")).otherwise(F.lit(0)))
+        .cast("bigint").alias("passed_revenue_cents"))
+    fp_rate = (F.col("n_false_pos").cast("double")
+               / (F.col("n_orders") - F.col("n_members"))
+               .cast("double"))
+    return (rep.crossJoin(F.broadcast(stats))
+            .select("n_orders", "n_members", "n_bloom_pass",
+                    "n_false_pos", "n_false_neg",
+                    (F.floor(fp_rate * 1e6) / 1e6).alias("fp_rate"),
+                    "passed_revenue_cents",
+                    "words_nonzero", "bits_set"))
+
+
+QUERIES["bloom_semijoin_reduction"] = bloom_semijoin_reduction
+
+ORACLE_SQL["bloom_semijoin_reduction"] = """
+    WITH keys AS (
+        SELECT CAST(c_custkey AS BIGINT) AS k
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), pos AS (
+        SELECT ((k % 2147483647) * 1597334677 + 15487469)
+               % 2147483647 % 1048576 AS p FROM keys
+        UNION ALL
+        SELECT ((k % 2147483647) * 1203793907 + 28491121)
+               % 2147483647 % 1048576 FROM keys
+        UNION ALL
+        SELECT ((k % 2147483647) * 784387469 + 37482901)
+               % 2147483647 % 1048576 FROM keys
+    ), words AS (
+        SELECT p // 63 AS wi,
+               bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS w
+        FROM pos GROUP BY 1
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS words_nonzero,
+               CAST(sum(bit_count(w)) AS BIGINT) AS bits_set
+        FROM words
+    ), probe AS (
+        SELECT CAST(o_custkey AS BIGINT) AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents,
+               ((CAST(o_custkey AS BIGINT) % 2147483647)
+                * 1597334677 + 15487469)
+               % 2147483647 % 1048576 AS p0,
+               ((CAST(o_custkey AS BIGINT) % 2147483647)
+                * 1203793907 + 28491121)
+               % 2147483647 % 1048576 AS p1,
+               ((CAST(o_custkey AS BIGINT) % 2147483647)
+                * 784387469 + 37482901)
+               % 2147483647 % 1048576 AS p2
+        FROM orders
+    ), flagged AS (
+        SELECT pr.cents,
+               ((coalesce(w0.w, 0) >> CAST(pr.p0 % 63 AS INT)) & 1
+                = 1)
+               AND ((coalesce(w1.w, 0) >> CAST(pr.p1 % 63 AS INT))
+                    & 1 = 1)
+               AND ((coalesce(w2.w, 0) >> CAST(pr.p2 % 63 AS INT))
+                    & 1 = 1) AS bp,
+               pr.k IN (SELECT k FROM keys) AS mem
+        FROM probe pr
+        LEFT JOIN words w0 ON pr.p0 // 63 = w0.wi
+        LEFT JOIN words w1 ON pr.p1 // 63 = w1.wi
+        LEFT JOIN words w2 ON pr.p2 // 63 = w2.wi
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN mem THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(sum(CASE WHEN bp AND NOT mem THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN mem AND NOT bp THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_neg,
+           floor(CAST(sum(CASE WHEN bp AND NOT mem THEN 1 ELSE 0
+                          END) AS DOUBLE)
+                 / CAST(count(*) - sum(CASE WHEN mem THEN 1 ELSE 0
+                                       END) AS DOUBLE)
+                 * 1e6) / 1e6 AS fp_rate,
+           CAST(sum(CASE WHEN bp THEN cents ELSE 0 END) AS BIGINT)
+               AS passed_revenue_cents,
+           CAST(max(stats.words_nonzero) AS BIGINT)
+               AS words_nonzero,
+           CAST(max(stats.bits_set) AS BIGINT) AS bits_set
+    FROM flagged CROSS JOIN stats
+"""
+
+
+# Poisson bootstrap --------------------------------------------------
+#
+# Integer cut points: floor(CDF_Poisson(1)(j) * (2^31 - 1)) for
+# j = 0..6 — the uniform draw stays an INTEGER in [0, P) and every
+# threshold comparison is integer-vs-literal, so the replicate
+# weights are bit-identical in any engine. Counts >= 7 truncate to 7
+# (CDF mass 8.1e-5): a deterministic, documented weighting scheme.
+_BOOT_CUTS = (790015083, 1580030167, 1975037709, 2106706890,
+              2139624185, 2146207644, 2147304887)
+_BOOT_R = 100
+_BOOT_A1 = 1597334677
+_BOOT_A2 = 1203793907
+
+
+def poisson_bootstrap_mean_ci(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value,
+    via the POISSON bootstrap — the resampling scheme that actually
+    distributes: instead of drawing N rows with replacement per
+    replicate (a driver-side shuffle per replicate), every row
+    independently contributes Poisson(1) copies to each of R=100
+    replicates. For large N the replicate is statistically
+    indistinguishable from a classical bootstrap resample
+    (multinomial -> Poisson limit), and the whole procedure is ONE
+    pass over the fact: explode xR, map-side partial-agg collapses
+    each partition to R rows, the shuffle moves R x partitions tiny
+    rows. Replicate cost is independent of data size — the 100 TB
+    form of 'error bars on an aggregate'.
+
+    Determinism: the per-(row, replicate) uniform draw is an integer
+    LCG hash in [0, P); weights come from integer cut-point
+    comparisons (_BOOT_CUTS); replicate sums are exact int64; each
+    replicate mean is quantized once to micro-cents; the CI bounds
+    are order statistics (ranks 3 and 98 of 100, ties broken by
+    replicate id) — no float ever folds.
+
+    Shape: one orders scan -> explode(sequence(0,99)) -> hash agg
+    keyed by replicate (100 groups, partial agg does the heavy
+    lifting) -> a 100-row window for the order statistics. The
+    point estimate reuses the same scan lineage."""
+    ensure_session_conf(spark)
+    base = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("cents"))
+
+    repl = base.select(
+        "k", "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"))
+    s = (((F.col("k") % _BLOOM_P) * _BOOT_A1
+          + (F.col("r").cast("long") + 1) * _BOOT_A2) % _BLOOM_P)
+    w = F.lit(7)
+    for j in range(len(_BOOT_CUTS) - 1, -1, -1):
+        w = F.when(s < _BOOT_CUTS[j], F.lit(j)).otherwise(w)
+    rep = (repl.select("r", "cents", w.alias("w"))
+           .groupBy("r")
+           .agg(F.sum(F.col("w") * F.col("cents")).alias("sc"),
+                F.sum("w").alias("nw")))
+    means = rep.select(
+        "r",
+        F.floor(F.col("sc").cast("double")
+                / F.col("nw").cast("double") * 1e6)
+        .cast("long").alias("m"))
+    rk = F.row_number().over(Window.orderBy("m", "r"))
+    ranked = means.select("m", rk.alias("rk"))
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 3, F.col("m")))
+        .alias("ci_lo_microcents"),
+        F.max(F.when(F.col("rk") == _BOOT_R - 2, F.col("m")))
+        .alias("ci_hi_microcents"),
+        F.min("m").alias("boot_min_microcents"),
+        F.max("m").alias("boot_max_microcents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"))
+    pt = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.floor(F.sum("cents").cast("double")
+                / F.count(F.lit(1)).cast("double") * 1e6)
+        .cast("long").alias("mean_microcents"))
+    return (pt.crossJoin(F.broadcast(ci))
+            .select("n_orders", "mean_microcents", "n_replicates",
+                    "ci_lo_microcents", "ci_hi_microcents",
+                    "boot_min_microcents", "boot_max_microcents"))
+
+
+QUERIES["poisson_bootstrap_mean_ci"] = poisson_bootstrap_mean_ci
+
+ORACLE_SQL["poisson_bootstrap_mean_ci"] = """
+    WITH base AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS cents
+        FROM orders
+    ), repl AS (
+        SELECT k, cents, t.r,
+               ((k % 2147483647) * 1597334677
+                + (t.r + 1) * 1203793907) % 2147483647 AS s
+        FROM base, range(100) t(r)
+    ), wts AS (
+        SELECT r, cents,
+               CASE WHEN s < 790015083 THEN 0
+                    WHEN s < 1580030167 THEN 1
+                    WHEN s < 1975037709 THEN 2
+                    WHEN s < 2106706890 THEN 3
+                    WHEN s < 2139624185 THEN 4
+                    WHEN s < 2146207644 THEN 5
+                    WHEN s < 2147304887 THEN 6
+                    ELSE 7 END AS w
+        FROM repl
+    ), rep AS (
+        SELECT r, CAST(sum(w * cents) AS BIGINT) AS sc,
+               CAST(sum(w) AS BIGINT) AS nw
+        FROM wts GROUP BY r
+    ), means AS (
+        SELECT r, CAST(floor(CAST(sc AS DOUBLE) / CAST(nw AS DOUBLE)
+                             * 1e6) AS BIGINT) AS m
+        FROM rep
+    ), ranked AS (
+        SELECT m, row_number() OVER (ORDER BY m, r) AS rk
+        FROM means
+    ), ci AS (
+        SELECT max(CASE WHEN rk = 3 THEN m END)
+                   AS ci_lo_microcents,
+               max(CASE WHEN rk = 98 THEN m END)
+                   AS ci_hi_microcents,
+               min(m) AS boot_min_microcents,
+               max(m) AS boot_max_microcents,
+               CAST(count(*) AS BIGINT) AS n_replicates
+        FROM ranked
+    ), pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(floor(CAST(sum(cents) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) * 1e6)
+                    AS BIGINT) AS mean_microcents
+        FROM base
+    )
+    SELECT n_orders, mean_microcents, n_replicates,
+           ci_lo_microcents, ci_hi_microcents,
+           boot_min_microcents, boot_max_microcents
+    FROM pt CROSS JOIN ci
+"""
+
+
+def open_orders_timeline(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Concurrent-interval profile by sweep-line: how many orders
+    are 'open' (placed but not fully shipped) on each day the count
+    changes. Each order's open interval is [o_orderdate,
+    max(l_shipdate)] over its lineitems (inclusive); the profile is
+    the classic +1/-1 delta sweep — the operator behind 'peak
+    concurrent sessions', hotel-occupancy, and WIP-inventory
+    questions, which no plain groupBy can answer because an order
+    contributes to EVERY day it spans, not one bucket.
+
+    Why sweep-line and not explode-days: exploding each order into
+    its covered days is O(rows x span) — a 2,400-day span at 100 TB
+    is a 1000x row blowup. The sweep emits exactly TWO delta rows
+    per order, aggregates them to one net change per distinct
+    change date (map-side combine), and the running sum over that
+    ~date-cardinality spine is a window over thousands of rows, not
+    billions; the single-partition window stage is O(days) at any
+    scale factor.
+
+    Orders with no lineitems (none in TPC-H data) would drop out of
+    the inner join — the timeline profiles fulfillable orders.
+    Everything is integer/date arithmetic: exact in both engines.
+
+    Shape: lineitem groupBy orderkey (the one fact shuffle) ->
+    join orders (AQE picks the strategy; both sides keyed by
+    orderkey) -> 2-row explode -> hash agg to change dates ->
+    O(days) running window."""
+    ensure_session_conf(spark)
+    spans = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("shipped"))
+        .join(read_table(spark, sf_dir, "orders")
+              .select("o_orderkey",
+                      F.to_date("o_orderdate").alias("placed")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("placed",
+                F.greatest("shipped", "placed").alias("closed")))
+    deltas = spans.select(F.explode(F.array(
+        F.struct(F.col("placed").alias("day"),
+                 F.lit(1).alias("d")),
+        F.struct(F.date_add("closed", 1).alias("day"),
+                 F.lit(-1).alias("d")))).alias("e"))
+    daily = (deltas.select(F.col("e.day").alias("day"),
+                           F.col("e.d").alias("d"))
+             .groupBy("day")
+             .agg(F.sum("d").cast("bigint").alias("net_change")))
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (daily.select(
+        "day", "net_change",
+        F.sum("net_change").over(w).cast("bigint")
+        .alias("open_orders"))
+        .orderBy("day"))
+
+
+QUERIES["open_orders_timeline"] = open_orders_timeline
+
+ORACLE_SQL["open_orders_timeline"] = """
+    WITH spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS placed,
+               greatest(max(CAST(l.l_shipdate AS DATE)),
+                        CAST(o.o_orderdate AS DATE)) AS closed
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ), deltas AS (
+        SELECT placed AS day, 1 AS d FROM spans
+        UNION ALL
+        SELECT closed + INTERVAL 1 DAY, -1 FROM spans
+    ), daily AS (
+        SELECT CAST(day AS DATE) AS day,
+               CAST(sum(d) AS BIGINT) AS net_change
+        FROM deltas GROUP BY 1
+    )
+    SELECT day, net_change,
+           CAST(sum(net_change) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM daily ORDER BY day
+"""

@@ -733,3 +733,15 @@ def test_mutual_information_single_fact_pass(spark, sf_dir):
         "every consumer must read the persisted cell table"
     assert plan.count("events.parquet") == plan.count("InMemoryTableScan"), \
         "no uncached events scan may remain"
+
+
+def test_bloom_semijoin_fact_never_shuffles(spark, sf_dir):
+    """The entire probe side is broadcast joins (3 word lookups +
+    the member flag): no SortMergeJoin may touch the orders scan,
+    and orders is read exactly once."""
+    plan = _plan(QUERIES["bloom_semijoin_reduction"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("orders.parquet") == 1, \
+        "the fact table must be scanned exactly once"

@@ -425,3 +425,153 @@ def test_mutual_information_dependence_extremes(spark, tmp_path):
     # every cell term is ln(1) = 0 before flooring
     assert r2.mi_nano == 0
     assert r2.nmi == 0.0
+
+
+def test_bloom_semijoin_no_false_negatives_even_saturated(
+        spark, tmp_path, monkeypatch):
+    """The planner contract: a Bloom filter may over-admit, never
+    drop. Shrink the filter to 126 bits (2 words) so collisions are
+    rampant, and assert false_neg stays 0 while the filter admits at
+    least every member order."""
+    import simpleetlpipeline_spark.plans.advanced as adv
+
+    monkeypatch.setattr(adv, "_BLOOM_M", 126)
+    cust = [(k, f"c{k}", 0, 0.0,
+             "BUILDING" if k % 3 == 0 else "MACHINERY")
+            for k in range(60)]
+    day = datetime(2024, 1, 1)
+    orders = [(k, k % 60, "Completed", 10.0, day, "3-MEDIUM")
+              for k in range(240)]
+    _write(spark, tmp_path, "customer", cust)
+    _write(spark, tmp_path, "orders", orders)
+    [r] = adv.bloom_semijoin_reduction(spark, str(tmp_path)).collect()
+    assert r.n_orders == 240
+    assert r.n_members == 80          # custkeys 0,3,...,57 -> 4 each
+    assert r.n_false_neg == 0, "Bloom must never drop a member"
+    assert r.n_bloom_pass == r.n_members + r.n_false_pos
+    assert r.words_nonzero <= 2
+    assert r.bits_set <= 126
+
+
+def test_bloom_semijoin_exact_membership_at_default_size(
+        spark, tmp_path):
+    """At the default 1 Mbit size a 20-key set can't collide its
+    way to a false positive against 60 probe keys (expected fp
+    ~ (60/2^20)^3); the report must then equal the exact semi-join
+    and pass only member revenue."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        bloom_semijoin_reduction,
+    )
+
+    cust = [(k, f"c{k}", 0, 0.0,
+             "BUILDING" if k % 3 == 0 else "MACHINERY")
+            for k in range(60)]
+    day = datetime(2024, 1, 1)
+    orders = [(k, k % 60, "Completed", float(k + 1), day, "3-MEDIUM")
+              for k in range(240)]
+    _write(spark, tmp_path, "customer", cust)
+    _write(spark, tmp_path, "orders", orders)
+    [r] = bloom_semijoin_reduction(spark, str(tmp_path)).collect()
+    member_cents = sum(
+        (k + 1) * 100 for k in range(240) if (k % 60) % 3 == 0)
+    assert (r.n_bloom_pass, r.n_false_pos, r.n_false_neg) == (80, 0, 0)
+    assert r.fp_rate == 0.0
+    assert r.passed_revenue_cents == member_cents
+    assert r.bits_set == 60, "20 keys x 3 hashes, no bit collisions"
+
+
+def test_poisson_bootstrap_constant_data_collapses_ci(spark, tmp_path):
+    """If every order has the same value, every replicate mean is
+    exactly that value regardless of its Poisson weights (sum(w*c)
+    / sum(w) = c), so the CI collapses to a zero-width interval at
+    the point estimate — the degenerate-variance sanity check."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    day = datetime(2024, 1, 1)
+    orders = [(k, k, "Completed", 25.0, day, "3-MEDIUM")
+              for k in range(300)]
+    _write(spark, tmp_path, "orders", orders)
+    [r] = poisson_bootstrap_mean_ci(spark, str(tmp_path)).collect()
+    assert r.n_orders == 300 and r.n_replicates == 100
+    assert (r.mean_microcents == r.ci_lo_microcents
+            == r.ci_hi_microcents == r.boot_min_microcents
+            == r.boot_max_microcents == 2500 * 1_000_000)
+
+
+def test_poisson_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    """On the real table the order statistics must nest:
+    boot_min <= ci_lo < ci_hi <= boot_max, and the point estimate
+    falls inside the 95% interval (deterministic for this fixed
+    dataset and seed scheme)."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    [r] = poisson_bootstrap_mean_ci(spark, sf_dir).collect()
+    assert r.boot_min_microcents <= r.ci_lo_microcents
+    assert r.ci_lo_microcents < r.ci_hi_microcents
+    assert r.ci_hi_microcents <= r.boot_max_microcents
+    assert (r.ci_lo_microcents <= r.mean_microcents
+            <= r.ci_hi_microcents)
+
+
+def test_open_orders_timeline_sweep_line_semantics(spark, tmp_path):
+    """Three overlapping orders with hand-computed concurrency:
+    A [Jan1..Jan5], B [Jan3..Jan8], C [Jan4..Jan4]. Expected open
+    counts: Jan1=1, Jan3=2, Jan4=3, Jan5=2 (C closed), Jan6=1
+    (A closed), Jan9=0 (B closed). Conservation: deltas net to 0 and
+    the timeline ends at zero open orders."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        open_orders_timeline,
+    )
+
+    def d(day):
+        return datetime(2024, 1, day)
+
+    orders = [(1, 1, "Completed", 10.0, d(1), "3-MEDIUM"),
+              (2, 2, "Completed", 10.0, d(3), "3-MEDIUM"),
+              (3, 3, "Completed", 10.0, d(4), "3-MEDIUM")]
+    li = [(1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d(5)),
+          (1, 2, 1, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", d(2)),
+          (2, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d(8)),
+          (3, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d(4))]
+    _write(spark, tmp_path, "orders", orders)
+    _write(spark, tmp_path, "lineitem", li)
+    rows = open_orders_timeline(spark, str(tmp_path)).collect()
+    got = {r.day.isoformat(): (r.net_change, r.open_orders)
+           for r in rows}
+    assert got == {"2024-01-01": (1, 1), "2024-01-03": (1, 2),
+                   "2024-01-04": (1, 3), "2024-01-05": (-1, 2),
+                   "2024-01-06": (-1, 1), "2024-01-09": (-1, 0)}
+    assert sum(r.net_change for r in rows) == 0
+    assert rows[-1].open_orders == 0
+
+
+def test_hll_audience_overlap_exact_witnesses(spark, tmp_path):
+    """Known overlap: A = users 1..10, B = users 6..15 (|A∩B| = 5,
+    |A∪B| = 15, J = 1/3); C shares no user with A or B, so the
+    (A,C) and (B,C) pairs must be absent. The HLL
+    inclusion-exclusion estimate must sit inside its propagated
+    bound (hll_ok)."""
+    from simpleetlpipeline_spark.functions.sketches import (
+        hll_audience_overlap,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = ([(i, base, u, "A", 1.0, "{}")
+             for i, u in enumerate(range(1, 11))]
+            + [(100 + i, base, u, "B", 1.0, "{}")
+               for i, u in enumerate(range(6, 16))]
+            + [(200, base, 999, "C", 1.0, "{}")]
+            # duplicate events must not inflate the audiences
+            + [(300, base, 1, "A", 1.0, "{}"),
+               (301, base, 6, "B", 1.0, "{}")])
+    _write(spark, tmp_path, "events", rows)
+    out = hll_audience_overlap(spark, str(tmp_path)).collect()
+    assert [(r.t1, r.t2) for r in out] == [("A", "B")]
+    [r] = out
+    assert (r.n_t1, r.n_t2, r.n_both, r.n_union) == (10, 10, 5, 15)
+    assert r.jaccard == 0.333333
+    assert r.hll_ok is True

@@ -78,6 +78,8 @@ HEADLINE = [
     "categorical_entropy_profile", "copurchase_degree_powerlaw",
     "language_sampling_weights", "supplier_efficiency_frontier",
     "revenue_trend_theil_sen", "event_hour_mutual_information",
+    "bloom_semijoin_reduction", "poisson_bootstrap_mean_ci",
+    "open_orders_timeline", "hll_audience_overlap",
 ]
 
 _JOIN_RE = re.compile(
