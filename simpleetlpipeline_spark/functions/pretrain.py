@@ -1030,3 +1030,107 @@ ORACLE_SQL["token_weighted_sample"] = f"""
           > (cum - n_tokens) * {TOKEN_SAMPLE_K} // total
     ORDER BY doc_id
 """
+
+
+#: Priority-sample size and the fixed-point scales for the priority
+#: key (w * PRI_SCALE // h fits int64: w <= ~1e5 tokens, so the
+#: product is <= 1e17) and the micro-token estimator grid.
+PRIORITY_SAMPLE_K = 50
+PRI_P = 2_147_483_647
+PRI_A = 1_597_334_677
+PRI_B = 15_487_469
+PRI_SCALE = 1_000_000_000_000
+
+
+def priority_sample_docs(spark: SparkSession, sf_dir: str,
+                         k: int = PRIORITY_SAMPLE_K) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a FIXED-SIZE
+    weighted sample of k documents that still supports unbiased
+    subset-sum estimates. Each doc draws a deterministic 'uniform'
+    h/P from an integer hash of doc_id, gets priority q = w/(h/P)
+    (token count over uniform), and the k highest-priority docs are
+    kept; tau = the (k+1)-th priority. The Horvitz-Thompson
+    estimator max(w, tau) per sampled doc makes sum(w_hat) unbiased
+    for the corpus's total token count — so ONE k-row sample
+    answers 'how many tokens does <any subset> hold' without
+    rescanning, the estimation contract reservoir/stride samplers
+    lack (token_weighted_sample picks proportionally but cannot
+    reweight a subset).
+
+    Determinism: the priority key is floor(w * 1e12 / h) — integer
+    multiply bounded by 1e17, integer division of non-negative
+    operands (Spark `div` == DuckDB `//` there), ties broken by
+    doc_id; tau and the micro-token w_hat derive from it by exact
+    integer division. No RNG, no floats anywhere.
+
+    Shape: the |docs| (doc_id, n_tokens) MANIFEST is the only input
+    — one ordered window ranks priorities (manifest tier, same as
+    the shard/zorder layouts); the total-token witness is one
+    aggregate; output is k rows. At 100 TB the top-(k+1) rank is a
+    TakeOrdered partial: each partition keeps k+1 candidates, the
+    driver merges — no global sort materializes."""
+    from simpleetlpipeline_spark.functions.text import tokens_col
+
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long")
+        .alias("n_tokens"))
+    h = (((F.col("doc_id") % PRI_P) * PRI_A + PRI_B) % PRI_P) + 1
+    pri = docs.select(
+        "doc_id", "n_tokens",
+        F.expr(f"n_tokens * {PRI_SCALE}L div "
+               f"((((doc_id % {PRI_P}L) * {PRI_A}L + {PRI_B}L) "
+               f"% {PRI_P}L) + 1L)").alias("q"))
+    w = Window.orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = pri.select("doc_id", "n_tokens", "q",
+                        F.row_number().over(w).alias("rn"))
+    tau = (ranked.filter(F.col("rn") == k + 1)
+           .select(F.expr("q div 1000000L").alias("tau_micro")))
+    total = docs.agg(F.sum("n_tokens").cast("bigint")
+                     .alias("exact_total_tokens"))
+    return (ranked.filter(F.col("rn") <= k)
+            .crossJoin(F.broadcast(tau))
+            .crossJoin(F.broadcast(total))
+            .select(
+                "doc_id", "n_tokens",
+                F.col("q").alias("priority_scaled"),
+                F.greatest(F.col("n_tokens") * 1_000_000,
+                           F.col("tau_micro"))
+                .cast("bigint").alias("w_hat_micro"),
+                "exact_total_tokens")
+            .orderBy(F.desc("priority_scaled"), F.asc("doc_id")))
+
+
+QUERIES["priority_sample_docs"] = priority_sample_docs
+
+ORACLE_SQL["priority_sample_docs"] = f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ), pri AS (
+        SELECT doc_id, n_tokens,
+               n_tokens * {PRI_SCALE} //
+               ((((doc_id % {PRI_P}) * {PRI_A} + {PRI_B})
+                 % {PRI_P}) + 1) AS q
+        FROM m
+    ), ranked AS (
+        SELECT doc_id, n_tokens, q,
+               row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+        FROM pri
+    ), tau AS (
+        SELECT q // 1000000 AS tau_micro FROM ranked
+        WHERE rn = {PRIORITY_SAMPLE_K} + 1
+    ), total AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS exact_total_tokens
+        FROM m
+    )
+    SELECT doc_id, n_tokens, q AS priority_scaled,
+           CAST(greatest(n_tokens * 1000000, tau_micro) AS BIGINT)
+               AS w_hat_micro,
+           exact_total_tokens
+    FROM ranked CROSS JOIN tau CROSS JOIN total
+    WHERE rn <= {PRIORITY_SAMPLE_K}
+    ORDER BY priority_scaled DESC, doc_id
+"""

@@ -372,3 +372,121 @@ ORACLE_SQL["hll_audience_overlap"] = """
     JOIN tc tb ON b.t2 = tb.t
     ORDER BY 1, 2
 """
+
+
+# Count-Min sketch ---------------------------------------------------
+#
+# d=3 counter rows x w=1024 counters (~24 KiB of int64 state). Same
+# integer hash family as the Bloom filter (plans/advanced.py): pos =
+# ((key mod P) * a + b) mod P mod W with every product bounded by
+# 2^62, so Spark and DuckDB agree bit-for-bit at any scale factor.
+_CMS_P = 2_147_483_647
+_CMS_W = 1024
+_CMS_HASHES = ((1597334677, 15487469),
+               (1203793907, 28491121),
+               (784387469, 37482901))
+
+
+def _cms_pos(key, a: int, b: int):
+    return ((key % _CMS_P) * a + b) % _CMS_P % _CMS_W
+
+
+def cms_user_event_counts(spark: SparkSession,
+                          sf_dir: str, k: int = 20) -> DataFrame:
+    """Count-Min sketch point queries: build a 3x1024 integer CMS
+    over per-user event occurrences, then for the top-k users by
+    exact count report the exact count, the CMS estimate
+    (min over the 3 counter rows), the overestimate, and the
+    one-sided guarantee flag (a CMS may over-count via collisions,
+    NEVER under-count — `cms_ok` is a hard invariant, not a bound).
+
+    THE 100 TB mechanism: frequency queries without a per-key
+    shuffle. The sketch build is a map-side combine into at most
+    d*w = 3,072 groups — each partition folds its rows into a local
+    24 KiB counter array and the shuffle moves counters, not events;
+    adding streams/shards is counter addition (CMS state is a
+    commutative monoid). The exact per-user rollup here exists only
+    as the oracle's witness for the top-k probes.
+
+    Determinism: counters are exact int64 sums of the same integer
+    hash positions in both engines; the estimate is least() over
+    three exact integers; top-k cutoff ties break by user_id.
+
+    Shape: one events scan -> explode(3) -> hash agg to <=3,072
+    counters (persisted: feeds 3 probe joins); a per-user agg +
+    top-k for the witness; 3 broadcast counter lookups."""
+    from simpleetlpipeline_spark.cache import track
+
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("u"))
+
+    entries = ev.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 _cms_pos(F.col("u"), a, b).alias("p"))
+        for j, (a, b) in enumerate(_CMS_HASHES)])).alias("e"))
+    counters = track(
+        entries.groupBy(F.col("e.j").alias("j"),
+                        F.col("e.p").alias("p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist())
+
+    top = (ev.groupBy("u")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+           .orderBy(F.desc("exact_cnt"), F.asc("u"))
+           .limit(k))
+    probe = top
+    for j, (a, b) in enumerate(_CMS_HASHES):
+        side = (counters.filter(F.col("j") == j)
+                .select(F.col("p").alias(f"p{j}"),
+                        F.col("c").alias(f"c{j}")))
+        probe = probe.join(
+            F.broadcast(side),
+            _cms_pos(F.col("u"), a, b) == F.col(f"p{j}"))
+    est = F.least("c0", "c1", "c2")
+    return (probe.select(
+        F.col("u").alias("user_id"), "exact_cnt",
+        est.alias("cms_est"),
+        (est - F.col("exact_cnt")).alias("overestimate"),
+        (est >= F.col("exact_cnt")).alias("cms_ok"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id")))
+
+
+QUERIES["cms_user_event_counts"] = cms_user_event_counts
+
+ORACLE_SQL["cms_user_event_counts"] = """
+    WITH ev AS (
+        SELECT CAST(user_id AS BIGINT) AS u FROM events
+    ), entries AS (
+        SELECT 0 AS j, ((u % 2147483647) * 1597334677 + 15487469)
+               % 2147483647 % 1024 AS p FROM ev
+        UNION ALL
+        SELECT 1, ((u % 2147483647) * 1203793907 + 28491121)
+               % 2147483647 % 1024 FROM ev
+        UNION ALL
+        SELECT 2, ((u % 2147483647) * 784387469 + 37482901)
+               % 2147483647 % 1024 FROM ev
+    ), counters AS (
+        SELECT j, p, CAST(count(*) AS BIGINT) AS c
+        FROM entries GROUP BY 1, 2
+    ), top AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM ev GROUP BY u
+        ORDER BY exact_cnt DESC, u LIMIT 20
+    )
+    SELECT t.u AS user_id, t.exact_cnt,
+           least(c0.c, c1.c, c2.c) AS cms_est,
+           least(c0.c, c1.c, c2.c) - t.exact_cnt AS overestimate,
+           least(c0.c, c1.c, c2.c) >= t.exact_cnt AS cms_ok
+    FROM top t
+    JOIN counters c0 ON c0.j = 0 AND c0.p =
+        ((t.u % 2147483647) * 1597334677 + 15487469)
+        % 2147483647 % 1024
+    JOIN counters c1 ON c1.j = 1 AND c1.p =
+        ((t.u % 2147483647) * 1203793907 + 28491121)
+        % 2147483647 % 1024
+    JOIN counters c2 ON c2.j = 2 AND c2.p =
+        ((t.u % 2147483647) * 784387469 + 37482901)
+        % 2147483647 % 1024
+    ORDER BY t.exact_cnt DESC, t.u
+"""

@@ -3694,3 +3694,321 @@ ORACLE_SQL["open_orders_timeline"] = """
                 AS BIGINT) AS open_orders
     FROM daily ORDER BY day
 """
+
+
+def mann_whitney_u_test(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do 'view' and
+    'purchase' events draw their values from the same distribution?
+    The nonparametric two-sample test — the robust alternative to
+    the t-test behind ab_test_report when the metric is skewed
+    (revenue-per-event always is) — reduced entirely to integer
+    sufficient statistics: doubled midranks from cumulative tie
+    counts, the doubled rank sum R1, U1, the tie-correction term
+    sum(t^3 - t), and the normal-approximation z quantized to nano.
+
+    Determinism: values quantize to cents up front; every rank
+    quantity is exact int64 (doubled midrank = 2*cum_before + t + 1
+    sidesteps .5 fractions); the variance numerator/denominator are
+    DECIMAL(38,0) products (exact hugeint in DuckDB, capped-exact in
+    Spark — bounded by n^5 < 1e38 up to ~1e7 rows per pair); z is
+    one double division + sqrt over those exact operands, floored
+    at 1e-9.
+
+    Shape: one events scan -> hash agg to the distinct-cents spine
+    (bounded by the value domain, NOT by row count — 100 TB of
+    events still folds into <=~1e5 cent buckets map-side) -> one
+    O(spine) ordered window -> a 1-row aggregate."""
+    ensure_session_conf(spark)
+    ev = (read_table(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("view", "purchase"))
+          .select(
+              F.col("event_type").alias("g"),
+              F.floor(F.col("value") * 100).cast("long").alias("v")))
+    spine = (ev.groupBy("v")
+             .agg(F.sum(F.when(F.col("g") == "view", 1).otherwise(0))
+                  .cast("long").alias("n1v"),
+                  F.count(F.lit(1)).cast("long").alias("t")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = spine.select(
+        "n1v", "t",
+        (F.sum("t").over(w) - F.col("t")).alias("cumb"))
+    agg = ranked.agg(
+        F.sum("n1v").cast("bigint").alias("n1"),
+        (F.sum("t") - F.sum("n1v")).cast("bigint").alias("n2"),
+        F.sum(F.col("n1v") * (2 * F.col("cumb") + F.col("t") + 1))
+        .cast("bigint").alias("r1_doubled"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tie_term"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1_doubled = F.col("r1_doubled") - n1 * (n1 + 1)
+    d38 = "decimal(38,0)"
+    var_num = (n1.cast(d38) * n2.cast(d38)
+               * ((n + 1).cast(d38) * n.cast(d38) * (n - 1).cast(d38)
+                  - F.col("tie_term").cast(d38)))
+    var_den = (F.lit(12).cast(d38) * n.cast(d38) * (n - 1).cast(d38))
+    z = ((u1_doubled - n1 * n2).cast("double") / 2
+         / F.sqrt(var_num.cast("double") / var_den.cast("double")))
+    return agg.select(
+        "n1", "n2", "r1_doubled",
+        u1_doubled.cast("bigint").alias("u1_doubled"),
+        "tie_term",
+        F.floor(z * 1e9).cast("bigint").alias("z_nano"))
+
+
+QUERIES["mann_whitney_u_test"] = mann_whitney_u_test
+
+ORACLE_SQL["mann_whitney_u_test"] = """
+    WITH ev AS (
+        SELECT event_type AS g,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), spine AS (
+        SELECT v,
+               CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1v,
+               CAST(count(*) AS BIGINT) AS t
+        FROM ev GROUP BY v
+    ), ranked AS (
+        SELECT n1v, t,
+               sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   - t AS cumb
+        FROM spine
+    ), agg AS (
+        SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+               CAST(sum(t) - sum(n1v) AS BIGINT) AS n2,
+               CAST(sum(n1v * (2 * cumb + t + 1)) AS BIGINT)
+                   AS r1_doubled,
+               CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+        FROM ranked
+    )
+    SELECT n1, n2, r1_doubled,
+           CAST(r1_doubled - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+           tie_term,
+           CAST(floor(
+               CAST(r1_doubled - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+               / 2
+               / sqrt(CAST(CAST(n1 AS DECIMAL(38,0))
+                           * CAST(n2 AS DECIMAL(38,0))
+                           * (CAST(n1 + n2 + 1 AS DECIMAL(38,0))
+                              * CAST(n1 + n2 AS DECIMAL(38,0))
+                              * CAST(n1 + n2 - 1 AS DECIMAL(38,0))
+                              - CAST(tie_term AS DECIMAL(38,0)))
+                           AS DOUBLE)
+                      / CAST(CAST(12 AS DECIMAL(38,0))
+                             * CAST(n1 + n2 AS DECIMAL(38,0))
+                             * CAST(n1 + n2 - 1 AS DECIMAL(38,0))
+                             AS DOUBLE))
+               * 1e9) AS BIGINT) AS z_nano
+    FROM agg
+"""
+
+
+#: Equi-depth histogram bucket count.
+EQUIDEPTH_B = 10
+
+
+def order_value_equidepth(spark: SparkSession, sf_dir: str,
+                          b: int = EQUIDEPTH_B) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of order values: b
+    buckets each holding ~N/b orders, with per-bucket row count,
+    value bounds and revenue mass — the optimizer-statistics /
+    percentile-band view that an equi-WIDTH histogram
+    (events_value_histogram) gets wrong on skewed money data, where
+    one wide bin swallows the tail.
+
+    Bucket rule: a distinct value belongs wholly to the bucket of
+    its first row — bucket = cum_rows_before * b div N — the
+    classic non-splitting equi-depth: a heavy distinct value may
+    overfill its bucket (that imbalance is itself the signal
+    optimizers record as the 'high-frequency value' list).
+
+    Determinism: values are exact cents (decimal cast then *100);
+    bucket assignment is non-negative integer arithmetic; per-bucket
+    sums are int64 over v*cnt (bounded: 5e7 cents x 1.5e6 rows
+    < 1e14 per bucket at sf1; the 100 TB swap-in is DECIMAL(38,0)).
+
+    Shape: one orders scan -> hash agg to the distinct-cents spine
+    (domain-bounded, map-side combined) -> one O(spine) ordered
+    window -> b-row rollup. The fact table never sorts globally —
+    the window runs on the spine, which is why this scales where
+    ntile() over raw rows (a single-partition global sort) dies."""
+    ensure_session_conf(spark)
+    vals = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").alias("v"))
+    spine = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = spine.select(
+        "v", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("cumb"))
+    total = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bucketed = (cum.crossJoin(F.broadcast(total))
+                .select("v", "cnt",
+                        F.expr(f"cumb * {b}L div n").alias("bucket")))
+    return (bucketed.groupBy("bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("n_orders"),
+                 F.min("v").alias("lo_cents"),
+                 F.max("v").alias("hi_cents"),
+                 F.sum(F.col("v") * F.col("cnt")).cast("bigint")
+                 .alias("revenue_cents"))
+            .orderBy("bucket"))
+
+
+QUERIES["order_value_equidepth"] = order_value_equidepth
+
+ORACLE_SQL["order_value_equidepth"] = f"""
+    WITH vals AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders
+    ), spine AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY v
+    ), cum AS (
+        SELECT v, cnt,
+               sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                   - cnt AS cumb
+        FROM spine
+    ), total AS (SELECT count(*) AS n FROM vals)
+    SELECT cumb * {EQUIDEPTH_B} // n AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS n_orders,
+           min(v) AS lo_cents, max(v) AS hi_cents,
+           CAST(sum(v * cnt) AS BIGINT) AS revenue_cents
+    FROM cum CROSS JOIN total
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+#: Non-negativity offset for floor-division of possibly-negative
+#: milli-cent sums (Spark `div` truncates toward zero, DuckDB `//`
+#: floors — adding OFF*cnt before dividing keeps the numerator
+#: non-negative so both engines compute the same floor).
+_STL_OFF = 1_000_000_000_000
+
+
+def daily_revenue_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of daily revenue:
+    revenue = trend + weekly seasonal + remainder. Trend is the
+    centered 7-day moving average over a GAPFILLED day spine (so
+    'seven rows' provably means 'seven calendar days'); the seasonal
+    component is the per-day-of-week mean of the detrended series,
+    centered to sum ~zero across the week; the remainder is what
+    anomaly detectors should consume INSTEAD of raw revenue — a
+    Monday dip that happens every Monday is seasonality, not an
+    incident (events_anomaly's z-scores can't tell those apart).
+
+    Determinism: revenue is an exact decimal sum in cents; the
+    trend is integer milli-cents (sum7 * 1000 div 7,
+    non-negative); day-of-week is days-since-a-known-Monday mod 7
+    (no engine dayofweek() convention involved); the seasonal means
+    floor-divide via the _STL_OFF offset trick so negative
+    detrended sums floor identically in both engines. No floats
+    anywhere.
+
+    Shape: one orders scan -> hash agg to ~|days| rows; everything
+    after (gapfill join, 7-row windows, DOW rollup) runs on the
+    O(days) spine — thousands of rows at ANY scale factor, so the
+    single-partition ordered window is a non-issue at 100 TB."""
+    ensure_session_conf(spark)
+    daily = (read_table(spark, sf_dir, "orders")
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   * 100).cast("long").alias("cents")))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    filled = (spine.join(daily, "day", "left")
+              .select("day", F.coalesce("cents", F.lit(0)).alias("cents")))
+
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    interior = (filled.select(
+        "day", "cents",
+        F.sum("cents").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("n7"))
+        .filter(F.col("n7") == 7)
+        .select("day", "cents",
+                F.expr("sum7 * 1000L div 7L").alias("trend_milli")))
+    det = interior.select(
+        "day", "cents", "trend_milli",
+        (F.datediff("day", F.lit("1970-01-05").cast("date")) % 7)
+        .alias("dow"),
+        (F.col("cents") * 1000 - F.col("trend_milli")).alias("det"))
+
+    seas = (det.groupBy("dow")
+            .agg(F.sum("det").alias("sd"),
+                 F.count(F.lit(1)).alias("cd"))
+            .select("dow", F.expr(
+                f"(sd + {_STL_OFF}L * cd) div cd - {_STL_OFF}L")
+                .alias("s_raw")))
+    center = seas.agg(F.expr(
+        f"(sum(s_raw) + {_STL_OFF}L * count(*)) div count(*)"
+        f" - {_STL_OFF}L").alias("s_mean"))
+    seas_c = (seas.crossJoin(F.broadcast(center))
+              .select("dow",
+                      (F.col("s_raw") - F.col("s_mean"))
+                      .alias("seasonal_milli")))
+
+    return (det.join(F.broadcast(seas_c), "dow")
+            .select("day", "dow",
+                    F.col("cents").alias("revenue_cents"),
+                    "trend_milli", "seasonal_milli",
+                    (F.col("det") - F.col("seasonal_milli"))
+                    .alias("remainder_milli"))
+            .orderBy("day"))
+
+
+QUERIES["daily_revenue_stl"] = daily_revenue_stl
+
+ORACLE_SQL["daily_revenue_stl"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), bounds AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi,
+                    INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ), filled AS (
+        SELECT sp.day, coalesce(d.cents, 0) AS cents
+        FROM spine sp LEFT JOIN daily d USING (day)
+    ), win AS (
+        SELECT day, cents,
+               sum(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+               count(*) OVER (ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        FROM filled
+    ), interior AS (
+        SELECT day, cents, sum7 * 1000 // 7 AS trend_milli,
+               datediff('day', DATE '1970-01-05', day) % 7 AS dow,
+               cents * 1000 - sum7 * 1000 // 7 AS det
+        FROM win WHERE n7 = 7
+    ), seas AS (
+        SELECT dow,
+               (sum(det) + 1000000000000 * count(*)) // count(*)
+                   - 1000000000000 AS s_raw
+        FROM interior GROUP BY dow
+    ), center AS (
+        SELECT (sum(s_raw) + 1000000000000 * count(*)) // count(*)
+                   - 1000000000000 AS s_mean
+        FROM seas
+    ), seas_c AS (
+        SELECT dow, s_raw - s_mean AS seasonal_milli
+        FROM seas CROSS JOIN center
+    )
+    SELECT i.day, i.dow,
+           i.cents AS revenue_cents,
+           CAST(i.trend_milli AS BIGINT) AS trend_milli,
+           CAST(s.seasonal_milli AS BIGINT) AS seasonal_milli,
+           CAST(i.det - s.seasonal_milli AS BIGINT)
+               AS remainder_milli
+    FROM interior i JOIN seas_c s USING (dow)
+    ORDER BY i.day
+"""

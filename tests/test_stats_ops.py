@@ -575,3 +575,172 @@ def test_hll_audience_overlap_exact_witnesses(spark, tmp_path):
     assert (r.n_t1, r.n_t2, r.n_both, r.n_union) == (10, 10, 5, 15)
     assert r.jaccard == 0.333333
     assert r.hll_ok is True
+
+
+def test_cms_never_undercounts_even_saturated(spark, tmp_path,
+                                              monkeypatch):
+    """The CMS contract: collisions may inflate an estimate, never
+    deflate it. Shrink the sketch to 4 counters per row so nearly
+    every user collides, and assert est >= exact everywhere."""
+    import simpleetlpipeline_spark.functions.sketches as sk
+
+    monkeypatch.setattr(sk, "_CMS_W", 4)
+    day = datetime(2024, 1, 1)
+    ev = [(i, day, i % 37, "view", 1.0, "{}") for i in range(500)]
+    _write(spark, tmp_path, "events", ev)
+    rows = sk.cms_user_event_counts(spark, str(tmp_path)).collect()
+    assert len(rows) == 20
+    assert all(r.cms_ok for r in rows), "CMS must never under-count"
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+    # 37 users into 4 counters: someone MUST share a counter in
+    # every row, so at least one probe over-counts.
+    assert any(r.overestimate > 0 for r in rows)
+
+
+def test_cms_exact_when_no_collisions(spark, tmp_path):
+    """At the default 3x1024 size, 5 distinct users can only
+    collide if two of the 15 hash positions clash — verify they
+    don't for this key set and the estimates are EXACT."""
+    from simpleetlpipeline_spark.functions.sketches import (
+        cms_user_event_counts,
+    )
+
+    day = datetime(2024, 1, 1)
+    ev = [(i, day, i % 5, "view", 1.0, "{}") for i in range(100)]
+    _write(spark, tmp_path, "events", ev)
+    rows = cms_user_event_counts(spark, str(tmp_path)).collect()
+    assert {r.user_id: r.exact_cnt for r in rows} == {
+        u: 20 for u in range(5)}
+    assert all(r.overestimate == 0 for r in rows)
+
+
+def test_priority_sample_invariants(spark, tmp_path):
+    """Structural contract of priority sampling: exactly k rows,
+    w_hat = max(w, tau) — so every w_hat >= the doc's own weight,
+    and every sampled doc whose weight did NOT dominate shares the
+    SAME w_hat (they all equal tau); the exact-total witness matches
+    the corpus."""
+    import simpleetlpipeline_spark.functions.pretrain as pt
+
+    docs = [(i, " ".join(["tok"] * ((i % 13) + 1)), "en", "s", 50)
+            for i in range(300)]
+    _write(spark, tmp_path, "documents", docs)
+    rows = pt.priority_sample_docs(spark, str(tmp_path)).collect()
+    assert len(rows) == pt.PRIORITY_SAMPLE_K
+    total = sum((i % 13) + 1 for i in range(300))
+    assert all(r.exact_total_tokens == total for r in rows)
+    assert all(r.w_hat_micro >= r.n_tokens * 1_000_000 for r in rows)
+    clamped = {r.w_hat_micro for r in rows
+               if r.w_hat_micro > r.n_tokens * 1_000_000}
+    assert len(clamped) <= 1, "non-dominating docs all take tau"
+    # deterministic: a second run returns the identical sample
+    again = pt.priority_sample_docs(spark, str(tmp_path)).collect()
+    assert rows == again
+
+
+def test_mann_whitney_complete_separation(spark, tmp_path):
+    """view={1,2,3} purchase={4,5,6}: R1=6 (doubled 12), U1=0,
+    no ties, z = -4.5/sqrt(5.25) — checked against the hand
+    formula."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        mann_whitney_u_test,
+    )
+
+    day = datetime(2024, 1, 1)
+    ev = ([(i, day, i, "view", float(i + 1), "{}") for i in range(3)]
+          + [(10 + i, day, i, "purchase", float(i + 4), "{}")
+             for i in range(3)])
+    _write(spark, tmp_path, "events", ev)
+    [r] = mann_whitney_u_test(spark, str(tmp_path)).collect()
+    assert (r.n1, r.n2, r.r1_doubled, r.u1_doubled, r.tie_term) == \
+        (3, 3, 12, 0, 0)
+    z = (0 - 4.5) / math.sqrt(3 * 3 * 7 / 12)
+    assert r.z_nano == math.floor(z * 1e9)
+
+
+def test_mann_whitney_identical_groups_z_zero(spark, tmp_path):
+    """Identical value multisets in both groups: U1 = n1*n2/2
+    exactly, so z == 0; the tie-correction term counts every shared
+    value (4 ones -> 60, 2 twos -> 6)."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        mann_whitney_u_test,
+    )
+
+    day = datetime(2024, 1, 1)
+    vals = [1.0, 1.0, 2.0]
+    ev = ([(i, day, i, "view", v, "{}")
+           for i, v in enumerate(vals)]
+          + [(10 + i, day, i, "purchase", v, "{}")
+             for i, v in enumerate(vals)])
+    _write(spark, tmp_path, "events", ev)
+    [r] = mann_whitney_u_test(spark, str(tmp_path)).collect()
+    assert (r.n1, r.n2) == (3, 3)
+    assert r.u1_doubled == r.n1 * r.n2      # doubled U1 == 2*(9/2)
+    assert r.tie_term == (4**3 - 4) + (2**3 - 2)
+    assert r.z_nano == 0
+
+
+def test_equidepth_heavy_value_overfills_its_bucket(spark, tmp_path):
+    """Non-splitting equi-depth: a value holding 75% of rows lands
+    wholly in bucket 0; later distinct values spread by cumulative
+    rank. 20 rows, b=10: v=1 x15 -> bucket 0; v=2 cumb=15 -> b7;
+    v=3,4 -> b8; v=5,6 -> b9. Mass conservation across buckets."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        order_value_equidepth,
+    )
+
+    day = datetime(2024, 1, 1)
+    orders = [(i, 1, "Completed", 0.01, day, "3-MEDIUM")
+              for i in range(15)]
+    orders += [(100 + v, 1, "Completed", v * 0.01, day, "3-MEDIUM")
+               for v in (2, 3, 4, 5, 6)]
+    _write(spark, tmp_path, "orders", orders)
+    rows = order_value_equidepth(spark, str(tmp_path)).collect()
+    got = {r.bucket: (r.n_orders, r.lo_cents, r.hi_cents)
+           for r in rows}
+    assert got == {0: (15, 1, 1), 7: (1, 2, 2), 8: (2, 3, 4),
+                   9: (2, 5, 6)}
+    assert sum(r.n_orders for r in rows) == 20
+    assert sum(r.revenue_cents for r in rows) == 15 * 1 + 2 + 3 + 4 + 5 + 6
+
+
+def test_stl_constant_series_all_components_flat(spark, tmp_path):
+    """Constant daily revenue: trend == the constant, seasonal == 0,
+    remainder == 0 on every interior day."""
+    from simpleetlpipeline_spark.plans.advanced import daily_revenue_stl
+
+    orders = [(d, 1, "Completed", 50.0, datetime(2024, 1, 1 + d),
+               "3-MEDIUM") for d in range(21)]
+    _write(spark, tmp_path, "orders", orders)
+    rows = daily_revenue_stl(spark, str(tmp_path)).collect()
+    assert len(rows) == 21 - 6          # 3 trimmed each end
+    assert all(r.revenue_cents == 5000 for r in rows)
+    assert all(r.trend_milli == 5000 * 1000 for r in rows)
+    assert all(r.seasonal_milli == 0 for r in rows)
+    assert all(r.remainder_milli == 0 for r in rows)
+
+
+def test_stl_pure_weekly_signal_zero_remainder(spark, tmp_path):
+    """Revenue that depends ONLY on day-of-week over 4 exact weeks:
+    every 7-day window sums to the weekly total, so the trend is
+    flat at the weekly mean, the seasonal captures the whole
+    pattern, and the remainder vanishes — the decomposition routes
+    a recurring Monday dip into seasonal, not anomaly."""
+    from simpleetlpipeline_spark.plans.advanced import daily_revenue_stl
+
+    base = datetime(2024, 1, 1)          # a Monday
+    dow_price = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]
+    orders = [(d, 1, "Completed", dow_price[d % 7],
+               base + timedelta(days=d), "3-MEDIUM")
+              for d in range(28)]
+    _write(spark, tmp_path, "orders", orders)
+    rows = daily_revenue_stl(spark, str(tmp_path)).collect()
+    weekly_mean_milli = sum(int(p * 100) for p in dow_price) * 1000 // 7
+    assert len(rows) == 28 - 6
+    assert all(r.trend_milli == weekly_mean_milli for r in rows)
+    assert all(r.remainder_milli == 0 for r in rows)
+    # seasonal = value - weekly mean, identical across weeks
+    for r in rows:
+        assert r.seasonal_milli == r.revenue_cents * 1000 - weekly_mean_milli
+    assert sum(r.trend_milli + r.seasonal_milli + r.remainder_milli
+               for r in rows) == sum(r.revenue_cents * 1000 for r in rows)

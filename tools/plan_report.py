@@ -80,6 +80,9 @@ HEADLINE = [
     "revenue_trend_theil_sen", "event_hour_mutual_information",
     "bloom_semijoin_reduction", "poisson_bootstrap_mean_ci",
     "open_orders_timeline", "hll_audience_overlap",
+    "cms_user_event_counts", "priority_sample_docs",
+    "mann_whitney_u_test", "order_value_equidepth",
+    "daily_revenue_stl",
 ]
 
 _JOIN_RE = re.compile(
