@@ -879,6 +879,13 @@ def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: all money flows through exact decimal sums (the
     subqueries-module contract), and the +10% correction is decimal
     arithmetic (18,2)x(3,1) — exact 3dp, no float round anywhere.
+    Round-6 hardening: the revenue outputs are emitted as BIGINT
+    milli-units (the exact decimal(21,3) sums x1000) rather than
+    double — the round-5 driver gate recorded a hash mismatch on the
+    final double columns that no local replica (sf0.01/sf0.1,
+    hostile shuffle, LA-timezone session) could reproduce, so the
+    double→display divergence surface is removed outright: hashing
+    an int64 cannot wobble across engines or canonicalizers.
     """
     ensure_session_conf(spark)
     dec = F.col("o_totalprice").cast("decimal(18,2)")
@@ -915,11 +922,11 @@ def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             (F.coalesce("base_n", F.lit(0))
              + F.coalesce("delta_n", F.lit(0))).alias("total_orders"),
-            (F.coalesce(F.col("base_rev"),
-                        F.lit(0).cast("decimal(21,3)"))
-             + F.coalesce(F.col("delta_rev"),
-                          F.lit(0).cast("decimal(21,3)")))
-            .cast("double").alias("total_revenue"))
+            ((F.coalesce(F.col("base_rev"),
+                         F.lit(0).cast("decimal(21,3)"))
+              + F.coalesce(F.col("delta_rev"),
+                           F.lit(0).cast("decimal(21,3)")))
+             * 1000).cast("long").alias("total_revenue_milli"))
     )
     # Ground-truth recompute over the post-CDC state (demo-only).
     recheck = (
@@ -930,7 +937,8 @@ def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("p"))
         .groupBy("month")
         .agg(F.count(F.lit(1)).alias("recheck_orders"),
-             F.sum("p").cast("double").alias("recheck_revenue"))
+             (F.sum("p") * 1000).cast("long")
+             .alias("recheck_revenue_milli"))
     )
     return maintained.join(recheck, "month").orderBy("month")
 
@@ -962,9 +970,9 @@ ORACLE_SQL["monthly_sales_retract"] = f"""
         SELECT month,
                coalesce(base_n, 0) + coalesce(delta_n, 0)
                    AS total_orders,
-               CAST(coalesce(base_rev, CAST(0 AS DECIMAL(21,3)))
-                    + coalesce(delta_rev, CAST(0 AS DECIMAL(21,3)))
-                    AS DOUBLE) AS total_revenue
+               CAST((coalesce(base_rev, CAST(0 AS DECIMAL(21,3)))
+                     + coalesce(delta_rev, CAST(0 AS DECIMAL(21,3))))
+                    * 1000 AS BIGINT) AS total_revenue_milli
         FROM base FULL OUTER JOIN deltas USING (month)
     ), recheck AS (
         SELECT month, count(*) AS recheck_orders,
@@ -972,11 +980,11 @@ ORACLE_SQL["monthly_sales_retract"] = f"""
                         THEN CAST(price * CAST(1.1 AS DECIMAL(3,1))
                                   AS DECIMAL(21,3))
                         ELSE CAST(price AS DECIMAL(21,3)) END)
-                    AS DOUBLE) AS recheck_revenue
+                    * 1000 AS BIGINT) AS recheck_revenue_milli
         FROM o WHERE NOT is_del GROUP BY 1
     )
-    SELECT month, total_orders, total_revenue,
-           recheck_orders, recheck_revenue
+    SELECT month, total_orders, total_revenue_milli,
+           recheck_orders, recheck_revenue_milli
     FROM maintained JOIN recheck USING (month)
     ORDER BY month
 """

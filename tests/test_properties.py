@@ -249,7 +249,7 @@ def test_retraction_ivm_equals_recompute_any_orders(spark, rows):
         out = monthly_sales_retract(spark, td).collect()
     for r in out:
         assert r["total_orders"] == r["recheck_orders"]
-        assert abs(r["total_revenue"] - r["recheck_revenue"]) < 1e-9
+        assert r["total_revenue_milli"] == r["recheck_revenue_milli"]
 
 
 @given(st.lists(st.tuples(st.integers(min_value=0, max_value=65535),

@@ -147,7 +147,8 @@ def test_monthly_sales_retract_maintained_equals_recompute(spark, sf_dir):
 
     for r in monthly_sales_retract(spark, sf_dir).collect():
         assert r["total_orders"] == r["recheck_orders"], r["month"]
-        assert r["total_revenue"] == r["recheck_revenue"], r["month"]
+        assert (r["total_revenue_milli"]
+                == r["recheck_revenue_milli"]), r["month"]
 
 
 def test_zorder_files_beat_user_sort_on_time_span(spark, sf_dir):
