@@ -1027,14 +1027,18 @@ def rolling_window_hashes_udf(n: int):
                 out.append(np.empty(0, dtype=np.int64))
                 continue
             w = min(n, length)
-            pows = np.empty(w, dtype=np.uint64)
-            pows[w - 1] = np.uint64(1)
-            for j in range(w - 2, -1, -1):
-                pows[j] = pows[j + 1] * base
-            k = length - w + 1
-            h = np.zeros(k, dtype=np.uint64)
-            for j in range(w):
-                h += a[j:j + k] * pows[j]
+            # mod-2^64 wraparound IS the hash — silence numpy's
+            # overflow warning so real warnings stay visible in
+            # bench/driver output.
+            with np.errstate(over="ignore"):
+                pows = np.empty(w, dtype=np.uint64)
+                pows[w - 1] = np.uint64(1)
+                for j in range(w - 2, -1, -1):
+                    pows[j] = pows[j + 1] * base
+                k = length - w + 1
+                h = np.zeros(k, dtype=np.uint64)
+                for j in range(w):
+                    h += a[j:j + k] * pows[j]
             out.append(np.unique(h).view(np.int64))
         return pd.Series(out)
 
@@ -1137,11 +1141,13 @@ def segment_dedup(spark: SparkSession, sf_dir: str,
     this keeps one copy of the PARAGRAPH).
 
     Engine shape: segments explode JVM-side (transform over a
-    sequence + posexplode — no Python), winners are one hash-agg on
-    the 64-bit segment hash (min(struct(doc_id, seg_idx)) is exact
-    and order-insensitive), survivors join back on the same hash
-    (hash equality == segment equality modulo 2^-64, the
-    dedup_shared_windows contract), and the rebuild is one per-doc
+    sequence + posexplode — no Python), winners are one hash-agg
+    keyed on (64-bit segment hash, segment) — the hash leads the
+    shuffle/join key for cheap comparison, the text disambiguates
+    so a hash collision between different paragraphs resolves
+    exactly as the oracle's text-keyed GROUP BY does
+    (min(struct(doc_id, seg_idx)) is exact and order-insensitive),
+    survivors join back on the same key, and the rebuild is one per-doc
     agg whose state is bounded by a single document's length.
     Per-doc segment counts come straight off the UN-exploded docs
     frame (ceil(|tokens|/seg_len)) — never a second pass over the
@@ -1161,9 +1167,16 @@ def segment_dedup(spark: SparkSession, sf_dir: str,
     segs = (docs
             .select("doc_id", F.posexplode(segs_arr).alias("seg_idx", "seg"))
             .withColumn("seg_hash", F.xxhash64("seg")))
-    winners = (segs.groupBy("seg_hash")
+    # Group on (hash, seg) — not hash alone: a 64-bit collision
+    # between two DIFFERENT segments must form two winner groups,
+    # exactly as the oracle's seg-keyed GROUP BY does, or Spark
+    # drops a paragraph the oracle keeps.  The hash stays first in
+    # the key so the shuffle partitioner and join probe compare 8
+    # bytes before touching text; map-side combine still collapses
+    # duplicate segments before the exchange.
+    winners = (segs.groupBy("seg_hash", "seg")
                .agg(F.min(F.struct("doc_id", "seg_idx")).alias("win")))
-    kept = (segs.join(winners, "seg_hash")
+    kept = (segs.join(winners, ["seg_hash", "seg"])
             .filter((F.col("doc_id") == F.col("win.doc_id"))
                     & (F.col("seg_idx") == F.col("win.seg_idx"))))
     rebuilt = (kept.groupBy("doc_id")

@@ -212,9 +212,20 @@ def hll_shard_merge(spark: SparkSession, sf_dir: str,
     too-strong bitwise form of this assertion).
 
     Per event_type: the exact distinct-user count (hash-checked),
-    whether |union-of-shards - single-pass| <= 3*rsd*exact
+    whether |union-of-shards - single-pass| <= 6*rsd*exact
     (merge consistency), and whether the merged estimate lands
-    within 5*rsd of exact.
+    within 8*rsd of exact.
+
+    Bound tiers (round-6 hardening): the gated booleans use LOOSE
+    bounds (6*rsd / 8*rsd, tail probability ~1e-9) because the
+    DuckDB oracle can only hardcode TRUE — it cannot reproduce an
+    HLL estimate, so any boolean in a hash-exact gate must be
+    certainly-true-absent-a-bug, or a statistical tail draw at a new
+    scale factor reds the gate with no actual defect (the bitwise
+    form of this assertion already broke once at sf1).  The TIGHT
+    scientific bounds (3*rsd merge gap, 5*rsd estimate error) are
+    asserted in tests/test_stats_ops.py where an epsilon compare is
+    possible.
 
     Plan: one shard-local sketch agg (map-side partials — a sketch
     IS the partial state), one union agg of n_shards tiny binaries,
@@ -245,10 +256,10 @@ def hll_shard_merge(spark: SparkSession, sf_dir: str,
         .select(
             "event_type", "exact_distinct",
             (F.abs(F.col("merged_est") - F.col("direct_est"))
-             <= F.lit(3 * rsd) * F.col("exact_distinct"))
+             <= F.lit(6 * rsd) * F.col("exact_distinct"))
             .alias("merge_consistent"),
             (F.abs(F.col("merged_est") - F.col("exact_distinct"))
-             <= F.lit(5 * rsd) * F.col("exact_distinct"))
+             <= F.lit(8 * rsd) * F.col("exact_distinct"))
             .alias("estimate_ok"))
         .orderBy("event_type")
     )
@@ -290,8 +301,12 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Error bound: each of the three estimates carries rsd-relative
     error on ITS cardinality, so the intersection bound is
-    3 * rsd * (|A| + |B| + |A∪B|) using the exact witnesses — the
-    literal-TRUE oracle only matches when the estimate landed."""
+    rsd * (|A| + |B| + |A∪B|) scaled by a confidence factor.  The
+    GATED boolean uses 6x (certainly-true-absent-a-bug: the
+    literal-TRUE oracle cannot reproduce an HLL estimate, so a
+    3-sigma tail draw at a new scale factor must not red the gate);
+    the tight 3x scientific bound is asserted in
+    tests/test_stats_ops.py."""
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events")
     ut = events.select(F.col("event_type").alias("t"),
@@ -326,7 +341,7 @@ def hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.col("a.n"), F.col("b.n")
     n_union = (na + nb - F.col("n_both")).cast("bigint")
     est_int = (F.col("ea.est") + F.col("eb.est") - F.col("est_union"))
-    bound = 3 * HLL_RSD * (na + nb + (na + nb - F.col("n_both")))
+    bound = 6 * HLL_RSD * (na + nb + (na + nb - F.col("n_both")))
     return (both
             .join(F.broadcast(per_type.alias("a")),
                   F.col("t1") == F.col("a.t"))

@@ -2557,7 +2557,12 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = ev.select(us.alias("us"), cents.alias("cents"))
     scal = rows.agg(
         F.min("cents").alias("min_c"), F.max("cents").alias("max_c"),
-        ((F.min("us") + F.max("us")) / 2).cast("long").alias("mid_us"))
+        # floor-division in BOTH engines: Spark's double->long cast
+        # truncates while DuckDB's CAST(... AS BIGINT) rounds, so an
+        # odd min+max would place the ref/cur split 1us apart across
+        # engines — integer floor on non-negative sums is identical.
+        F.floor((F.min("us") + F.max("us")) / 2)
+        .cast("long").alias("mid_us"))
     binned = (
         rows.crossJoin(F.broadcast(scal))
         .select(
@@ -2607,7 +2612,7 @@ ORACLE_SQL["events_value_psi"] = f"""
         FROM events
     ), scal AS (
         SELECT min(cents) AS min_c, max(cents) AS max_c,
-               CAST((min(us) + max(us)) / 2 AS BIGINT) AS mid_us
+               (min(us) + max(us)) // 2 AS mid_us
         FROM rows_
     ), binned AS (
         SELECT CASE WHEN us <= mid_us THEN 'ref' ELSE 'cur' END AS side,

@@ -577,6 +577,72 @@ def test_hll_audience_overlap_exact_witnesses(spark, tmp_path):
     assert r.hll_ok is True
 
 
+def test_hll_tight_bounds_sf001(spark, sf_dir):
+    """The TIGHT scientific bounds the gated queries deliberately
+    loosen: the gate booleans use 6/8x rsd (a hash-exact DuckDB
+    oracle can only hardcode TRUE, so a 3-sigma tail draw must not
+    red the gate), while the real sketch contract — merge gap within
+    3*rsd of exact, merged estimate within 5*rsd of exact, and the
+    inclusion-exclusion intersection inside its 3x propagated
+    bound — is asserted HERE, where an epsilon compare is possible,
+    over the real sf0.01 events table."""
+    import simpleetlpipeline_spark.functions.sketches as sk
+    from pyspark.sql import functions as F
+    from simpleetlpipeline_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        (F.col("user_id") % sk.HLL_SHARDS).alias("shard"))
+    per_shard = events.groupBy("event_type", "shard").agg(
+        F.hll_sketch_agg("user_id", F.lit(sk.HLL_LGK)).alias("sk"))
+    merged = per_shard.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m"))
+    direct = events.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(sk.HLL_LGK))).alias("d"),
+        F.count_distinct("user_id").alias("x"))
+    rsd = 1.04 / (2 ** sk.HLL_LGK) ** 0.5
+    rows = merged.join(direct, "event_type").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.m - r.d) <= 3 * rsd * r.x, r.event_type
+        assert abs(r.m - r.x) <= 5 * rsd * r.x, r.event_type
+
+    # Inclusion-exclusion intersection: tight 3x propagated bound.
+    ut = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), F.col("user_id").alias("u")
+    ).distinct().cache()
+    # disjoint column names on each side: alias-qualified self-join
+    # predicates over shared cached lineage can resolve trivially
+    # true (the ann_recall_report round-5 bug class)
+    ut2 = ut.select(F.col("t").alias("t2"), F.col("u").alias("u2"))
+    exact = {(a, b): n for a, b, n in (
+        ut.join(ut2, (F.col("u") == F.col("u2"))
+                & (F.col("t") < F.col("t2")))
+        .groupBy(F.col("t").alias("a"), F.col("t2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n")).collect())}
+    card = {r.t: r.n for r in
+            ut.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+    est = {r.t: r.e for r in ut.groupBy("t").agg(
+        F.approx_count_distinct("u", rsd=sk.HLL_RSD).alias("e")
+    ).collect()}
+    uest = {(a, b): e for a, b, e in (
+        ut.join(ut2.select("t2").distinct(),
+                F.col("t") != F.col("t2"))
+        .select(F.least("t", "t2").alias("a"),
+                F.greatest("t", "t2").alias("b"), "u")
+        .groupBy("a", "b")
+        .agg(F.approx_count_distinct("u", rsd=sk.HLL_RSD).alias("e"))
+        .collect())}
+    ut.unpersist()
+    assert exact
+    for (a, b), n_both in exact.items():
+        n_union = card[a] + card[b] - n_both
+        est_int = est[a] + est[b] - uest[(a, b)]
+        bound = 3 * sk.HLL_RSD * (card[a] + card[b] + n_union)
+        assert abs(est_int - n_both) <= bound, (a, b)
+
+
 def test_cms_never_undercounts_even_saturated(spark, tmp_path,
                                               monkeypatch):
     """The CMS contract: collisions may inflate an estimate, never
