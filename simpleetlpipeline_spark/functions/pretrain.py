@@ -362,21 +362,30 @@ def quality_bins(spark: SparkSession, sf_dir: str,
     continuous quality signal into sampling strata for data mixing or
     curriculum schedules.
 
-    Scale note: ntile is a GLOBAL window — one total ordering. That is
-    the operator's semantics (equal-population bins need global ranks);
-    Spark plans it as a range-partitioned sort (sampled boundaries,
-    parallel sort) followed by the window. For fixed THRESHOLD bins
-    (no global sort) use width_bucket-style arithmetic instead.
+    Scale note: ntile needs one total ordering (equal-population
+    bins need global ranks), but Spark plans an unpartitioned ntile
+    window as Exchange SinglePartition — one task sorts every doc.
+    The two-pass form replaces it: coarse score-range buckets give
+    distributed per-bucket ranks plus a tiny offset spine
+    (two_pass_global_window), and the bin assignment is recomputed
+    arithmetically from (rank, N) — bit-identical to SQL ntile
+    (ntile_from_rank), so the DuckDB oracle keeps the plain window.
+    For fixed THRESHOLD bins (no global ranks at all) use
+    width_bucket-style arithmetic instead.
     """
-    from pyspark.sql import Window
-
     from simpleetlpipeline_spark.functions.text import doc_stats
+    from simpleetlpipeline_spark.operators.aggregates import (
+        ntile_from_rank, two_pass_global_window)
 
     stats = doc_stats(spark, sf_dir).select("doc_id", "quality_score")
-    w = Window.orderBy("quality_score", "doc_id")
-    return stats.select(
+    ranked = two_pass_global_window(
+        stats, "quality_score",
+        [F.col("quality_score"), F.col("doc_id")],
+        rank_out="__r", total_rows_out="__n")
+    return ranked.select(
         "doc_id", "quality_score",
-        F.ntile(n_bins).over(w).alias("quality_bin"),
+        ntile_from_rank(F.col("__r"), F.col("__n"), n_bins)
+        .alias("quality_bin"),
     )
 
 
@@ -978,24 +987,26 @@ def token_weighted_sample(spark: SparkSession, sf_dir: str,
     selected once (collapsing its strides — so the sample is <= k,
     exactly k when no doc owns more than 1/k of the corpus).
 
-    Scale note: the cumulative sum is a single ordered window over
-    the (doc_id, n_tokens) MANIFEST — |docs| skinny rows, the same
-    tier as the zorder/shard manifests; the 100 TB swap-in is the
-    classic two-pass distributed prefix sum (per-partition totals
-    broadcast as offsets), which preserves these exact selections
-    because the arithmetic is associative integer addition."""
+    Scale note: the cumulative sum over the (doc_id, n_tokens)
+    manifest runs as the classic two-pass distributed prefix sum
+    (two_pass_global_window: coarse doc_id-range buckets, per-bucket
+    windowed sums, per-bucket totals broadcast back as offsets) —
+    never an unpartitioned window's single-task sort. The grand
+    total rides out of the same pass, so no second aggregate scans
+    the manifest. Selections are preserved exactly because the
+    arithmetic is associative integer addition."""
     from simpleetlpipeline_spark.functions.text import tokens_col
+    from simpleetlpipeline_spark.operators.aggregates import (
+        two_pass_global_window)
 
     ensure_session_conf(spark)
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens_col(F.col("text"))).cast("long")
         .alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0)
-    cum = docs.select(
-        "doc_id", "n_tokens", F.sum("n_tokens").over(w).alias("cum"))
-    total = cum.agg(F.max("cum").alias("__total"))
-    sel = (cum.crossJoin(F.broadcast(total))
+    cum = two_pass_global_window(
+        docs, "doc_id", [F.col("doc_id")], value_col="n_tokens",
+        rank_out=None, cum_out="cum", total_value_out="__total")
+    sel = (cum
            .withColumn(
                "stride_idx",
                F.floor(F.col("cum") * k / F.col("__total")))
@@ -1063,13 +1074,15 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str,
     doc_id; tau and the micro-token w_hat derive from it by exact
     integer division. No RNG, no floats anywhere.
 
-    Shape: the |docs| (doc_id, n_tokens) MANIFEST is the only input
-    — one ordered window ranks priorities (manifest tier, same as
-    the shard/zorder layouts); the total-token witness is one
-    aggregate; output is k rows. At 100 TB the top-(k+1) rank is a
-    TakeOrdered partial: each partition keeps k+1 candidates, the
-    driver merges — no global sort materializes."""
+    Shape: the |docs| (doc_id, n_tokens) MANIFEST is the only input.
+    The top-(k+1) selection is the two-phase partial form
+    (salted_topk with no keys): stage 1 keeps k+1 candidates per
+    salt partition, stage 2 re-ranks only the <= n_salts*(k+1)
+    survivors — no unpartitioned window ever sees the full manifest,
+    so no single task sorts it. The total-token witness is one
+    aggregate; output is k rows."""
     from simpleetlpipeline_spark.functions.text import tokens_col
+    from simpleetlpipeline_spark.operators.aggregates import salted_topk
 
     ensure_session_conf(spark)
     docs = read_table(spark, sf_dir, "documents").select(
@@ -1081,9 +1094,9 @@ def priority_sample_docs(spark: SparkSession, sf_dir: str,
         F.expr(f"n_tokens * {PRI_SCALE}L div "
                f"((((doc_id % {PRI_P}L) * {PRI_A}L + {PRI_B}L) "
                f"% {PRI_P}L) + 1L)").alias("q"))
-    w = Window.orderBy(F.desc("q"), F.asc("doc_id"))
-    ranked = pri.select("doc_id", "n_tokens", "q",
-                        F.row_number().over(w).alias("rn"))
+    ranked = (salted_topk(pri.select("doc_id", "n_tokens", "q"),
+                          [], [F.desc("q"), F.asc("doc_id")], k + 1)
+              .withColumnRenamed("topk_rank", "rn"))
     tau = (ranked.filter(F.col("rn") == k + 1)
            .select(F.expr("q div 1000000L").alias("tau_micro")))
     total = docs.agg(F.sum("n_tokens").cast("bigint")

@@ -155,3 +155,129 @@ def salted_topk(df: DataFrame, keys: list[str], order_by: list[Column],
         .filter(F.col(rank_col) <= k)
         .drop(salt_c, r1_c)
     )
+
+
+def two_pass_global_window(df: DataFrame, key_col: str,
+                           order_cols: list[Column] | None = None,
+                           value_col: str | None = None,
+                           n_buckets: int = 1024,
+                           rank_out: str | None = "rank",
+                           cum_out: str | None = None,
+                           total_rows_out: str | None = None,
+                           total_value_out: str | None = None,
+                           ) -> DataFrame:
+    """Distributed global row_number / inclusive prefix sum — the
+    two-pass replacement for an UNPARTITIONED window over a row-tier
+    frame (Spark plans ``Window.orderBy(...)`` with no partitionBy as
+    Exchange SinglePartition: one task sorts the whole table, the
+    100 TB straggler this helper exists to remove).
+
+    Shape (all content-keyed, so deterministic with NO persist —
+    nothing depends on physical partition ids or sampling):
+
+      1. one scalar agg broadcasts min/max of ``key_col``;
+      2. every row gets a coarse bucket = floor((key-min)/span *
+         n_buckets) — monotone in the key, so buckets are disjoint
+         ordered ranges of the total order;
+      3. one tiny groupBy(bucket) counts rows (and sums
+         ``value_col``); the <= n_buckets-row spine takes ONE
+         unpartitioned window for exclusive offsets (the sanctioned
+         pre-aggregated-spine tier) and broadcasts back;
+      4. a window PARTITIONED by bucket ranks/sums within each
+         bucket; global rank = bucket offset + within-bucket rank.
+
+    ``order_cols`` must start with ``key_col`` (rows compare first on
+    the bucketing key) and end with a unique tiebreaker so the total
+    order is exact. Equal keys always share a bucket, so bucket
+    boundaries can never split a tie.
+
+    Size ``n_buckets`` so a bucket fits one task: parallelism equals
+    n_buckets, and the within-bucket sort is ~N/n_buckets rows (keys
+    assumed spread; a constant key degenerates to one bucket — the
+    same single sort the naive window always pays).
+
+    Appends only the requested columns: ``rank_out`` (1-based global
+    row number), ``cum_out`` (inclusive prefix sum of value_col),
+    ``total_rows_out`` / ``total_value_out`` (grand totals, the
+    scalars ntile-style assignments need without a second pass).
+    """
+    from pyspark.sql import Window
+
+    if order_cols is None:
+        order_cols = [F.col(key_col)]
+    b_c, mn_c, mx_c, cnt_c, vs_c = (
+        "__b", "__mn", "__mx", "__cnt", "__vs")
+    off_c, voff_c, nt_c, vt_c = ("__off", "__voff", "__nt", "__vt")
+    for c in (b_c, mn_c, mx_c, off_c, voff_c, nt_c, vt_c):
+        if c in df.columns:
+            raise ValueError(f"two_pass_global_window temp column "
+                             f"{c!r} collides with input")
+
+    mm = df.agg(F.min(key_col).cast("double").alias(mn_c),
+                F.max(key_col).cast("double").alias(mx_c))
+    span = F.col(mx_c) - F.col(mn_c)
+    bucket = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(key_col).cast("double") - F.col(mn_c))
+                    / span * n_buckets),
+            F.lit(n_buckets - 1))).cast("int")
+    keyed = (df.crossJoin(F.broadcast(mm))
+             .withColumn(b_c, bucket).drop(mn_c, mx_c))
+
+    aggs = [F.count(F.lit(1)).alias(cnt_c)]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(vs_c))
+    counts = keyed.groupBy(b_c).agg(*aggs)
+    spine_w = Window.orderBy(b_c)
+    prev = spine_w.rowsBetween(Window.unboundedPreceding, -1)
+    whole = spine_w.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing)
+    spine_cols = [
+        F.col(b_c),
+        F.coalesce(F.sum(cnt_c).over(prev), F.lit(0)).alias(off_c),
+        F.sum(cnt_c).over(whole).alias(nt_c)]
+    if value_col is not None:
+        spine_cols += [
+            F.coalesce(F.sum(vs_c).over(prev),
+                       F.lit(0).cast("long")).alias(voff_c),
+            F.sum(vs_c).over(whole).alias(vt_c)]
+    spine = counts.select(*spine_cols)
+
+    wb = Window.partitionBy(b_c).orderBy(*order_cols)
+    out = keyed.join(F.broadcast(spine), b_c)
+    keep = list(df.columns)
+    if rank_out is not None:
+        out = out.withColumn(
+            rank_out,
+            (F.col(off_c) + F.row_number().over(wb)).cast("long"))
+        keep.append(rank_out)
+    if cum_out is not None:
+        out = out.withColumn(
+            cum_out,
+            F.col(voff_c) + F.sum(value_col).over(
+                wb.rowsBetween(Window.unboundedPreceding, 0)))
+        keep.append(cum_out)
+    if total_rows_out is not None:
+        out = out.withColumn(total_rows_out, F.col(nt_c))
+        keep.append(total_rows_out)
+    if total_value_out is not None:
+        out = out.withColumn(total_value_out, F.col(vt_c))
+        keep.append(total_value_out)
+    return out.select(*keep)
+
+
+def ntile_from_rank(rank: Column, n_rows: Column, n: int) -> Column:
+    """SQL ntile(n) recomputed from a global 1-based rank and the
+    total row count — bit-identical to the window function (first
+    n_rows % n tiles get one extra row), so a two-pass distributed
+    rank can replace an ntile window without moving the oracle.
+    Divisions are floor over non-negative operands well inside
+    2^53, so double floor-div is exact."""
+    q = F.floor(n_rows / n).cast("long")
+    rem = (n_rows % n).cast("long")
+    small = rem * (q + 1)
+    r0 = rank - 1
+    return (F.when(rank <= small, F.floor(r0 / (q + 1)) + 1)
+            .otherwise(rem + F.floor((r0 - small)
+                               / F.greatest(q, F.lit(1))) + 1)
+            .cast("int"))

