@@ -8,12 +8,24 @@ Timing methodology: per query, build the plan and run a count-style
 action that fully executes it (collect on small results); one warm-up
 run of the flagship query first so JVM/codegen warm-up isn't charged
 to the first measured query.
+
+Median protocol (round-6 verdict task #6): ``--repeat N`` runs the
+whole measurement loop N times on the same warm session and records
+the PER-QUERY MEDIAN across passes (``--median`` is accepted as an
+explicit alias for the default aggregation). Host noise on this
+shared VM drifts whole-catalog totals by 20-25% between single
+passes, which masks real regressions at the 1.2x tier; the
+per-query median across 3 passes is stable enough to diff between
+rounds. The JSON line gains ``"repeat": N`` so artifacts record
+which protocol produced them.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,6 +61,15 @@ def bounded_line(result: dict, budget: int = LINE_BUDGET) -> str:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="measurement passes; per-query MEDIAN across "
+                         "passes is recorded (3 recommended for "
+                         "round artifacts)")
+    ap.add_argument("--median", action="store_true",
+                    help="explicit alias for the default per-query "
+                         "median aggregation across passes")
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from simpleetlpipeline_spark.plans import catalog
     from simpleetlpipeline_spark.session import get_spark
@@ -87,9 +108,6 @@ def main() -> None:
     # the extra wall cost to the heavy tail.
     RETRY_SEC = 1.5
 
-    timings: dict[str, float] = {}
-    etl_rps = None
-
     def run_once(name, fn):
         """(elapsed_sec, records_per_sec|None) for one execution."""
         t0 = time.perf_counter()
@@ -111,15 +129,29 @@ def main() -> None:
         df.count()
         return time.perf_counter() - t0, None
 
-    for name, fn in catalog.QUERIES.items():
-        elapsed, rps = run_once(name, fn)
-        if elapsed > RETRY_SEC:
-            elapsed2, rps2 = run_once(name, fn)
-            if elapsed2 < elapsed:
-                elapsed, rps = elapsed2, rps2
-        timings[name] = round(elapsed, 4)
-        if name == "etl_pipeline_run":
-            etl_rps = rps
+    def measure_pass() -> tuple[dict[str, float], float | None]:
+        pass_timings: dict[str, float] = {}
+        pass_rps = None
+        for name, fn in catalog.QUERIES.items():
+            elapsed, rps = run_once(name, fn)
+            if elapsed > RETRY_SEC:
+                elapsed2, rps2 = run_once(name, fn)
+                if elapsed2 < elapsed:
+                    elapsed, rps = elapsed2, rps2
+            pass_timings[name] = round(elapsed, 4)
+            if name == "etl_pipeline_run":
+                pass_rps = rps
+        return pass_timings, pass_rps
+
+    n_passes = max(1, args.repeat)
+    passes = [measure_pass() for _ in range(n_passes)]
+    timings = {
+        name: round(statistics.median(p[0][name] for p in passes), 4)
+        for name in passes[0][0]
+    }
+    etl_rps_vals = [p[1] for p in passes if p[1] is not None]
+    etl_rps = (round(statistics.median(etl_rps_vals), 1)
+               if etl_rps_vals else None)
     total = round(sum(timings.values()), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -130,6 +162,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "etl_records_per_sec": etl_rps,
+        "repeat": n_passes,
     }
     # Full-precision record for the repo (the judge can read this);
     # stdout gets a size-bounded line because the driver captures only

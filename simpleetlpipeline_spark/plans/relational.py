@@ -1330,26 +1330,37 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
     exact integers. Shape: one basket shuffle for pairs, a
     |items|-keyed window for neighbor top-k (support-bounded; the
     salted form is the swap-in per salted_topk), user-keyed
-    semi/anti joins for the rec set — all linear at any SF."""
+    semi/anti joins for the rec set — all linear at any SF. The
+    |items| x k neighbor table broadcasts into the rec-set join when
+    the part table is small enough (guarded like decontaminate's
+    blocklist: past the bound the hint drops and the join shuffles
+    on the item key instead of OOMing executors)."""
     from simpleetlpipeline_spark.cache import track
+    from simpleetlpipeline_spark.functions.similarity import _table_bytes
 
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate")
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
-    # one materialization of the train join feeds the user-item set,
-    # the basket build, AND (twice) the rec-set anti-join — without
-    # the persist Catalyst re-runs the orders x lineitem shuffle for
-    # each consumer
-    train_items = track(
-        orders.filter(F.col("o_orderdate") < cutoff)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select("o_orderkey", "o_custkey", "l_partkey")
+    # ONE orders x lineitem join covers both split sides (the naive
+    # form runs the fact join twice, once per side of the cutoff);
+    # the persisted result feeds the train user-item set, the basket
+    # build, and the test side
+    all_items = track(
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "l_partkey",
+                (F.col("o_orderdate") < cutoff).alias("is_train"))
         .persist())
-    train_oi = train_items.select("o_custkey", "l_partkey").distinct()
-    test_oi = (orders.filter(F.col("o_orderdate") >= cutoff)
-               .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    train_items = all_items.filter("is_train")
+    # the distinct user-item set itself has three consumers (the
+    # rec-set build join, the already-bought anti-join, and the
+    # eval-user semi-join) — persist it too so the distinct shuffle
+    # runs once, not three times
+    train_oi = track(
+        train_items.select("o_custkey", "l_partkey").distinct()
+        .persist())
+    test_oi = (all_items.filter(~F.col("is_train"))
                .select("o_custkey", "l_partkey").distinct())
 
     train_baskets = (
@@ -1359,24 +1370,31 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") >= 2)
     )
+    # emit BOTH directions of each co-purchase pair inside the basket
+    # explode — the union-of-flipped-aggregate form recomputes the
+    # whole basket explode + groupBy twice (the union's two branches
+    # share no persisted frame); one directed explode costs 2x the
+    # exploded rows but folds in a single map-side-combined aggregate
     pair_structs = F.flatten(F.transform(
         F.col("parts"),
-        lambda x, i: F.transform(
+        lambda x, i: F.flatten(F.transform(
             F.slice(F.col("parts"), i + 2,
                     F.greatest(F.size("parts") - i - 1, F.lit(0))),
-            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-        ),
+            lambda y: F.array(F.struct(x.alias("pa"), y.alias("pb")),
+                              F.struct(y.alias("pa"), x.alias("pb"))),
+        )),
     ))
-    pairs = (train_baskets.select(F.explode(pair_structs).alias("p"))
+    assoc = (train_baskets.select(F.explode(pair_structs).alias("p"))
              .select("p.pa", "p.pb")
              .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_ab")))
-    assoc = (pairs.select("pa", "pb", "n_ab")
-             .unionAll(pairs.select(F.col("pb").alias("pa"),
-                                    F.col("pa").alias("pb"), "n_ab")))
     w = Window.partitionBy("pa").orderBy(F.desc("n_ab"), F.asc("pb"))
     neighbors = (assoc.withColumn("r", F.row_number().over(w))
                  .filter(F.col("r") <= n_neighbors)
                  .select("pa", F.col("pb").alias("rec")))
+    # neighbors is <= |items| x k skinny int rows; the part table's
+    # on-disk footprint bounds |items|, so gate the broadcast on it
+    if _table_bytes(sf_dir, "part") * n_neighbors <= 256 << 20:
+        neighbors = F.broadcast(neighbors)
 
     recs = (train_oi.join(neighbors,
                           F.col("l_partkey") == F.col("pa"))
@@ -1384,13 +1402,18 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
             .distinct()
             .join(train_oi, ["o_custkey", "l_partkey"], "left_anti"))
 
-    eval_users = train_oi.select("o_custkey").distinct()
-    test_eval = test_oi.join(eval_users, "o_custkey", "left_semi")
-    hits = test_eval.join(recs, ["o_custkey", "l_partkey"], "left_semi")
-    n_test = test_eval.agg(F.count(F.lit(1)).alias("n_test_purchases"))
-    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    # semi-join semantics need no pre-dedup of the right side
+    test_eval = test_oi.join(train_oi.select("o_custkey"),
+                             "o_custkey", "left_semi")
+    # recs is distinct, so a LEFT join preserves test_eval's row
+    # count and marks hits — both counters fold in ONE aggregate
+    # instead of two separate jobs over the test side
     return (
-        n_test.crossJoin(F.broadcast(n_hits))
+        test_eval
+        .join(recs.withColumn("__hit", F.lit(1)),
+              ["o_custkey", "l_partkey"], "left")
+        .agg(F.count(F.lit(1)).alias("n_test_purchases"),
+             F.count("__hit").alias("n_hits"))
         .select("n_test_purchases", "n_hits",
                 (F.floor(F.col("n_hits") / F.col("n_test_purchases")
                          * 1e6) / 1e6).alias("hit_rate"))

@@ -825,3 +825,19 @@ def test_rewritten_samplers_no_row_tier_single_partition_window(
                     or "InMemoryTableScan" in head), \
                 f"{fn.__name__}: SinglePartition exchange over a " \
                 f"non-aggregate (row-tier) frame:\n{head}"
+
+
+def test_cf_holdout_hitrate_shares_scans_and_broadcasts_neighbors(
+        spark, sf_dir):
+    """cf_holdout_hitrate's round-6 shape: ONE orders x lineitem
+    join covers both cutoff sides (persisted all_items, 3 consumers),
+    the distinct train user-item set persists once for its 3
+    consumers (rec-set build, already-bought anti-join, eval-user
+    semi-join), and the |items| x k neighbor table broadcasts into
+    the rec-set join. Cached lineage repeats per consumer in the
+    plan string, so count InMemoryTableScan (not FileScan)."""
+    plan = _plan(QUERIES["cf_holdout_hitrate"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 6, \
+        "both persists (all_items, train_oi) must serve 3 consumers"
+    assert plan.count("BroadcastHashJoin") >= 1, \
+        "the neighbor table must broadcast into the rec-set join"
