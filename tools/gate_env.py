@@ -15,8 +15,20 @@ When a driver red next disagrees with a local green, diff the
 committed fingerprint against the driver host's and the suspect
 list shrinks from "anything" to the fields that differ.
 
+Round-6 extension (verdict task #8): the same reproducibility gap
+applies to the sf1 ladder — CORRECTNESS_sf1.json claims entries
+"verified in this session" against /tmp/spark_graft_sf1, but the
+fixture is rebuilt ad hoc by tools/make_sf1.py and nothing pinned
+WHICH bytes the claims were checked against.  ``--fixture <dir>``
+emits a per-table content fingerprint (md5 + bytes of every parquet
+file, since each table is a single file) to embed as the ``env``
+header of sf1 addenda; a next-round rebuild that fingerprints
+differently invalidates the old attestations explicitly instead of
+silently.
+
 Usage: python tools/gate_env.py            # writes /root/repo/GATE_ENV.json
        python tools/gate_env.py --print    # stdout only
+       python tools/gate_env.py --fixture /tmp/spark_graft_sf1
 """
 
 from __future__ import annotations
@@ -99,7 +111,34 @@ def fingerprint() -> dict:
     return env
 
 
+def fixture_fingerprint(fdir: str) -> dict:
+    """Content fingerprint of a fixture directory: md5 + byte size of
+    every *.parquet (each table is one file in the make_sf1 layout),
+    so sf1 attestations pin the exact bytes they were checked
+    against."""
+    import glob
+    import hashlib
+
+    out: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(fdir, "*.parquet"))):
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        out[os.path.basename(path)] = {
+            "md5": h.hexdigest(),
+            "bytes": os.path.getsize(path),
+        }
+    return out
+
+
 def main() -> int:
+    if "--fixture" in sys.argv:
+        fdir = sys.argv[sys.argv.index("--fixture") + 1]
+        print(json.dumps({"fixture_dir": fdir,
+                          "tables": fixture_fingerprint(fdir)},
+                         indent=2, sort_keys=True))
+        return 0
     env = fingerprint()
     text = json.dumps(env, indent=2, sort_keys=True)
     if "--print" in sys.argv:
