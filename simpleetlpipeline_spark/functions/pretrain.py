@@ -1147,3 +1147,112 @@ ORACLE_SQL["priority_sample_docs"] = f"""
     WHERE rn <= {PRIORITY_SAMPLE_K}
     ORDER BY priority_scaled DESC, doc_id
 """
+
+
+#: Activity cutoff for the WOE target: a customer is POSITIVE when
+#: they placed at least one order on/after this date (same split
+#: instant as the CF holdout eval).
+WOE_CUTOFF = "2000-01-01"
+
+
+def woe_encoding(spark: SparkSession, sf_dir: str,
+                 cutoff: str = WOE_CUTOFF) -> DataFrame:
+    """Weight-of-evidence encoding of a categorical feature against a
+    binary target — the credit-scoring-born encoder that turns a
+    category into ln(P(cat|pos)/P(cat|neg)), here market segment vs
+    will-the-customer-order-again (any order on/after the cutoff).
+    Emits per-segment event counts, the Laplace-smoothed WOE, and
+    each segment's information-value contribution (their sum is the
+    feature's IV — the standard keep/drop screen).
+
+    Determinism: all counts are exact; the smoothed odds ratio
+    ((pos_g+1)*(neg_tot+S)) / ((neg_g+1)*(pos_tot+S)) is an exact
+    integer ratio taken through ONE ln and floored at 1e-7 (the lp7
+    contract); the IV contribution repeats the identical IEEE chain
+    in both engines and floors at 1e-7. Sums of the lp7 ints are
+    order-free.
+
+    Shape: one orders scan -> per-customer any-after-cutoff flag
+    (max_by-free: a plain max of a boolean), broadcast-joined to the
+    customer dim -> |segments| hash agg. At 100 TB the orders agg is
+    the only big shuffle (keyed by custkey, map-side combined)."""
+    ensure_session_conf(spark)
+    customers = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate")
+    active = (orders.groupBy("o_custkey")
+              .agg(F.max((F.col("o_orderdate") >= cutoff).cast("int"))
+                   .alias("is_pos")))
+    labeled = (customers
+               .join(active,
+                     customers["c_custkey"] == active["o_custkey"],
+                     "left")
+               .select("c_mktsegment",
+                       F.coalesce("is_pos", F.lit(0)).alias("is_pos")))
+    seg = (labeled.groupBy("c_mktsegment")
+           .agg(F.sum("is_pos").cast("long").alias("n_pos"),
+                F.sum(1 - F.col("is_pos")).cast("long").alias("n_neg")))
+    tot = seg.agg(F.sum("n_pos").cast("long").alias("pos_tot"),
+                  F.sum("n_neg").cast("long").alias("neg_tot"),
+                  F.count(F.lit(1)).cast("long").alias("n_seg"))
+    j = seg.crossJoin(F.broadcast(tot))
+    odds = ((F.col("n_pos") + 1).cast("double")
+            * (F.col("neg_tot") + F.col("n_seg")).cast("double")
+            / (F.col("n_neg") + 1).cast("double")
+            / (F.col("pos_tot") + F.col("n_seg")).cast("double"))
+    woe = F.log(odds)
+    share_diff = ((F.col("n_pos") + 1).cast("double")
+                  / (F.col("pos_tot") + F.col("n_seg")).cast("double")
+                  - (F.col("n_neg") + 1).cast("double")
+                  / (F.col("neg_tot") + F.col("n_seg")).cast("double"))
+    return (j.select(
+        "c_mktsegment", "n_pos", "n_neg",
+        F.floor(woe * 1e7).cast("bigint").alias("woe_lp7"),
+        F.floor(share_diff * woe * 1e7).cast("bigint")
+        .alias("iv_contrib_lp7"))
+        .orderBy("c_mktsegment"))
+
+
+QUERIES["woe_encoding"] = woe_encoding
+
+ORACLE_SQL["woe_encoding"] = f"""
+    WITH active AS (
+        SELECT o_custkey,
+               max(CASE WHEN o_orderdate >= TIMESTAMP '{WOE_CUTOFF}'
+                        THEN 1 ELSE 0 END) AS is_pos
+        FROM orders GROUP BY 1
+    ), labeled AS (
+        SELECT c.c_mktsegment, COALESCE(a.is_pos, 0) AS is_pos
+        FROM customer c LEFT JOIN active a ON c.c_custkey = a.o_custkey
+    ), seg AS (
+        SELECT c_mktsegment,
+               CAST(sum(is_pos) AS BIGINT) AS n_pos,
+               CAST(sum(1 - is_pos) AS BIGINT) AS n_neg
+        FROM labeled GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS pos_tot,
+               CAST(sum(n_neg) AS BIGINT) AS neg_tot,
+               CAST(count(*) AS BIGINT) AS n_seg
+        FROM seg
+    )
+    SELECT c_mktsegment, n_pos, n_neg,
+           CAST(floor(ln(
+               CAST(n_pos + 1 AS DOUBLE)
+               * CAST(neg_tot + n_seg AS DOUBLE)
+               / CAST(n_neg + 1 AS DOUBLE)
+               / CAST(pos_tot + n_seg AS DOUBLE)) * 1e7) AS BIGINT)
+               AS woe_lp7,
+           CAST(floor(
+               (CAST(n_pos + 1 AS DOUBLE)
+                    / CAST(pos_tot + n_seg AS DOUBLE)
+                - CAST(n_neg + 1 AS DOUBLE)
+                    / CAST(neg_tot + n_seg AS DOUBLE))
+               * ln(CAST(n_pos + 1 AS DOUBLE)
+                    * CAST(neg_tot + n_seg AS DOUBLE)
+                    / CAST(n_neg + 1 AS DOUBLE)
+                    / CAST(pos_tot + n_seg AS DOUBLE)) * 1e7)
+               AS BIGINT) AS iv_contrib_lp7
+    FROM seg CROSS JOIN tot
+    ORDER BY c_mktsegment
+"""

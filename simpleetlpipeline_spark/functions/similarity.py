@@ -1392,3 +1392,82 @@ ORACLE_SQL["ann_incremental_topk"] = f"""
     FROM ranked WHERE rank <= {TOP_K}
     ORDER BY a_id, rank
 """
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding table: count, mean,
+    variance, min, max for each of the 64 coordinates — the feature
+    screen run before similarity search or training (a dead or
+    exploding dimension poisons cosine distances and whitening
+    alike; this is feature_scaling_stats for vector columns).
+
+    Determinism: components quantize to int64 at 1e-8 per row (the
+    module's float contract); the mean divides the exact q8 sum; the
+    variance derives from exact operands n*sum(q^2) - sum(q)^2 held
+    as DECIMAL(38,0) (q^2 ~ 1e16 overflows int64 within 1e3 rows),
+    then one double division floored at micro. Min/max are exact q8
+    integers.
+
+    Shape: posexplode -> ONE hash aggregate keyed by dim (64 groups,
+    map-side combined) — shuffle volume is 64 rows of partials per
+    task at any corpus size."""
+    ensure_session_conf(spark)
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    d38 = "decimal(38,0)"
+    q = F.floor(F.col("v") * 1e8).cast("long")
+    agg = (
+        emb.select(F.posexplode(as_double_vec(F.col("embedding")))
+                   .alias("dim", "v"))
+        .select("dim", q.alias("q"))
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+             F.sum("q").cast("long").alias("sum_q8"),
+             F.sum(F.col("q").cast(d38) * F.col("q").cast(d38))
+             .alias("__sq2"),
+             F.min("q").cast("long").alias("min_q8"),
+             F.max("q").cast("long").alias("max_q8"))
+    )
+    n = F.col("n_vectors").cast(d38)
+    var_num = (n * F.col("__sq2")
+               - F.col("sum_q8").cast(d38) * F.col("sum_q8").cast(d38))
+    return agg.select(
+        "dim", "n_vectors", "sum_q8",
+        (F.floor(F.col("sum_q8") / (F.col("n_vectors") * F.lit(100.0)))
+         / 1e6).alias("mean_val"),
+        F.floor(var_num.cast("double")
+                / F.col("n_vectors").cast("double")
+                / F.col("n_vectors").cast("double")
+                / 1e16 * 1e6).cast("bigint").alias("var_micro"),
+        "min_q8", "max_q8",
+    ).orderBy("dim")
+
+
+QUERIES["embedding_dim_stats"] = embedding_dim_stats
+
+ORACLE_SQL["embedding_dim_stats"] = """
+    WITH q AS (
+        SELECT CAST(r.i - 1 AS INT) AS dim,
+               CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1e8)
+                    AS BIGINT) AS q
+        FROM embeddings, range(1, 65) AS r(i)
+    ), agg AS (
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(q) AS BIGINT) AS sum_q8,
+               sum(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))
+                   AS sq2,
+               CAST(min(q) AS BIGINT) AS min_q8,
+               CAST(max(q) AS BIGINT) AS max_q8
+        FROM q GROUP BY 1
+    )
+    SELECT dim, n_vectors, sum_q8,
+           floor(CAST(sum_q8 AS DOUBLE) / (n_vectors * 100.0)) / 1e6
+               AS mean_val,
+           CAST(floor(
+               CAST(CAST(n_vectors AS DECIMAL(38,0)) * sq2
+                    - CAST(sum_q8 AS DECIMAL(38,0))
+                      * CAST(sum_q8 AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(n_vectors AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+               / 1e16 * 1e6) AS BIGINT) AS var_micro,
+           min_q8, max_q8
+    FROM agg ORDER BY dim
+"""

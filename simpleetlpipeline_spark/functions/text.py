@@ -1379,3 +1379,150 @@ ORACLE_SQL["language_sampling_weights"] = f"""
                  * 1e4) / 1e4 AS effective_epochs
     FROM qq ORDER BY lang
 """
+
+
+#: Rank depth for the Zipf regression: deep enough to average out
+#: head idiosyncrasies, shallow enough that every engine agrees on
+#: the rank cutoff (count-desc, token-asc total order is exact).
+ZIPF_TOP_N = 1000
+
+
+def zipf_term_fit(spark: SparkSession, sf_dir: str,
+                  top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(count) on
+    ln(rank) for the top-N terms — the slope is -alpha, the standard
+    sanity statistic for natural-language corpora (alpha ~= 1 for
+    clean text; a flat or broken slope flags boilerplate floods or
+    deduplication failures upstream of pretraining).
+
+    Determinism (the lp7 contract): ln(rank) and ln(count) quantize
+    per SPINE ROW to int64 at 1e-7 before any sum — Spark's Math.log
+    and DuckDB's ln may differ in the last ulp, but floor(ln*1e7)
+    has agreed everywhere the gate has checked it (doc_logprob
+    family). The OLS moments Sxy/Sxx/Syy fold as DECIMAL(38,0)
+    (lp7 x lp7 products overflow int64 past ~1e3 terms x 1e12
+    counts); slope/intercept/r2 are single double divisions over
+    those exact operands, floored at nano/micro.
+
+    Shape: tokenize+explode -> vocab-spine hash agg (map-side
+    combined, shuffle is vocab-sized) -> top-N + rank via the
+    TWO-PHASE salted_topk (per-salt top-N then a merge over
+    <= n_salts*N survivors — never a global window over the raw
+    vocabulary, which is 1e8+ terms at corpus scale) -> one-row
+    moment aggregate. The oracle keeps the plain SQL window.
+    """
+    from simpleetlpipeline_spark.io import fan_out
+    from simpleetlpipeline_spark.operators.aggregates import salted_topk
+
+    ensure_session_conf(spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    vocab = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = salted_topk(vocab, [], [F.desc("cnt"), F.asc("token")],
+                         top_n).withColumnRenamed("topk_rank", "rank")
+    pts = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1e7)
+        .cast("long").alias("lx"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1e7)
+        .cast("long").alias("ly"))
+    d38 = "decimal(38,0)"
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx").cast(d38) * F.col("ly").cast(d38)).alias("sxy"),
+        F.sum(F.col("lx").cast(d38) * F.col("lx").cast(d38)).alias("sxx"),
+        F.sum(F.col("ly").cast(d38) * F.col("ly").cast(d38)).alias("syy"))
+    n, sx, sy = (F.col("n_terms").cast(d38), F.col("sx").cast(d38),
+                 F.col("sy").cast(d38))
+    cov_n = (n * F.col("sxy") - sx * sy).cast("double")
+    var_x = (n * F.col("sxx") - sx * sx).cast("double")
+    var_y = (n * F.col("syy") - sy * sy).cast("double")
+    slope = cov_n / var_x
+    intercept = (F.col("sy").cast("double")
+                 - slope * F.col("sx").cast("double")) \
+        / F.col("n_terms").cast("double")
+    r2 = cov_n * cov_n / (var_x * var_y)
+    return m.select(
+        "n_terms",
+        F.floor(slope * 1e9).cast("bigint").alias("slope_nano"),
+        F.floor(intercept * 1e2).cast("bigint")
+        .alias("intercept_lp7_centi"),
+        F.floor(r2 * 1e6).cast("bigint").alias("r2_micro"))
+
+
+QUERIES["zipf_term_fit"] = zipf_term_fit
+
+ORACLE_SQL["zipf_term_fit"] = f"""
+    WITH vocab AS (
+        SELECT t AS token, count(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)),
+                                             '\\s+')) AS t
+            FROM documents
+        )
+        WHERE t != ''
+        GROUP BY 1
+    ), ranked AS (
+        SELECT cnt, row_number() OVER (
+                   ORDER BY cnt DESC, token ASC) AS rank
+        FROM vocab
+        QUALIFY rank <= {ZIPF_TOP_N}
+    ), pts AS (
+        SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e7) AS BIGINT)
+                   AS lx,
+               CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e7) AS BIGINT)
+                   AS ly
+        FROM ranked
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(lx) AS BIGINT) AS sx,
+               CAST(sum(ly) AS BIGINT) AS sy,
+               sum(CAST(lx AS DECIMAL(38,0)) * CAST(ly AS DECIMAL(38,0)))
+                   AS sxy,
+               sum(CAST(lx AS DECIMAL(38,0)) * CAST(lx AS DECIMAL(38,0)))
+                   AS sxx,
+               sum(CAST(ly AS DECIMAL(38,0)) * CAST(ly AS DECIMAL(38,0)))
+                   AS syy
+        FROM pts
+    )
+    SELECT n_terms,
+           CAST(floor(
+               CAST(CAST(n_terms AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0))
+                      * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(CAST(n_terms AS DECIMAL(38,0)) * sxx
+                      - CAST(sx AS DECIMAL(38,0))
+                        * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+               * 1e9) AS BIGINT) AS slope_nano,
+           CAST(floor(
+               (CAST(sy AS DOUBLE)
+                - CAST(CAST(n_terms AS DECIMAL(38,0)) * sxy
+                       - CAST(sx AS DECIMAL(38,0))
+                         * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+                  / CAST(CAST(n_terms AS DECIMAL(38,0)) * sxx
+                         - CAST(sx AS DECIMAL(38,0))
+                           * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+                  * CAST(sx AS DOUBLE))
+               / CAST(n_terms AS DOUBLE) * 1e2) AS BIGINT)
+               AS intercept_lp7_centi,
+           CAST(floor(
+               CAST(CAST(n_terms AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0))
+                      * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+               * CAST(CAST(n_terms AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(38,0))
+                        * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+               / (CAST(CAST(n_terms AS DECIMAL(38,0)) * sxx
+                       - CAST(sx AS DECIMAL(38,0))
+                         * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+                  * CAST(CAST(n_terms AS DECIMAL(38,0)) * syy
+                         - CAST(sy AS DECIMAL(38,0))
+                           * CAST(sy AS DECIMAL(38,0)) AS DOUBLE))
+               * 1e6) AS BIGINT) AS r2_micro
+    FROM m
+"""

@@ -226,3 +226,74 @@ def k_anonymity_report(spark, sf_dir: str, k: int = K_ANONYMITY_K):
     return (level("nation+segment", ["c_nationkey", "c_mktsegment"])
             .unionByName(level("nation", ["c_nationkey"]))
             .orderBy("qi_level"))
+
+
+def table_stats_profile(spark, sf_dir: str):
+    """ANALYZE-style column statistics for the orders table: one row
+    per column with row/null counts, exact distinct count, and
+    type-canonical min/max — the optimizer-statistics collection
+    (ndv, null fraction, bounds) every cost-based planner and data
+    catalog runs after a load.
+
+    Canonical-exact contract (no engine repr leaks): numeric bounds
+    are BIGINT (cents for the money column, epoch micros for the
+    timestamp); string bounds travel as strings (ASCII domain,
+    binary collation in both engines); avg string length is an
+    exact milli-unit integer division. A double's own string repr
+    never appears — Spark and DuckDB shortest-round-trip formatting
+    is exactly the cross-engine hazard this schema avoids.
+
+    Shape: ONE scan; the multi-column exact count(DISTINCT) plans as
+    Spark's Expand (5x rows into one shuffle, map-side partial per
+    column) — the documented 100 TB swap-in is approx_count_distinct
+    (HLL++, the approx_distinct_users contract) per column, which
+    collapses the expand to mergeable sketches. Output is 5 rows.
+    """
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    micros = (F.unix_micros(F.col("o_orderdate"))).cast("long")
+    agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[x for name, col in (
+            ("o_orderkey", F.col("o_orderkey")),
+            ("o_custkey", F.col("o_custkey")),
+            ("o_orderstatus", F.col("o_orderstatus")),
+            ("o_totalprice", cents),
+            ("o_orderdate", micros),
+        ) for x in (
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long")
+            .alias(f"nn_{name}"),
+            F.count_distinct(col).cast("long").alias(f"nd_{name}"),
+            F.min(col).cast("string").alias(f"mn_{name}"),
+            F.max(col).cast("string").alias(f"mx_{name}"),
+        )],
+        F.sum(F.length("o_orderstatus")).cast("long").alias("len_status"),
+    )
+    # ONE aggregate row fans out to 5 result rows via inline —
+    # a 5-way union of selects over the same lineage would recompute
+    # the full-table aggregate five times
+    def entry(name: str) -> F.Column:
+        avg_len = (
+            F.floor(F.col("len_status") * 1000
+                    / (F.col("n_rows") - F.col(f"nn_{name}")))
+            .cast("long")
+            if name == "o_orderstatus" else F.lit(None).cast("long"))
+        return F.struct(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"nn_{name}").alias("n_null"),
+            F.col(f"nd_{name}").alias("n_distinct"),
+            F.col(f"mn_{name}").alias("min_canonical"),
+            F.col(f"mx_{name}").alias("max_canonical"),
+            avg_len.alias("avg_len_milli"))
+
+    return (agg.select(F.inline(F.array(*[
+        entry(n) for n in ("o_custkey", "o_orderdate", "o_orderkey",
+                           "o_orderstatus", "o_totalprice")])))
+        .orderBy("column_name"))

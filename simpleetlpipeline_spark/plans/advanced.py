@@ -4053,3 +4053,129 @@ ORACLE_SQL["daily_revenue_stl"] = """
     FROM interior i JOIN seas_c s USING (dow)
     ORDER BY i.day
 """
+
+
+#: Robust fence in whole MADs: |v - median| > MAD_FENCE_K * MAD flags
+#: an outlier. 5 MADs ~= 3.4 sigma under normality (5 * 0.6745) —
+#: an integer so the fence comparison stays exact in both engines.
+MAD_FENCE_K = 5
+
+
+def robust_outlier_mad(spark: SparkSession, sf_dir: str,
+                       fence_k: int = MAD_FENCE_K) -> DataFrame:
+    """Per-event-type robust outlier report: median and MAD (median
+    absolute deviation) of the value distribution, and how many
+    events sit beyond ``fence_k`` MADs from the median — the robust
+    z-score screen (Iglewicz-Hoaglin) that mean/stddev anomaly
+    detection gets wrong on heavy-tailed money data, where the
+    outliers inflate the very sigma meant to catch them.
+
+    Exact-order-statistic contract: values quantize to cents; both
+    medians are the LOWER median (the ceil(n/2)-th order statistic)
+    computed from cumulative counts over the distinct-cents spine —
+    never an engine median() builtin (DuckDB averages the two middle
+    values on even n, Spark's percentile interpolates; the k-th
+    order statistic is the only definition both engines express
+    identically). The fence is integer arithmetic end to end; the
+    only float is the ppm share, one double division floored.
+
+    Shape: one events scan -> (type, cents) hash agg (map-side
+    combined; spine is value-domain-bounded, NOT row-bounded) ->
+    per-type cumulative window over the spine for the median -> the
+    deviation spine (|v - med|, another domain-bounded agg) -> same
+    window for the MAD -> one fence aggregate. 100 TB of events
+    still folds to <= |types| x |distinct cents| spine rows."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("etype"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"))
+    spine = ev.groupBy("etype", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    def lower_median(sp: DataFrame, val: str) -> DataFrame:
+        """(etype, med) via cumulative counts: smallest value whose
+        running count reaches ceil(n/2)."""
+        wc = (Window.partitionBy("etype").orderBy(val)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wn = (Window.partitionBy("etype")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+        return (sp.select("etype", F.col(val).alias("__v"),
+                          F.sum("cnt").over(wc).alias("__cum"),
+                          F.sum("cnt").over(wn).alias("__n"))
+                .filter(F.col("__cum") * 2 >= F.col("__n"))
+                .groupBy("etype").agg(F.min("__v").alias("med")))
+
+    med = lower_median(spine, "v")
+    dev = (spine.join(F.broadcast(med), "etype")
+           .select("etype", F.abs(F.col("v") - F.col("med")).alias("d"),
+                   "cnt")
+           .groupBy("etype", "d")
+           .agg(F.sum("cnt").alias("cnt")))
+    mad = lower_median(dev, "d").withColumnRenamed("med", "mad")
+    fenced = (spine.join(F.broadcast(med), "etype")
+              .join(F.broadcast(mad), "etype")
+              .groupBy("etype")
+              .agg(F.sum("cnt").cast("long").alias("n_events"),
+                   F.min("med").cast("long").alias("median_cents"),
+                   F.min("mad").cast("long").alias("mad_cents"),
+                   F.sum(F.when(
+                       F.abs(F.col("v") - F.col("med"))
+                       > fence_k * F.col("mad"),
+                       F.col("cnt")).otherwise(0))
+                   .cast("long").alias("n_outliers")))
+    return (fenced.select(
+        "etype", "n_events", "median_cents", "mad_cents", "n_outliers",
+        F.floor(F.col("n_outliers") / F.col("n_events") * 1e6)
+        .cast("bigint").alias("outlier_ppm"))
+        .orderBy("etype"))
+
+
+QUERIES["robust_outlier_mad"] = robust_outlier_mad
+
+ORACLE_SQL["robust_outlier_mad"] = f"""
+    WITH ev AS (
+        SELECT event_type AS etype,
+               CAST(floor(value * 100) AS BIGINT) AS v
+        FROM events
+    ), spine AS (
+        SELECT etype, v, CAST(count(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY 1, 2
+    ), med AS (
+        SELECT etype, min(v) AS med FROM (
+            SELECT etype, v,
+                   sum(cnt) OVER (PARTITION BY etype ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY etype) AS n
+            FROM spine
+        ) WHERE cum * 2 >= n GROUP BY 1
+    ), dev AS (
+        SELECT s.etype, abs(s.v - m.med) AS d, sum(s.cnt) AS cnt
+        FROM spine s JOIN med m USING (etype)
+        GROUP BY 1, 2
+    ), mad AS (
+        SELECT etype, min(d) AS mad FROM (
+            SELECT etype, d,
+                   sum(cnt) OVER (PARTITION BY etype ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY etype) AS n
+            FROM dev
+        ) WHERE cum * 2 >= n GROUP BY 1
+    ), fenced AS (
+        SELECT s.etype,
+               CAST(sum(s.cnt) AS BIGINT) AS n_events,
+               CAST(min(m.med) AS BIGINT) AS median_cents,
+               CAST(min(a.mad) AS BIGINT) AS mad_cents,
+               CAST(sum(CASE WHEN abs(s.v - m.med)
+                                  > {MAD_FENCE_K} * a.mad
+                             THEN s.cnt ELSE 0 END) AS BIGINT)
+                   AS n_outliers
+        FROM spine s JOIN med m USING (etype) JOIN mad a USING (etype)
+        GROUP BY 1
+    )
+    SELECT etype, n_events, median_cents, mad_cents, n_outliers,
+           CAST(floor(CAST(n_outliers AS DOUBLE)
+                      / CAST(n_events AS DOUBLE) * 1e6) AS BIGINT)
+               AS outlier_ppm
+    FROM fenced ORDER BY etype
+"""

@@ -87,6 +87,80 @@ ORACLE_SQL["k_anonymity_report"] = f"""
     SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY qi_level
 """
 
+from simpleetlpipeline_spark.operators.quality import (  # noqa: E402
+    table_stats_profile,
+)
+
+QUERIES["table_stats_profile"] = table_stats_profile
+ORACLE_SQL["table_stats_profile"] = """
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nn_o_orderkey,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                   AS nd_o_orderkey,
+               CAST(min(o_orderkey) AS VARCHAR) AS mn_o_orderkey,
+               CAST(max(o_orderkey) AS VARCHAR) AS mx_o_orderkey,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nn_o_custkey,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_o_custkey,
+               CAST(min(o_custkey) AS VARCHAR) AS mn_o_custkey,
+               CAST(max(o_custkey) AS VARCHAR) AS mx_o_custkey,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nn_o_orderstatus,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                   AS nd_o_orderstatus,
+               min(o_orderstatus) AS mn_o_orderstatus,
+               max(o_orderstatus) AS mx_o_orderstatus,
+               CAST(sum(CASE WHEN o_totalprice IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nn_o_totalprice,
+               CAST(count(DISTINCT CAST(floor(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT)
+                   AS nd_o_totalprice,
+               CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS VARCHAR) AS mn_o_totalprice,
+               CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS VARCHAR) AS mx_o_totalprice,
+               CAST(sum(CASE WHEN o_orderdate IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nn_o_orderdate,
+               CAST(count(DISTINCT epoch_us(o_orderdate)) AS BIGINT)
+                   AS nd_o_orderdate,
+               CAST(min(epoch_us(o_orderdate)) AS VARCHAR)
+                   AS mn_o_orderdate,
+               CAST(max(epoch_us(o_orderdate)) AS VARCHAR)
+                   AS mx_o_orderdate,
+               CAST(sum(length(o_orderstatus)) AS BIGINT) AS len_status
+        FROM orders
+    )
+    SELECT 'o_custkey' AS column_name, n_rows, nn_o_custkey AS n_null,
+           nd_o_custkey AS n_distinct, mn_o_custkey AS min_canonical,
+           mx_o_custkey AS max_canonical,
+           CAST(NULL AS BIGINT) AS avg_len_milli
+    FROM agg
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, nn_o_orderdate, nd_o_orderdate,
+           mn_o_orderdate, mx_o_orderdate, CAST(NULL AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT 'o_orderkey', n_rows, nn_o_orderkey, nd_o_orderkey,
+           mn_o_orderkey, mx_o_orderkey, CAST(NULL AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_o_orderstatus, nd_o_orderstatus,
+           mn_o_orderstatus, mx_o_orderstatus,
+           CAST(len_status * 1000 // (n_rows - nn_o_orderstatus)
+                AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn_o_totalprice, nd_o_totalprice,
+           mn_o_totalprice, mx_o_totalprice, CAST(NULL AS BIGINT)
+    FROM agg
+    ORDER BY column_name
+"""
+
 # The driver's correctness gate checks a bounded PREFIX of this dict
 # (it stops at entry 50), so ordering is part of the contract.
 # Three tiers:

@@ -810,3 +810,137 @@ def test_stl_pure_weekly_signal_zero_remainder(spark, tmp_path):
         assert r.seasonal_milli == r.revenue_cents * 1000 - weekly_mean_milli
     assert sum(r.trend_milli + r.seasonal_milli + r.remainder_milli
                for r in rows) == sum(r.revenue_cents * 1000 for r in rows)
+
+
+def test_robust_outlier_mad_hand_fixture(spark, tmp_path):
+    """Lower-median/MAD semantics on a hand-built events table:
+    type 'view' = nine 1.00s plus one 100.00 (median 100 cents,
+    MAD 0 — the degenerate fence flags the single far point);
+    type 'click' = 1..5 dollars (median 300, MAD 100, fence 500,
+    zero outliers)."""
+    from simpleetlpipeline_spark.plans.advanced import robust_outlier_mad
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, t0 + timedelta(minutes=i), 1, "view",
+             1.0 if i < 9 else 100.0, "{}") for i in range(10)]
+    rows += [(100 + i, t0 + timedelta(minutes=i), 2, "click",
+              float(i + 1), "{}") for i in range(5)]
+    _write(spark, tmp_path, "events", rows)
+    got = {r["etype"]: r for r in
+           robust_outlier_mad(spark, str(tmp_path)).collect()}
+    v = got["view"]
+    assert (v["n_events"], v["median_cents"], v["mad_cents"],
+            v["n_outliers"], v["outlier_ppm"]) == (10, 100, 0, 1, 100000)
+    c = got["click"]
+    assert (c["n_events"], c["median_cents"], c["mad_cents"],
+            c["n_outliers"], c["outlier_ppm"]) == (5, 300, 100, 0, 0)
+
+
+def test_woe_encoding_hand_fixture(spark, tmp_path):
+    """WOE/IV against the hand formula: segment A 2 pos / 1 neg,
+    segment B 0 pos / 2 neg; Laplace +1 with S=2 segments."""
+    from simpleetlpipeline_spark.functions.pretrain import woe_encoding
+
+    cust = [(k, f"c{k}", 0, 0.0, "SEG_A" if k < 3 else "SEG_B")
+            for k in range(5)]
+    # customers 0,1 ordered after the 2000-01-01 cutoff (positive)
+    orders = [(1, 0, "Completed", 1.0, datetime(2000, 6, 1), "1-URGENT"),
+              (2, 1, "Completed", 1.0, datetime(2001, 1, 1), "1-URGENT"),
+              (3, 2, "Completed", 1.0, datetime(1999, 1, 1), "1-URGENT"),
+              (4, 3, "Completed", 1.0, datetime(1998, 1, 1), "1-URGENT")]
+    _write(spark, tmp_path, "customer", cust)
+    _write(spark, tmp_path, "orders", orders)
+    got = {r["c_mktsegment"]: r for r in
+           woe_encoding(spark, str(tmp_path)).collect()}
+    a, b = got["SEG_A"], got["SEG_B"]
+    assert (a["n_pos"], a["n_neg"]) == (2, 1)
+    assert (b["n_pos"], b["n_neg"]) == (0, 2)
+    pos_tot, neg_tot, s = 2, 3, 2
+    for r, (np_, nn_) in ((a, (2, 1)), (b, (0, 2))):
+        odds = ((np_ + 1) * (neg_tot + s)) / ((nn_ + 1) * (pos_tot + s))
+        woe = math.log(odds)
+        assert r["woe_lp7"] == math.floor(woe * 1e7)
+        share = (np_ + 1) / (pos_tot + s) - (nn_ + 1) / (neg_tot + s)
+        assert r["iv_contrib_lp7"] == math.floor(share * woe * 1e7)
+
+
+def test_embedding_dim_stats_hand_fixture(spark, tmp_path):
+    """Per-dim mean/var against exact integer arithmetic on a
+    3-vector fixture (64 dims, only dims 0/1 nonzero)."""
+    from simpleetlpipeline_spark.functions.similarity import (
+        embedding_dim_stats)
+
+    vecs = [
+        (0, [0.5, -1.0] + [0.0] * 62, 0),
+        (1, [1.5, 2.0] + [0.0] * 62, 0),
+        (2, [2.5, -4.0] + [0.0] * 62, 1),
+    ]
+    _write(spark, tmp_path, "embeddings", vecs)
+    got = {r["dim"]: r for r in
+           embedding_dim_stats(spark, str(tmp_path)).collect()}
+    assert len(got) == 64
+    d0 = got[0]
+    q = [50_000_000, 150_000_000, 250_000_000]
+    assert d0["n_vectors"] == 3 and d0["sum_q8"] == sum(q)
+    assert (d0["min_q8"], d0["max_q8"]) == (q[0], q[2])
+    assert d0["mean_val"] == 1.5
+    var_num = 3 * sum(x * x for x in q) - sum(q) ** 2
+    assert d0["var_micro"] == math.floor(var_num / 9 / 1e16 * 1e6)
+    d1 = got[1]
+    assert (d1["min_q8"], d1["max_q8"]) == (-400_000_000, 200_000_000)
+    assert got[5]["var_micro"] == 0 and got[5]["sum_q8"] == 0
+
+
+def test_zipf_term_fit_hand_fixture(spark, tmp_path):
+    """OLS slope over quantized (ln rank, ln count) points matches a
+    pure-Python replica on a 4-term corpus with counts 8/4/2/1."""
+    from simpleetlpipeline_spark.functions.text import zipf_term_fit
+
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    _write(spark, tmp_path, "documents",
+           [(0, text, "en", "s", len(text))])
+    [r] = zipf_term_fit(spark, str(tmp_path)).collect()
+    counts = [8, 4, 2, 1]
+    pts = [(math.floor(math.log(i + 1) * 1e7),
+            math.floor(math.log(c) * 1e7))
+           for i, c in enumerate(counts)]
+    n = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["n_terms"] == 4
+    assert r["slope_nano"] == math.floor(slope * 1e9)
+    # counts 8/4/2/1 over ranks 1..4 are near-perfectly Zipf-ish
+    # (log2-spaced), so the fit must be tight and negative
+    assert r["r2_micro"] > 900_000 and r["slope_nano"] < 0
+
+
+def test_table_stats_profile_hand_fixture(spark, tmp_path):
+    """Null accounting, exact ndv, and canonical bounds on a 3-row
+    orders fixture with one NULL customer."""
+    from simpleetlpipeline_spark.operators.quality import (
+        table_stats_profile)
+
+    rows = [(1, 10, "Completed", 19.99, datetime(2020, 1, 1), "1-URGENT"),
+            (2, None, "Pending", 5.00, datetime(2021, 6, 1), "2-HIGH"),
+            (3, 10, "Completed", 7.50, datetime(2020, 1, 1), "3-LOW")]
+    _write(spark, tmp_path, "orders", rows)
+    got = {r["column_name"]: r for r in
+           table_stats_profile(spark, str(tmp_path)).collect()}
+    ck = got["o_custkey"]
+    assert (ck["n_rows"], ck["n_null"], ck["n_distinct"]) == (3, 1, 1)
+    assert (ck["min_canonical"], ck["max_canonical"]) == ("10", "10")
+    tp = got["o_totalprice"]
+    # floor-cents: 19.99 is 1998.999... in IEEE, so floor gives 1998
+    # (the same double op in both engines — the documented contract)
+    assert (tp["min_canonical"], tp["max_canonical"]) == ("500", "1998")
+    assert tp["n_distinct"] == 3
+    st = got["o_orderstatus"]
+    assert st["n_distinct"] == 2
+    # 'Completed'(9) x2 + 'Pending'(7) = 25 chars over 3 rows
+    assert st["avg_len_milli"] == 25 * 1000 // 3
+    od = got["o_orderdate"]
+    assert od["n_distinct"] == 2
+    assert int(od["min_canonical"]) == int(
+        datetime(2020, 1, 1).timestamp() * 0) + 1577836800000000
