@@ -1256,3 +1256,208 @@ ORACLE_SQL["woe_encoding"] = f"""
     FROM seg CROSS JOIN tot
     ORDER BY c_mktsegment
 """
+
+
+def gains_lift_table(spark: SparkSession, sf_dir: str,
+                     cutoff: str = WOE_CUTOFF,
+                     n_bins: int = 10) -> DataFrame:
+    """Gains/lift table — the standard model-evaluation readout:
+    customers are scored by pre-cutoff spend (the 'model'), cut into
+    spend deciles, and each decile reports its post-cutoff repeat
+    rate, the cumulative capture of all repeat customers (gains),
+    and lift vs the base rate. The leakage discipline matches
+    cf_holdout_hitrate: the score sees only pre-cutoff data, the
+    target only post-cutoff.
+
+    Determinism: spend is an exact decimal sum; decile assignment is
+    the two-pass distributed rank + ntile_from_rank (bit-identical
+    to SQL ntile, so the oracle keeps the plain window; ties break
+    on custkey); rates/gains/lift are single double divisions over
+    exact integers, floored at micro.
+
+    Shape: one orders scan feeds both sides (pre-cutoff spend agg,
+    post-cutoff repeat flags — the same persisted-split pattern as
+    cf_holdout_hitrate's all_items); the ranked frame is customer-
+    tier and never crosses an unpartitioned window; the readout is
+    n_bins rows."""
+    from simpleetlpipeline_spark.cache import track
+    from simpleetlpipeline_spark.operators.aggregates import (
+        ntile_from_rank, two_pass_global_window)
+
+    ensure_session_conf(spark)
+    orders = track(
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice",
+                (F.col("o_orderdate") < cutoff).alias("is_pre"))
+        .persist())
+    spend = (orders.filter("is_pre")
+             .groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("spend")))
+    repeat = (orders.filter(~F.col("is_pre"))
+              .select("o_custkey").distinct()
+              .withColumn("is_repeat", F.lit(1)))
+    scored = (spend.join(repeat, "o_custkey", "left")
+              .select("o_custkey", "spend",
+                      F.coalesce("is_repeat", F.lit(0)).alias("is_repeat"),
+                      (-F.col("spend")).alias("neg_spend")))
+    ranked = two_pass_global_window(
+        scored, "neg_spend", [F.col("neg_spend"), F.col("o_custkey")],
+        rank_out="__r", total_rows_out="__n")
+    deciled = ranked.select(
+        "is_repeat",
+        ntile_from_rank(F.col("__r"), F.col("__n"), n_bins)
+        .alias("decile"))
+    per = (deciled.groupBy("decile")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.sum("is_repeat").cast("long").alias("n_repeat")))
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    tot = per.agg(F.sum("n_customers").cast("long").alias("nt"),
+                  F.sum("n_repeat").cast("long").alias("rt"))
+    return (per.crossJoin(F.broadcast(tot))
+            .withColumn("cum_repeat",
+                        F.sum("n_repeat").over(w_cum).cast("long"))
+            .select(
+                "decile", "n_customers", "n_repeat",
+                F.floor(F.col("n_repeat") / F.col("n_customers") * 1e6)
+                .cast("bigint").alias("repeat_rate_micro"),
+                F.floor(F.col("cum_repeat") / F.col("rt") * 1e6)
+                .cast("bigint").alias("cum_gain_micro"),
+                F.floor(F.col("n_repeat") * F.col("nt").cast("double")
+                        / (F.col("n_customers") * F.col("rt")
+                           .cast("double")) * 1e6)
+                .cast("bigint").alias("lift_micro"))
+            .orderBy("decile"))
+
+
+QUERIES["gains_lift_table"] = gains_lift_table
+
+ORACLE_SQL["gains_lift_table"] = f"""
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '{WOE_CUTOFF}'
+        GROUP BY 1
+    ), repeat AS (
+        SELECT DISTINCT o_custkey, 1 AS is_repeat
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{WOE_CUTOFF}'
+    ), scored AS (
+        SELECT s.o_custkey, s.spend,
+               COALESCE(r.is_repeat, 0) AS is_repeat
+        FROM spend s LEFT JOIN repeat r USING (o_custkey)
+    ), deciled AS (
+        SELECT is_repeat,
+               ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC)
+                   AS decile
+        FROM scored
+    ), per AS (
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(is_repeat) AS BIGINT) AS n_repeat
+        FROM deciled GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_customers) AS BIGINT) AS nt,
+               CAST(sum(n_repeat) AS BIGINT) AS rt
+        FROM per
+    )
+    SELECT decile, n_customers, n_repeat,
+           CAST(floor(CAST(n_repeat AS DOUBLE)
+                      / CAST(n_customers AS DOUBLE) * 1e6) AS BIGINT)
+               AS repeat_rate_micro,
+           CAST(floor(CAST(sum(n_repeat) OVER (
+                           ORDER BY decile
+                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                      / CAST(rt AS DOUBLE) * 1e6) AS BIGINT)
+               AS cum_gain_micro,
+           CAST(floor(CAST(n_repeat AS DOUBLE) * CAST(nt AS DOUBLE)
+                      / (CAST(n_customers AS DOUBLE)
+                         * CAST(rt AS DOUBLE)) * 1e6) AS BIGINT)
+               AS lift_micro
+    FROM per CROSS JOIN tot
+    ORDER BY decile
+"""
+
+
+def quantile_normalize_quality(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the quality score: each
+    document gets its percentile WITHIN its source (share of the
+    source's docs scoring strictly below it) — the cross-source
+    calibration step before mixing corpora whose raw quality scales
+    differ (one source's 0.6 is another's 0.9; percentiles compare).
+
+    Determinism: the score is doc_stats' already-floored 4dp double
+    (grouping doubles is safe here because both engines derive the
+    identical bits — the doc_stats oracle is hash-green on exactly
+    these values); the percentile is pure integer arithmetic,
+    (rows_strictly_below * 1e6) div source_count.
+
+    Shape: one docs pass to the (source, score) SPINE (domain-
+    bounded: <= |sources| x 10^4 distinct floored scores, map-side
+    combined) -> per-source cumulative window over the spine (spine
+    tier, never raw docs) -> broadcast back onto the doc stream.
+    100 TB of documents still cross one spine-sized broadcast."""
+    from simpleetlpipeline_spark.functions.text import doc_stats
+    from simpleetlpipeline_spark.io import read_table as _rt
+
+    ensure_session_conf(spark)
+    docs = (_rt(spark, sf_dir, "documents").select("doc_id", "source")
+            .join(doc_stats(spark, sf_dir)
+                  .select("doc_id", "quality_score"), "doc_id"))
+    spine = (docs.groupBy("source", "quality_score")
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = (Window.partitionBy("source").orderBy("quality_score")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("source")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    pct = (spine.select(
+        "source", "quality_score",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("__below"),
+        F.sum("cnt").over(wn).alias("__n"))
+        .select("source", "quality_score",
+                F.expr("__below * 1000000 div __n").alias("pct_micro")))
+    return docs.join(F.broadcast(pct), ["source", "quality_score"]) \
+        .select("doc_id", "source", "quality_score", "pct_micro")
+
+
+QUERIES["quantile_normalize_quality"] = quantile_normalize_quality
+
+from simpleetlpipeline_spark.functions.text import (  # noqa: E402
+    _STOPWORDS_SQL)
+
+ORACLE_SQL["quantile_normalize_quality"] = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL}))
+                    AS BIGINT) AS n_stopwords
+        FROM t
+    ), q AS (
+        SELECT doc_id, source,
+               floor(least(1.0, n_tokens / 50.0)
+                     * (1 - n_stopwords / n_tokens) * 10000) / 10000
+                   AS quality_score
+        FROM s
+    ), spine AS (
+        SELECT source, quality_score,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM q GROUP BY 1, 2
+    ), pct AS (
+        SELECT source, quality_score,
+               CAST((sum(cnt) OVER (PARTITION BY source
+                                    ORDER BY quality_score
+                                    ROWS UNBOUNDED PRECEDING) - cnt)
+                    * 1000000
+                    // sum(cnt) OVER (PARTITION BY source) AS BIGINT)
+                   AS pct_micro
+        FROM spine
+    )
+    SELECT q.doc_id, q.source, q.quality_score, p.pct_micro
+    FROM q JOIN pct p USING (source, quality_score)
+"""

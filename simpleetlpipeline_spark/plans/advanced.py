@@ -4179,3 +4179,102 @@ ORACLE_SQL["robust_outlier_mad"] = f"""
                AS outlier_ppm
     FROM fenced ORDER BY etype
 """
+
+
+#: How many top streaks the activity report returns.
+STREAK_TOP_N = 20
+
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str,
+                          top_n: int = STREAK_TOP_N) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive
+    active days, reporting the top-N streaks — the engagement-streak
+    leaderboard (and the canonical islands shape: consecutive-day
+    runs collapse because day_number minus per-user row_number is
+    constant within a run).
+
+    Determinism: days are exact integers (datediff from epoch);
+    distinct (user, day) first so row_number has no ties; the final
+    top-N breaks ties (streak desc, user asc) — a total order.
+
+    Shape: events -> distinct (user, day) hash agg (map-side
+    combined) -> per-USER window (millions of small partitions, no
+    global window) -> (user, island) hash agg -> per-user max agg ->
+    two-phase salted_topk for the leaderboard. Every wide op is
+    keyed by user; nothing funnels through one task."""
+    from simpleetlpipeline_spark.operators.aggregates import salted_topk
+
+    ensure_session_conf(spark)
+    days = (read_table(spark, sf_dir, "events")
+            .select("user_id",
+                    F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                    .cast("long").alias("dayn"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("dayn")
+    islands = days.select(
+        "user_id", "dayn",
+        (F.col("dayn") - F.row_number().over(w)).alias("grp"))
+    streaks = (islands.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).cast("long").alias("len"),
+                    F.min("dayn").alias("start_dayn")))
+    best = (streaks.groupBy("user_id")
+            .agg(F.max_by(F.struct("len", "start_dayn"),
+                          F.struct("len", (-F.col("start_dayn"))
+                                   .alias("neg")))
+                 .alias("b"),
+                 F.count(F.lit(1)).cast("long").alias("n_streaks"),
+                 F.sum("len").cast("long").alias("n_active_days"))
+            .select("user_id", F.col("b.len").alias("max_streak"),
+                    F.col("b.start_dayn").alias("streak_start_dayn"),
+                    "n_streaks", "n_active_days"))
+    return (salted_topk(best, [],
+                        [F.desc("max_streak"), F.asc("user_id")], top_n)
+            .withColumnRenamed("topk_rank", "rank")
+            .select("rank", "user_id", "max_streak",
+                    "streak_start_dayn", "n_streaks", "n_active_days"))
+
+
+QUERIES["user_activity_streaks"] = user_activity_streaks
+
+ORACLE_SQL["user_activity_streaks"] = f"""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS dayn
+        FROM events
+    ), islands AS (
+        SELECT user_id, dayn,
+               dayn - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY dayn) AS grp
+        FROM days
+    ), streaks AS (
+        SELECT user_id, grp,
+               CAST(count(*) AS BIGINT) AS len,
+               min(dayn) AS start_dayn
+        FROM islands GROUP BY 1, 2
+    ), totals AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM streaks GROUP BY 1
+    ), best AS (
+        SELECT s.user_id, s.len AS max_streak,
+               s.start_dayn AS streak_start_dayn,
+               t.n_streaks, t.n_active_days
+        FROM (
+            SELECT user_id, len, start_dayn,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY len DESC,
+                                               start_dayn ASC) AS rn
+            FROM streaks
+        ) s JOIN totals t USING (user_id)
+        WHERE s.rn = 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY max_streak DESC,
+                                   user_id ASC) AS INT) AS rank,
+           user_id, max_streak, streak_start_dayn, n_streaks,
+           n_active_days
+    FROM best
+    QUALIFY rank <= {STREAK_TOP_N}
+    ORDER BY rank
+"""

@@ -944,3 +944,78 @@ def test_table_stats_profile_hand_fixture(spark, tmp_path):
     assert od["n_distinct"] == 2
     assert int(od["min_canonical"]) == int(
         datetime(2020, 1, 1).timestamp() * 0) + 1577836800000000
+
+
+def test_user_activity_streaks_hand_fixture(spark, tmp_path):
+    """Islands semantics: user 1 has runs [d1-d3] and [d5-d6] (max 3,
+    earliest-start tie-break), user 2 a single day."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        user_activity_streaks)
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in (0, 1, 2, 4, 5):
+        for h in (9, 15):  # duplicate same-day events must collapse
+            rows.append((eid, t0 + timedelta(days=day, hours=h),
+                         1, "view", 1.0, "{}"))
+            eid += 1
+    rows.append((eid, t0 + timedelta(days=9), 2, "view", 1.0, "{}"))
+    _write(spark, tmp_path, "events", rows)
+    got = user_activity_streaks(spark, str(tmp_path)).collect()
+    assert [(r["rank"], r["user_id"], r["max_streak"], r["n_streaks"],
+             r["n_active_days"]) for r in got] == \
+        [(1, 1, 3, 2, 5), (2, 2, 1, 1, 1)]
+    d0 = (datetime(2024, 1, 1) - datetime(1970, 1, 1)).days
+    assert got[0]["streak_start_dayn"] == d0
+
+
+def test_gains_lift_table_hand_fixture(spark, tmp_path):
+    """4 customers, spends 400>300>200>100 pre-cutoff; the top and
+    bottom spenders repeat post-cutoff. ntile(10) over 4 rows gives
+    one decile per customer; verify rates/gains/lift by hand."""
+    from simpleetlpipeline_spark.functions.pretrain import (
+        gains_lift_table)
+
+    pre, post = datetime(1999, 1, 1), datetime(2000, 6, 1)
+    orders = [(1, 1, "Completed", 400.0, pre, "1-URGENT"),
+              (2, 2, "Completed", 300.0, pre, "1-URGENT"),
+              (3, 3, "Completed", 200.0, pre, "1-URGENT"),
+              (4, 4, "Completed", 100.0, pre, "1-URGENT"),
+              (5, 1, "Completed", 10.0, post, "1-URGENT"),
+              (6, 4, "Completed", 10.0, post, "1-URGENT")]
+    _write(spark, tmp_path, "orders", orders)
+    got = {r["decile"]: r for r in
+           gains_lift_table(spark, str(tmp_path)).collect()}
+    # deciles 1..4 hold customers 1..4 (spend desc)
+    assert [got[d]["n_repeat"] for d in (1, 2, 3, 4)] == [1, 0, 0, 1]
+    assert got[1]["repeat_rate_micro"] == 1_000_000
+    assert got[1]["cum_gain_micro"] == 500_000   # 1 of 2 repeats
+    assert got[4]["cum_gain_micro"] == 1_000_000
+    # lift = rate / base_rate; base = 2/4 -> decile 1 lift = 2.0
+    assert got[1]["lift_micro"] == 2_000_000
+    assert got[2]["lift_micro"] == 0
+
+
+def test_quantile_normalize_quality_hand_fixture(spark, tmp_path):
+    """Percentile = strictly-below share within source; ties share a
+    percentile. Scores are driven by token counts (quality rises
+    with length up to 50 tokens, no stopwords used)."""
+    from simpleetlpipeline_spark.functions.pretrain import (
+        quantile_normalize_quality)
+
+    def doc(i, n_tokens, source):
+        text = " ".join(f"tok{j}" for j in range(n_tokens))
+        return (i, text, "en", source, len(text))
+
+    # source A: 10, 20, 40 tokens -> strictly increasing scores;
+    # plus a tie pair at 20 tokens
+    docs = [doc(0, 10, "A"), doc(1, 20, "A"), doc(2, 40, "A"),
+            doc(3, 20, "A"), doc(4, 10, "B")]
+    _write(spark, tmp_path, "documents", docs)
+    got = {r["doc_id"]: r["pct_micro"] for r in
+           quantile_normalize_quality(spark, str(tmp_path)).collect()}
+    assert got[0] == 0                 # lowest in A: 0 below
+    assert got[1] == got[3] == 250_000  # tie pair: 1 of 4 below
+    assert got[2] == 750_000            # top: 3 of 4 below
+    assert got[4] == 0                  # sole doc in B
