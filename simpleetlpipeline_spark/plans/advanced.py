@@ -1218,15 +1218,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str,
                 (-F.col("monetary")).alias("neg_m"))
     )
     per_cust = track(per_cust.persist())
-    out = per_cust
+    # each ranking runs INDEPENDENTLY off the persisted base and
+    # rejoins on custkey — chaining two_pass calls on each other's
+    # output would re-derive the whole upstream plan inside every
+    # later call's min/max + spine aggregates (measured 5.4s at
+    # sf0.1 in the chained form vs ~1s rejoined)
+    out = per_cust.select("custkey", "recency_days", "frequency",
+                          "monetary")
     for key, score in (("recency_days", "r_score"),
                        ("neg_f", "f_score"), ("neg_m", "m_score")):
-        out = two_pass_global_window(
-            out, key, [F.col(key), F.col("custkey")],
+        ranked = two_pass_global_window(
+            per_cust.select("custkey", key),
+            key, [F.col(key), F.col("custkey")],
             rank_out="__rk", total_rows_out="__nn")
-        out = out.withColumn(
-            score, ntile_from_rank(F.col("__rk"), F.col("__nn"), n_bins)
-        ).drop("__rk", "__nn")
+        out = out.join(
+            ranked.select(
+                "custkey",
+                ntile_from_rank(F.col("__rk"), F.col("__nn"), n_bins)
+                .alias(score)),
+            "custkey")
     return out.select(
         "custkey", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score",
