@@ -1244,3 +1244,97 @@ ORACLE_SQL["segment_dedup"] = f"""
     FROM totals t LEFT JOIN reb r ON t.doc_id = r.doc_id
     ORDER BY t.doc_id
 """
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str,
+                          n: int = 5) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, the
+    number of DISTINCT word 5-gram shingles appearing in both
+    sources and the Jaccard of the two shingle sets — the
+    which-feeds-mirror-each-other view that decides what to drop
+    when two sources overlap (the pairwise generalization of
+    source_vocab_overlap, on shingles instead of vocabulary, so
+    near-verbatim copying registers even when no whole document is
+    byte-identical).
+
+    Cross-engine contract: shingles travel as STRINGS on both sides
+    (an engine-local 64-bit hash would make a collision a
+    cross-engine divergence — the segment_dedup lesson); Jaccard is
+    integer counts through one floored division.
+
+    Shape: one docs scan -> in-row gram construction -> DISTINCT
+    (source, gram) hash agg -> gram-keyed self-join emitting only
+    source_a < source_b pairs (fan-out per gram is C(k,2), k <=
+    |sources|) -> |sources|^2 rollup joined to broadcast per-source
+    totals. At 100 TB the gram self-join is the standard shingle
+    shuffle; a stopword-like gram held by every source costs
+    C(|sources|,2) rows, bounded by the source count, not the
+    corpus."""
+    from simpleetlpipeline_spark.io import fan_out
+
+    ensure_session_conf(spark)
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    grams_col = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> array_join(slice(__toks, i, {n}), ' ')) "
+        f"ELSE array() END")
+    sigs = (docs
+            .withColumn("__toks",
+                        F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            .select("source", F.explode(grams_col).alias("sig"))
+            .distinct())
+    per_source = (sigs.groupBy("source")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    a = sigs.select(F.col("source").alias("source_a"), "sig")
+    b = sigs.select(F.col("source").alias("source_b"), "sig")
+    shared = (a.join(b, "sig")
+              .filter(F.col("source_a") < F.col("source_b"))
+              .groupBy("source_a", "source_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    na = per_source.select(F.col("source").alias("source_a"),
+                           F.col("n").alias("n_a"))
+    nb = per_source.select(F.col("source").alias("source_b"),
+                           F.col("n").alias("n_b"))
+    return (shared
+            .join(F.broadcast(na), "source_a")
+            .join(F.broadcast(nb), "source_b")
+            .select("source_a", "source_b", "n_a", "n_b", "n_shared",
+                    F.expr("n_shared * 1000000 div (n_a + n_b - n_shared)")
+                    .alias("jaccard_micro"))
+            .orderBy("source_a", "source_b"))
+
+
+QUERIES["source_overlap_matrix"] = source_overlap_matrix
+
+ORACLE_SQL["source_overlap_matrix"] = """
+    WITH t AS (
+        SELECT source,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), sigs AS (
+        SELECT DISTINCT source,
+               array_to_string(list_slice(toks, i, i + 4), ' ') AS sig
+        FROM t, LATERAL (
+            SELECT unnest(range(1, len(toks) - 3))
+        ) AS r(i)
+        WHERE len(toks) >= 5
+    ), per_source AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM sigs GROUP BY 1
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sigs a JOIN sigs b
+          ON a.sig = b.sig AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           na.n AS n_a, nb.n AS n_b, n_shared,
+           n_shared * 1000000 // (na.n + nb.n - n_shared)
+               AS jaccard_micro
+    FROM shared
+    JOIN per_source na ON na.source = source_a
+    JOIN per_source nb ON nb.source = source_b
+    ORDER BY source_a, source_b
+"""

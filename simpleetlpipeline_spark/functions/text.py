@@ -1526,3 +1526,98 @@ ORACLE_SQL["zipf_term_fit"] = f"""
                * 1e6) AS BIGINT) AS r2_micro
     FROM m
 """
+
+
+#: Novelty n-gram width (word n-grams, matching the dedup family's
+#: shingle width).
+NOVELTY_N = 5
+
+
+def ngram_novelty_score(spark: SparkSession, sf_dir: str,
+                        n: int = NOVELTY_N) -> DataFrame:
+    """Per-document novelty: the share of a doc's DISTINCT word
+    5-grams that appear in no other document — the memorization /
+    boilerplate screen (low novelty = the doc is assembled from
+    corpus-common phrasing; high = unique content worth keeping).
+
+    Cross-engine contract: grams travel as STRINGS on both sides —
+    a 64-bit gram hash would make a hash collision a cross-engine
+    divergence (the segment_dedup lesson), and the join key must
+    resolve identically in both engines. The distinct-per-doc step
+    precedes the document-frequency count, so df really is
+    documents-containing, not occurrences.
+
+    Shape: tokenize -> in-row gram construction (no explode until
+    grams exist) -> explode -> (doc, gram) DISTINCT hash agg -> per-
+    gram window count over that same stream (the tfidf_top_terms
+    one-pass df trick: distinct pairs mean count(*) per gram == df)
+    -> per-doc rollup. Two gram-keyed shuffles, both map-side
+    combined; short docs (< n tokens) surface with zero grams."""
+    from simpleetlpipeline_spark.io import fan_out
+
+    ensure_session_conf(spark)
+    from pyspark.sql import Window
+
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    grams_col = F.expr(
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> array_join(slice(__toks, i, {n}), ' ')) "
+        f"ELSE array() END")
+    pairs = (docs
+             .withColumn("__toks", tokens_col(F.col("text")))
+             .select("doc_id", F.explode(grams_col).alias("gram"))
+             .distinct())
+    w_gram = Window.partitionBy("gram")
+    per_doc = (pairs
+               .withColumn("df", F.count(F.lit(1)).over(w_gram))
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                    F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                    .cast("long").alias("n_unique")))
+    return (read_table(spark, sf_dir, "documents").select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+                F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                       F.expr("n_unique * 1000000 div n_grams"))
+                .otherwise(F.lit(None).cast("long"))
+                .alias("novelty_micro")))
+
+
+QUERIES["ngram_novelty_score"] = ngram_novelty_score
+
+ORACLE_SQL["ngram_novelty_score"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+    ), pairs AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, i, i + {NOVELTY_N - 1}),
+                               ' ') AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, len(toks) - {NOVELTY_N - 2}))
+        ) AS r(i)
+        WHERE len(toks) >= {NOVELTY_N}
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique
+        FROM (
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY gram) AS df
+            FROM pairs
+        ) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_unique, 0) AS n_unique,
+           CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN p.n_unique * 1000000 // p.n_grams
+                ELSE CAST(NULL AS BIGINT) END AS novelty_micro
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -4288,3 +4288,92 @@ ORACLE_SQL["user_activity_streaks"] = f"""
     QUALIFY rank <= {STREAK_TOP_N}
     ORDER BY rank
 """
+
+
+def interarrival_time_profile(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival profile: for consecutive events
+    of the same type by the same user, the exact median / p90 /
+    max gap in seconds plus the gap count — the cadence fingerprint
+    behind session-timeout tuning (sessionization's 30-min gap is a
+    guess; this measures the actual distribution it should be cut
+    from) and bot detection (machine traffic shows implausibly tight
+    medians).
+
+    Exact-order-statistic contract (same as robust_outlier_mad):
+    the median is the lower median — smallest gap g with
+    2*cum(g) >= n — and p90 the smallest g with 10*cum(g) >= 9*n,
+    both from cumulative counts over the distinct-gap spine; no
+    engine percentile builtin (interpolation definitions differ),
+    no floats anywhere.
+
+    Shape: per-(user,type) lag window (millions of small partitions,
+    no global window) -> (type, gap) spine hash agg (domain-bounded:
+    gaps land on whole seconds) -> per-type cumulative window over
+    the spine -> one rollup per threshold joined back."""
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy("ts", "event_id"))
+    # INTEGER division micros -> seconds: double / then cast would
+    # truncate in Spark but round in DuckDB (gaps are non-negative,
+    # so div == // exactly)
+    gaps = (ev.select(
+        "event_type",
+        (F.unix_micros("ts")
+         - F.unix_micros(F.lag("ts").over(w))).alias("__d"))
+        .filter(F.col("__d").isNotNull())
+        .select("event_type",
+                F.expr("__d div 1000000").alias("gap_s")))
+    spine = gaps.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = (Window.partitionBy("event_type").orderBy("gap_s")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("event_type")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    cum = spine.select(
+        "event_type", "gap_s",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+        F.max("gap_s").over(wn).alias("max_gap_s"))
+    return (cum.groupBy("event_type")
+            .agg(F.min("n").cast("long").alias("n_gaps"),
+                 F.min(F.when(F.col("cum") * 2 >= F.col("n"),
+                              F.col("gap_s"))).alias("median_gap_s"),
+                 F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9,
+                              F.col("gap_s"))).alias("p90_gap_s"),
+                 F.min("max_gap_s").cast("long").alias("max_gap_s"))
+            .orderBy("event_type"))
+
+
+QUERIES["interarrival_time_profile"] = interarrival_time_profile
+
+ORACLE_SQL["interarrival_time_profile"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id))) // 1000000 AS gap_s
+        FROM events
+    ), spine AS (
+        SELECT event_type, gap_s, CAST(count(*) AS BIGINT) AS cnt
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, gap_s,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY gap_s
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n,
+               max(gap_s) OVER (PARTITION BY event_type) AS max_gap_s
+        FROM spine
+    )
+    SELECT event_type,
+           CAST(min(n) AS BIGINT) AS n_gaps,
+           min(CASE WHEN cum * 2 >= n THEN gap_s END) AS median_gap_s,
+           min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END)
+               AS p90_gap_s,
+           CAST(min(max_gap_s) AS BIGINT) AS max_gap_s
+    FROM cum GROUP BY 1 ORDER BY 1
+"""

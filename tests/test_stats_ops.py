@@ -1019,3 +1019,62 @@ def test_quantile_normalize_quality_hand_fixture(spark, tmp_path):
     assert got[1] == got[3] == 250_000  # tie pair: 1 of 4 below
     assert got[2] == 750_000            # top: 3 of 4 below
     assert got[4] == 0                  # sole doc in B
+
+
+def test_ngram_novelty_hand_fixture(spark, tmp_path):
+    """doc0 shares its first 5-gram with doc1; doc2 is too short for
+    any gram (NULL novelty, zero counts)."""
+    from simpleetlpipeline_spark.functions.text import (
+        ngram_novelty_score)
+
+    docs = [(0, "a b c d e f", "en", "s", 11),
+            (1, "a b c d e", "en", "s", 9),
+            (2, "x y", "en", "s", 3)]
+    _write(spark, tmp_path, "documents", docs)
+    got = {r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty_micro"])
+           for r in ngram_novelty_score(spark, str(tmp_path)).collect()}
+    assert got[0] == (2, 1, 500_000)   # 'b c d e f' is unique
+    assert got[1] == (1, 0, 0)         # its only gram is shared
+    assert got[2] == (0, 0, None)
+
+
+def test_source_overlap_matrix_hand_fixture(spark, tmp_path):
+    """Sources A/B share one shingle; Jaccard = 1/(2+1-1) = 0.5;
+    pair emitted once with source_a < source_b."""
+    from simpleetlpipeline_spark.functions.dedup import (
+        source_overlap_matrix)
+
+    docs = [(0, "a b c d e f", "en", "A", 11),
+            (1, "a b c d e", "en", "B", 9)]
+    _write(spark, tmp_path, "documents", docs)
+    rows = source_overlap_matrix(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"], r["n_a"], r["n_b"],
+            r["n_shared"], r["jaccard_micro"]) == \
+        ("A", "B", 2, 1, 1, 500_000)
+
+
+def test_interarrival_profile_hand_fixture(spark, tmp_path):
+    """Gaps 10s and 20s for one user/type: lower median 10, p90 20,
+    sub-second remainders floor away (integer div)."""
+    from simpleetlpipeline_spark.plans.advanced import (
+        interarrival_time_profile)
+
+    t0 = datetime(2024, 1, 1)
+    rows = _ev([
+        (t0, 1, "view", 1.0),
+        (t0 + timedelta(seconds=10), 1, "view", 1.0),
+        (t0 + timedelta(seconds=30), 1, "view", 1.0),
+        (t0, 2, "click", 1.0),
+        (t0 + timedelta(seconds=1, microseconds=900_000), 2,
+         "click", 1.0),
+    ])
+    _write(spark, tmp_path, "events", rows)
+    got = {r["event_type"]: r for r in
+           interarrival_time_profile(spark, str(tmp_path)).collect()}
+    v = got["view"]
+    assert (v["n_gaps"], v["median_gap_s"], v["p90_gap_s"],
+            v["max_gap_s"]) == (2, 10, 20, 20)
+    c = got["click"]
+    assert (c["n_gaps"], c["median_gap_s"], c["max_gap_s"]) == (1, 1, 1)
