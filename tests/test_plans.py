@@ -841,3 +841,25 @@ def test_cf_holdout_hitrate_shares_scans_and_broadcasts_neighbors(
         "both persists (all_items, train_oi) must serve 3 consumers"
     assert plan.count("BroadcastHashJoin") >= 1, \
         "the neighbor table must broadcast into the rec-set join"
+
+
+def test_two_pass_global_window_constant_key_degenerate(spark):
+    """All-equal bucketing keys collapse to ONE bucket (span == 0)
+    — the documented degenerate case must still produce exact ranks,
+    prefix sums, and totals (it just pays the single sort the naive
+    window always pays)."""
+    from simpleetlpipeline_spark.operators.aggregates import (
+        two_pass_global_window)
+
+    df = spark.range(500).selectExpr(
+        "CAST(7 AS BIGINT) AS k", "id", "CAST(2 AS BIGINT) AS v") \
+        .repartition(7)
+    got = two_pass_global_window(
+        df, "k", [F.col("k"), F.col("id")], value_col="v",
+        n_buckets=32, rank_out="r", cum_out="c",
+        total_rows_out="n", total_value_out="tv")
+    rows = {r.id: r for r in got.collect()}
+    for i in range(500):
+        assert rows[i].r == i + 1
+        assert rows[i].c == 2 * (i + 1)
+        assert rows[i].n == 500 and rows[i].tv == 1000
