@@ -1338,3 +1338,91 @@ ORACLE_SQL["source_overlap_matrix"] = """
     JOIN per_source nb ON nb.source = source_b
     ORDER BY source_a, source_b
 """
+
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
+                              threshold: float = 0.15) -> DataFrame:
+    """Incremental (batch-vs-base) NEAR-dup maintenance — the nightly
+    shape for the LSH index: a new batch (doc_id % INCR_MOD == 0,
+    the established split) is checked against the already-indexed
+    base WITHOUT rescoring base-against-base. Returns exactly the
+    subset of dedup_minhash_lsh's pair graph that touches a batch
+    document (proven equal in tests/test_functions.py — same band
+    keys, same caps, same exact-verify), so swapping the nightly
+    incremental for a weekly full run changes nothing downstream.
+
+    Scale shape: base band keys and the exact-fingerprint groups are
+    the INDEX — at 100 TB both live as persisted bucketed tables and
+    this job never rescans base content; here they are recomputed
+    from the base scan (linear hash work, no pairwise cost) because
+    the testdata ships no committed index. The candidate join probes
+    batch band keys against the full key set — shuffle volume is
+    O(batch x bands) on the probe side; base-x-base pairs never
+    form. Bucket caps apply to the SAME full key frame as the full run
+    (cap first, then restrict the probe side) so capping decisions —
+    and therefore recall — are bit-identical to dedup_minhash_lsh.
+
+    Rows-only entry (seeded-hash family, like dedup_minhash_lsh):
+    verified by the equivalence pytest, not a SQL oracle."""
+    ensure_session_conf(spark)
+    minhash = minhash_from_gram_hashes_udf()
+    raw = fan_out(read_table(spark, sf_dir, "documents"))
+    is_batch = F.pmod("doc_id", F.lit(INCR_MOD)) == 0
+    groups = collapse_exact_groups(raw, "doc_id", "text")
+    star = (star_pairs(raw, groups, "doc_id", "text")
+            .withColumn("jaccard", F.lit(1.0))
+            .filter((F.pmod("a_id", F.lit(INCR_MOD)) == 0)
+                    | (F.pmod("b_id", F.lit(INCR_MOD)) == 0)))
+    docs = groups.select(
+        "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"))
+    docs = docs.persist()
+    sig = docs.select("doc_id", "grams", minhash("grams").alias("sig"))
+
+    # same banding + SAME capping universe as the full run, so the
+    # incremental candidate set is exactly the full set's batch slice
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.element_at("sig", b * MINHASH_ROWS + r + 1)
+                           for r in range(MINHASH_ROWS)])).alias("bucket"),
+            )
+            for b in range(MINHASH_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = cap_bucket_members(bands, ["band", "bucket"], "doc_id",
+                               BUCKET_CAP).persist()
+    probe = (bands.filter(is_batch)
+             .select(F.col("doc_id").alias("p_id"), "band", "bucket"))
+    index = bands.select(F.col("doc_id").alias("i_id"), "band", "bucket")
+    candidates = (
+        probe.join(index, ["band", "bucket"])
+        .filter(F.col("p_id") != F.col("i_id"))
+        .select(F.least("p_id", "i_id").alias("a_id"),
+                F.greatest("p_id", "i_id").alias("b_id"))
+        .distinct())
+
+    a = docs.select(F.col("doc_id").alias("a_id"),
+                    F.col("grams").alias("a_g"))
+    b = docs.select(F.col("doc_id").alias("b_id"),
+                    F.col("grams").alias("b_g"))
+    inter = F.size(F.array_intersect("a_g", "b_g"))
+    union = F.size("a_g") + F.size("b_g") - inter
+    # same persist discipline as dedup_minhash_lsh: the small pair
+    # graph materializes eagerly so the corpus-sized gram/key caches
+    # release immediately; the registry owns the pair cache lifetime
+    pairs = track(
+        candidates.join(a, "a_id").join(b, "b_id")
+        .withColumn("jaccard", F.floor(inter / union * 10000) / 10000)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+        .unionByName(star)
+        .persist())
+    pairs.count()
+    docs.unpersist()
+    bands.unpersist()
+    return pairs
+
+
+QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental  # rows-only

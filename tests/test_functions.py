@@ -429,3 +429,52 @@ def test_segment_dedup_first_occurrence_wins(spark, tmp_path):
     assert out[1]["kept_text_md5"] == md5("a b c d e f")
     assert out[2]["kept_text_md5"] == md5("x y z")
     assert out[3]["kept_text_md5"] == md5("")
+
+
+def test_minhash_incremental_equals_full_batch_slice(spark, sf_dir):
+    """The incremental LSH maintenance contract: its pair graph must
+    EQUAL the full dedup_minhash_lsh run restricted to pairs touching
+    a batch document (doc_id % INCR_MOD == 0) — same band keys, same
+    caps, same exact verify, no base-x-base rescoring. Run on the
+    real sf0.001 corpus plus on a synthetic near-dup fixture where
+    cross-split near-dup pairs are guaranteed to exist."""
+    import os
+    import tempfile
+
+    from simpleetlpipeline_spark.functions import dedup as D
+
+    def norm(df):
+        return {(r["a_id"], r["b_id"], r["jaccard"])
+                for r in df.collect()}
+
+    full = norm(D.dedup_minhash_lsh(spark, sf_dir, threshold=0.15))
+    full_slice = {(a, b, j) for a, b, j in full
+                  if a % D.INCR_MOD == 0 or b % D.INCR_MOD == 0}
+    incr = norm(D.dedup_minhash_incremental(spark, sf_dir,
+                                            threshold=0.15))
+    assert incr == full_slice
+
+    base_text = ("alpha beta gamma delta epsilon zeta eta theta "
+                 "iota kappa lambda mu nu xi omicron pi rho sigma")
+    rows = []
+    for i in range(12):
+        # doc 5i and 5i+1 share a long prefix -> near-dups across
+        # the batch/base split (5i is batch, 5i+1 is base)
+        rows.append((5 * i, base_text + f" variant{i}"))
+        rows.append((5 * i + 1, base_text + f" other{i}"))
+        rows.append((5 * i + 2, f"completely different text {i} "
+                                f"about subject{i * 7} thing{i * 13} "
+                                f"and more unrelated filler {i}"))
+    with tempfile.TemporaryDirectory() as td:
+        _docs(spark, rows).write.parquet(
+            os.path.join(td, "documents.parquet"))
+        f2 = norm(D.dedup_minhash_lsh(spark, td, threshold=0.15))
+        f2_slice = {(a, b, j) for a, b, j in f2
+                    if a % D.INCR_MOD == 0 or b % D.INCR_MOD == 0}
+        i2 = norm(D.dedup_minhash_incremental(spark, td,
+                                              threshold=0.15))
+    assert i2 == f2_slice
+    assert len(i2) >= 12, "cross-split near-dups must be found"
+    # and at least one base-x-base pair exists in full but NOT in the
+    # incremental slice (the work the incremental run correctly skips)
+    assert f2 - f2_slice, "fixture must exercise the skipped tier"

@@ -97,6 +97,9 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
              if not n.startswith("streaming_")
              and n not in ("etl_pipeline_run", "dedup_clusters",
                            "dedup_minhash_lsh", "corpus_curate_neardup",
+                           # same eager pair-graph materialization
+                           # contract as dedup_minhash_lsh
+                           "dedup_minhash_incremental",
                            # kmeans collects k x dim centroids per
                            # round; the exact CC counts its edge list
                            # to pick the union-find/propagation regime
