@@ -118,8 +118,90 @@ def streaming_totals_to_table(spark: SparkSession, sf_dir: str,
     return spark.createDataFrame(rows, schema)
 
 
+
+
+def hll_merge_batch_fn(spark: SparkSession, table_root: str,
+                       lgk: int):
+    """foreachBatch body for the HLL state table, exposed at module
+    level so tests can drive the multi-batch MERGE path directly
+    (the finite single-file replay only ever produces one batch):
+    folds a batch's per-type sketch into the versioned state via
+    hll_union, with the applied-batch-id idempotence stamp."""
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        meta = read_version_meta(table_root)
+        if meta is not None and meta.get("batch_id", -1) >= batch_id:
+            return
+        inc = (batch_df.groupBy("event_type")
+               .agg(F.hll_sketch_agg("user_id", F.lit(lgk)).alias("sk")))
+        if os.path.exists(os.path.join(table_root, "_CURRENT")):
+            cur = read_table_version(spark, table_root).select(
+                "event_type", F.col("sk").alias("sk0"))
+            merged = (
+                cur.join(inc, "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    F.when(F.col("sk0").isNull(), F.col("sk"))
+                    .when(F.col("sk").isNull(), F.col("sk0"))
+                    .otherwise(F.hll_union("sk0", "sk")).alias("sk"))
+            )
+        else:
+            merged = inc
+        write_table_version(merged, table_root,
+                            commit_meta={"batch_id": batch_id})
+    return merge_batch
+
+
+def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str,
+                                 table_root: str | None = None,
+                                 lgk: int = 14) -> DataFrame:
+    """Streaming cardinality maintenance: each micro-batch folds its
+    per-event-type HLL sketch into a versioned STATE TABLE via
+    hll_union (register max-merge — commutative, associative,
+    idempotent), so the warehouse always holds a mergeable
+    distinct-users sketch per type without ever storing user ids.
+    This is the streaming form of hll_shard_merge's contract: at
+    100 TB/day the nightly distinct-count query becomes a read of
+    |types| sketch binaries instead of a rescan of the stream.
+
+    Same transactional discipline as streaming_totals_to_table:
+    foreachBatch commits through write_table_version's atomic
+    pointer swap with the applied batch id stamped in the commit,
+    so at-least-once retries never double-merge (double-merging an
+    HLL is harmless at the register level, but the guard keeps the
+    sink contract uniform).
+
+    Rows-only entry: the estimate depends on sketch REPRESENTATION
+    (sparse vs dense promotion varies with batch partitioning — the
+    documented hll_shard_merge lesson), so a hash-exact SQL oracle
+    would flake; the accuracy contract (within 3*rsd of exact) and
+    the multi-batch replay live in tests/test_streaming.py."""
+    caller_owns_root = table_root is not None
+    table_root = table_root or tempfile.mkdtemp(prefix="stream_hll_")
+    merge_batch = hll_merge_batch_fn(spark, table_root, lgk)
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(table_root, "_chk"))
+        .start()
+    )
+    q.awaitTermination()
+    out = read_table_version(spark, table_root).select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"))
+    if caller_owns_root:
+        return out
+    import shutil
+
+    rows, schema = out.collect(), out.schema
+    shutil.rmtree(table_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema).orderBy("event_type")
+
+
 QUERIES = {
     "streaming_totals_to_table": streaming_totals_to_table,
+    "streaming_distinct_users_hll": streaming_distinct_users_hll,  # rows-only
 }
 
 ORACLE_SQL = {

@@ -246,3 +246,65 @@ def test_left_outer_interval_join_emits_on_watermark_expiry(spark, tmp_path):
     assert (5, None) not in rows and not any(p == 5 for p, _ in rows), \
         "tail purchase inside the watermark must not emit"
     assert len(rows) == 2
+
+
+def test_streaming_hll_sketch_state_accuracy_and_merge(spark, tmp_path):
+    """The streaming HLL state table, both paths:
+
+    (1) multi-batch MERGE — drive the foreachBatch body directly
+        with three overlapping user slices; the union-merged sketch
+        must estimate the true distinct count within 3*rsd (plus
+        agree with a single-pass sketch within the same bound — the
+        hll_shard_merge mergeability contract in streaming form),
+        and a replayed batch id must be skipped (idempotence stamp);
+    (2) end-to-end — the finite single-file replay through the real
+        foreachBatch sink lands the committed state table and its
+        per-type estimates are exact at tiny cardinality.
+    """
+    import math
+    import os
+
+    from simpleetlpipeline_spark.io import read_table_version
+    from simpleetlpipeline_spark.streaming.sinks import (
+        hll_merge_batch_fn,
+        streaming_distinct_users_hll,
+    )
+
+    root = str(tmp_path / "hll_state")
+    os.makedirs(root)
+    merge = hll_merge_batch_fn(spark, root, 14)
+    n_users = 6000
+    slices = [(0, 2500), (2000, 4500), (4000, n_users)]  # overlaps
+    for bid, (lo, hi) in enumerate(slices):
+        batch = spark.range(lo, hi).selectExpr(
+            "'view' AS event_type", "id AS user_id")
+        merge(batch, bid)
+    # idempotence: replaying the last batch must not change the state
+    before = read_table_version(spark, root).select(
+        F.hll_sketch_estimate("sk").cast("long")).first()[0]
+    merge(spark.range(4000, n_users).selectExpr(
+        "'view' AS event_type", "id AS user_id"), len(slices) - 1)
+    after = read_table_version(spark, root).select(
+        F.hll_sketch_estimate("sk").cast("long")).first()[0]
+    assert after == before
+
+    rsd = 1.04 / math.sqrt(2 ** 14)
+    assert abs(after - n_users) <= 3 * rsd * n_users + 1
+    single = (spark.range(0, n_users)
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("id", F.lit(14))).cast("long"))
+              .first()[0])
+    assert abs(after - single) <= 3 * rsd * n_users + 1
+
+    # end-to-end through the real sink on the committed testdata
+    got = {r["event_type"]: r["approx_users"] for r in
+           streaming_distinct_users_hll(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert got and all(v > 0 for v in got.values())
+    exact = {r["event_type"]: r["n"] for r in
+             spark.read.parquet(
+                 "/root/testdata/sf0.001/events.parquet")
+             .groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= 3 * rsd * exact[et] + 1
