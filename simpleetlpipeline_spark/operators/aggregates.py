@@ -271,13 +271,20 @@ def ntile_from_rank(rank: Column, n_rows: Column, n: int) -> Column:
     total row count — bit-identical to the window function (first
     n_rows % n tiles get one extra row), so a two-pass distributed
     rank can replace an ntile window without moving the oracle.
-    Divisions are floor over non-negative operands well inside
-    2^53, so double floor-div is exact."""
-    q = F.floor(n_rows / n).cast("long")
+
+    Integer floor-division is spelled (a - a%b)/b: a - a%b is an
+    exact multiple of b, and IEEE division of an exact multiple
+    k*b (< 2^53) by b is exactly k — so the result is exact at ANY
+    row count, where a bare floor(a/b) double quotient could round
+    up across the integer boundary once a*k approaches 2^52."""
+    def idiv(a: Column, b: Column) -> Column:
+        return ((a - F.pmod(a, b)) / b).cast("long")
+
+    q = idiv(n_rows, F.lit(n))
     rem = (n_rows % n).cast("long")
     small = rem * (q + 1)
     r0 = rank - 1
-    return (F.when(rank <= small, F.floor(r0 / (q + 1)) + 1)
-            .otherwise(rem + F.floor((r0 - small)
-                               / F.greatest(q, F.lit(1))) + 1)
+    return (F.when(rank <= small, idiv(r0, q + 1) + 1)
+            .otherwise(rem + idiv(r0 - small, F.greatest(q, F.lit(1)))
+                       + 1)
             .cast("int"))
