@@ -297,3 +297,66 @@ def table_stats_profile(spark, sf_dir: str):
         entry(n) for n in ("o_custkey", "o_orderdate", "o_orderkey",
                            "o_orderstatus", "o_totalprice")])))
         .orderBy("column_name"))
+
+
+def expectation_suite_report(spark, sf_dir: str):
+    """Declarative data-quality expectation suite (the dbt-tests /
+    Great-Expectations shape, run as ONE Spark job): each expectation
+    over the orders/lineitem tables reports rows checked, rows
+    failing, and a verdict — the contract gate a warehouse load runs
+    before publishing a snapshot. Extends the reference's inline
+    validation_rules (SURVEY §2.6) into the reusable named-suite
+    form; same checks, auditable output.
+
+    Suite: not_null(o_custkey), unique(o_orderkey),
+    accepted_range(o_totalprice > 0), accepted_values(o_orderstatus),
+    relationships(lineitem.l_orderkey -> orders.o_orderkey).
+
+    Shape: the row-level expectations fold in ONE pass over orders
+    (conditional-count aggregate, map-side combined); uniqueness is
+    one keyed aggregate (count vs distinct count in the same pass);
+    the FK check is the established anti-join. Each result is a
+    1-row aggregate; the report is their union — 5 rows however big
+    the tables. Exact integers only."""
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def row(name, checked, failed):
+        return (F.lit(name).alias("expectation"),
+                checked.cast("long").alias("n_checked"),
+                failed.cast("long").alias("n_failed"))
+
+    n = F.count(F.lit(1))
+    row_level = orders.agg(F.struct(*row(
+        "not_null__o_custkey", n,
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+    )).alias("e1"), F.struct(*row(
+        "accepted_range__o_totalprice_gt_0", n,
+        F.sum(F.when(F.col("o_totalprice") > 0, 0).otherwise(1))
+    )).alias("e2"), F.struct(*row(
+        "accepted_values__o_orderstatus", n,
+        F.sum(F.when(F.col("o_orderstatus").isin("P", "O", "F"),
+                     0).otherwise(1))
+    )).alias("e3"), F.struct(*row(
+        "unique__o_orderkey", n,
+        n - F.count_distinct("o_orderkey")
+    )).alias("e4"))
+    flat = row_level.select(F.explode(F.array(
+        "e1", "e2", "e3", "e4")).alias("e")).select("e.*")
+    fk = (li.join(orders.select("o_orderkey"),
+                  li["l_orderkey"] == F.col("o_orderkey"), "left_anti")
+          .agg(*row("relationships__l_orderkey_in_orders",
+                    F.lit(None), F.count(F.lit(1)))))
+    fk_total = li.agg(F.count(F.lit(1)).alias("__t"))
+    fk = (fk.crossJoin(F.broadcast(fk_total))
+          .select("expectation", F.col("__t").alias("n_checked"),
+                  "n_failed"))
+    return (flat.unionByName(fk)
+            .withColumn("passed", F.col("n_failed") == 0)
+            .orderBy("expectation"))

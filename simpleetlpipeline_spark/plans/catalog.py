@@ -88,8 +88,44 @@ ORACLE_SQL["k_anonymity_report"] = f"""
 """
 
 from simpleetlpipeline_spark.operators.quality import (  # noqa: E402
+    expectation_suite_report,
     table_stats_profile,
 )
+
+QUERIES["expectation_suite_report"] = expectation_suite_report
+ORACLE_SQL["expectation_suite_report"] = """
+    WITH o AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS f_null,
+               CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                    AS BIGINT) AS f_range,
+               CAST(sum(CASE WHEN o_orderstatus IN ('P','O','F')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS f_vals,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS f_uniq
+        FROM orders
+    ), fk AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
+                        END) AS BIGINT) AS f
+        FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT 'accepted_range__o_totalprice_gt_0' AS expectation,
+           n AS n_checked, f_range AS n_failed, f_range = 0 AS passed
+    FROM o
+    UNION ALL
+    SELECT 'accepted_values__o_orderstatus', n, f_vals, f_vals = 0
+    FROM o
+    UNION ALL
+    SELECT 'not_null__o_custkey', n, f_null, f_null = 0 FROM o
+    UNION ALL
+    SELECT 'relationships__l_orderkey_in_orders', n, f, f = 0 FROM fk
+    UNION ALL
+    SELECT 'unique__o_orderkey', n, f_uniq, f_uniq = 0 FROM o
+    ORDER BY expectation
+"""
 
 QUERIES["table_stats_profile"] = table_stats_profile
 ORACLE_SQL["table_stats_profile"] = """

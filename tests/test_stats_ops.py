@@ -1078,3 +1078,34 @@ def test_interarrival_profile_hand_fixture(spark, tmp_path):
             v["max_gap_s"]) == (2, 10, 20, 20)
     c = got["click"]
     assert (c["n_gaps"], c["median_gap_s"], c["max_gap_s"]) == (1, 1, 1)
+
+
+def test_expectation_suite_detects_each_violation(spark, tmp_path):
+    """Each expectation must count its own violation class on a
+    deliberately broken fixture: one NULL custkey, one duplicated
+    orderkey, one non-positive price, one unknown status, one orphan
+    lineitem (the clean-testdata all-pass run can't prove the
+    detection path)."""
+    from simpleetlpipeline_spark.operators.quality import (
+        expectation_suite_report)
+
+    day = datetime(1995, 6, 1)
+    orders = [
+        (1, 10, "P", 5.0, day, "1-URGENT"),
+        (1, 11, "O", 6.0, day, "1-URGENT"),     # duplicate key
+        (2, None, "F", 7.0, day, "1-URGENT"),   # null custkey
+        (3, 12, "X", 8.0, day, "1-URGENT"),     # bad status
+        (4, 13, "P", 0.0, day, "1-URGENT"),     # non-positive price
+    ]
+    li = [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day),
+          (99, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", day)]  # orphan
+    _write(spark, tmp_path, "orders", orders)
+    _write(spark, tmp_path, "lineitem", li)
+    got = {r["expectation"]: (r["n_checked"], r["n_failed"], r["passed"])
+           for r in expectation_suite_report(spark, str(tmp_path))
+           .collect()}
+    assert got["not_null__o_custkey"] == (5, 1, False)
+    assert got["unique__o_orderkey"] == (5, 1, False)
+    assert got["accepted_range__o_totalprice_gt_0"] == (5, 1, False)
+    assert got["accepted_values__o_orderstatus"] == (5, 1, False)
+    assert got["relationships__l_orderkey_in_orders"] == (2, 1, False)
