@@ -1471,3 +1471,93 @@ ORACLE_SQL["embedding_dim_stats"] = """
            min_q8, max_q8
     FROM agg ORDER BY dim
 """
+
+#: PCA quantization grid: components round to 1e-4 before any sum, so
+#: every cross-moment is an EXACT int64 and the covariance entering
+#: the eigensolver is identical for any partitioning. q4*q4 products
+#: are ~1e8 per row — int64 sums hold to ~1e10 rows; the documented
+#: swap-in past that is DECIMAL(38,0) sums of the same integers.
+PCA_Q = 10_000
+
+
+def embedding_pca_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding table: per principal
+    component, the eigenvalue, explained-variance ratio, cumulative
+    ratio, and the dimension with the largest loading — the scree
+    report behind whitening, dimensionality reduction, and the
+    anisotropy checks run on embedding spaces before ANN indexing.
+
+    Scale shape (the sufficient-statistics pattern in matrix form):
+    an Arrow-batched mapInPandas kernel quantizes each vector to the
+    1e-4 grid and emits ONE set of partial int64 cross-moments per
+    batch — n, per-dim sums, and the upper triangle of the outer-
+    product sum (2145 rows per batch, not per vector; numpy einsum
+    does the O(batch x d^2) work C-side). A d^2-row hash aggregate
+    folds the partials map-side; the driver assembles the 64x64
+    covariance from EXACT integers and runs one LAPACK eigh — k x d
+    driver state, the same sanctioned tier as k-means centroids and
+    PQ codebooks. No d^2-per-row explode ever touches the corpus.
+
+    Determinism: the covariance is exact-integer-derived (identical
+    for any partitioning/fold order); eigh on that fixed matrix is
+    deterministic on a host. Rows-only entry (no SQL eigensolver);
+    the pytest contract checks eigenvalues against a direct numpy
+    covariance+eigh of the collected matrix and the whitening
+    property W C W^T = I."""
+    ensure_session_conf(spark)
+    import numpy as np
+    import pandas as pd
+
+    d = 64
+    iu = np.triu_indices(d)
+
+    def moments(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            q = np.floor(m * PCA_Q).astype("int64")
+            outer = (q.T @ q)[iu]                # upper triangle, exact
+            yield pd.DataFrame({
+                "i": np.concatenate((iu[0], np.arange(d), [-1])),
+                "j": np.concatenate((iu[1], np.full(d, -1), [-1])),
+                "v": np.concatenate((outer, q.sum(axis=0),
+                                     [np.int64(len(q))])),
+            })
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    parts = emb.select("embedding").mapInPandas(
+        moments, "i int, j int, v long")
+    stats = (parts.groupBy("i", "j")
+             .agg(F.sum("v").alias("v")).collect())
+    n = next(r["v"] for r in stats if r["i"] == -1 and r["j"] == -1)
+    s = np.zeros(d)
+    P = np.zeros((d, d))
+    for r in stats:
+        if r["j"] == -1 and r["i"] >= 0:
+            s[r["i"]] = r["v"]
+        elif r["i"] >= 0:
+            P[r["i"], r["j"]] = P[r["j"], r["i"]] = r["v"]
+    cov = (P - np.outer(s, s) / n) / n / (PCA_Q * PCA_Q)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    total = float(evals.sum())
+    rows, cum = [], 0.0
+    for k in range(d):
+        ratio = float(evals[k]) / total
+        cum += ratio
+        rows.append((
+            k,
+            float(np.floor(evals[k] * 1e6) / 1e6),
+            float(np.floor(ratio * 1e6) / 1e6),
+            float(np.floor(cum * 1e6) / 1e6),
+            int(np.argmax(np.abs(evecs[:, k]))),
+        ))
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, "
+              "explained_ratio double, cumulative_ratio double, "
+              "top_loading_dim int")
+
+
+QUERIES["embedding_pca_report"] = embedding_pca_report  # rows-only

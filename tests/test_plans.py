@@ -100,6 +100,9 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # same eager pair-graph materialization
                            # contract as dedup_minhash_lsh
                            "dedup_minhash_incremental",
+                           # collects d^2 exact cross-moments for the
+                           # driver-side eigh (k x d state tier)
+                           "embedding_pca_report",
                            # kmeans collects k x dim centroids per
                            # round; the exact CC counts its edge list
                            # to pick the union-find/propagation regime

@@ -220,3 +220,36 @@ def test_ann_recall_report_bounds(spark, sf_dir):
     for m, r in rows.items():
         assert 0.0 <= r["recall_at_k"] <= 1.0
         assert r["n_probes"] == rows["exact"]["n_probes"]
+
+
+def test_embedding_pca_matches_direct_numpy(spark, sf_dir):
+    """The distributed exact-integer covariance path must reproduce a
+    direct numpy covariance+eigh of the collected matrix (up to the
+    1e-4 quantization grid), and the implied whitening must actually
+    whiten: W C W^T = I."""
+    import numpy as np
+
+    from simpleetlpipeline_spark.functions.similarity import (
+        PCA_Q, embedding_pca_report)
+    from simpleetlpipeline_spark.io import read_table
+
+    got = embedding_pca_report(spark, sf_dir).collect()
+    assert [r["component"] for r in got] == list(range(64))
+    dist_evals = np.array([r["eigenvalue"] for r in got])
+
+    m = np.stack([r["embedding"] for r in
+                  read_table(spark, sf_dir, "embeddings")
+                  .select("embedding").collect()]).astype("float64")
+    q = np.floor(m * PCA_Q) / PCA_Q
+    cov = np.cov(q, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    # eigenvalues agree to the report's 1e-6 floor plus grid slack
+    assert np.allclose(dist_evals, evals, atol=5e-6)
+    # cumulative ratio ends at ~1
+    assert abs(got[-1]["cumulative_ratio"] - 1.0) < 1e-4
+
+    # whitening property on the exact-integer covariance
+    evals_f, evecs = np.linalg.eigh(cov)
+    w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals_f, 1e-12))) \
+        @ evecs.T
+    assert np.allclose(w @ cov @ w.T, np.eye(64), atol=1e-6)
