@@ -4377,3 +4377,93 @@ ORACLE_SQL["interarrival_time_profile"] = """
            CAST(min(max_gap_s) AS BIGINT) AS max_gap_s
     FROM cum GROUP BY 1 ORDER BY 1
 """
+
+
+def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period revenue report: monthly revenue with
+    month-over-month and year-over-year growth in basis points — the
+    first dashboard any finance review asks for, and the classic
+    lag-window shape.
+
+    Exactness: revenue is an exact decimal cent sum per month;
+    growth is (cur - prev) * 10000 div prev over exact BIGINT cents
+    (integer floor division, both engines), NULL when the comparison
+    month is absent. The lag windows run over the MONTH SPINE
+    (|months| rows — the sanctioned pre-aggregated tier), never raw
+    orders; lag(12) is positional, which is only correct if every
+    intervening month exists, so the spine is made DENSE first
+    (sequence over the min..max month range, left join, zero fill —
+    the events_hourly_gapfill pattern; an absent month then shows
+    0 revenue rather than silently shifting every later YoY)."""
+    ensure_session_conf(spark)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_totalprice")
+    monthly = (orders
+               .groupBy(F.date_trunc("month", "o_orderdate")
+                        .alias("month_start"))
+               .agg(F.sum(F.floor(F.col("o_totalprice") * 100)
+                          .cast("long")).alias("revenue_cents")))
+    bounds = monthly.agg(F.min("month_start").alias("mn"),
+                         F.max("month_start").alias("mx"))
+    spine = (bounds.select(F.explode(F.sequence(
+        "mn", "mx", F.expr("interval 1 month"))).alias("month_start")))
+    dense = (spine.join(monthly, "month_start", "left")
+             .select("month_start",
+                     F.coalesce("revenue_cents", F.lit(0))
+                     .alias("revenue_cents")))
+    w = Window.orderBy("month_start")
+    lagged = dense.select(
+        "month_start", "revenue_cents",
+        F.lag("revenue_cents", 1).over(w).alias("prev_m"),
+        F.lag("revenue_cents", 12).over(w).alias("prev_y"))
+    # Spark's `div` TRUNCATES toward zero, matching DuckDB's integer
+    # `//` on these (possibly negative) growth deltas — a floor-style
+    # spelling diverges by one bp on every shrinking month
+    return (lagged.select(
+        F.date_format("month_start", "yyyy-MM").alias("month"),
+        "revenue_cents",
+        F.expr("CASE WHEN prev_m > 0 THEN "
+               "((revenue_cents - prev_m) * 10000) div prev_m END")
+        .alias("mom_bps"),
+        F.expr("CASE WHEN prev_y > 0 THEN "
+               "((revenue_cents - prev_y) * 10000) div prev_y END")
+        .alias("yoy_bps"))
+        .orderBy("month"))
+
+
+QUERIES["revenue_growth_mom_yoy"] = revenue_growth_mom_yoy
+
+ORACLE_SQL["revenue_growth_mom_yoy"] = """
+    WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month_start,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1
+    ), spine AS (
+        SELECT unnest(generate_series(
+            (SELECT min(month_start) FROM monthly),
+            (SELECT max(month_start) FROM monthly),
+            INTERVAL 1 MONTH)) AS month_start
+    ), dense AS (
+        SELECT s.month_start,
+               COALESCE(m.revenue_cents, 0) AS revenue_cents
+        FROM spine s LEFT JOIN monthly m USING (month_start)
+    ), lagged AS (
+        SELECT month_start, revenue_cents,
+               lag(revenue_cents, 1) OVER (ORDER BY month_start)
+                   AS prev_m,
+               lag(revenue_cents, 12) OVER (ORDER BY month_start)
+                   AS prev_y
+        FROM dense
+    )
+    SELECT strftime(month_start, '%Y-%m') AS month,
+           revenue_cents,
+           CASE WHEN prev_m > 0 THEN
+               ((revenue_cents - prev_m) * 10000) // prev_m
+           END AS mom_bps,
+           CASE WHEN prev_y > 0 THEN
+               ((revenue_cents - prev_y) * 10000) // prev_y
+           END AS yoy_bps
+    FROM lagged
+    ORDER BY month
+"""
