@@ -83,6 +83,14 @@ HEADLINE = [
     "cms_user_event_counts", "priority_sample_docs",
     "mann_whitney_u_test", "order_value_equidepth",
     "daily_revenue_stl",
+    # round-6 additions: two-pass global-rank consumers, stats/ML
+    # evaluation, text/dedup extensions, governance
+    "zipf_term_fit", "robust_outlier_mad", "embedding_dim_stats",
+    "woe_encoding", "table_stats_profile", "gains_lift_table",
+    "user_activity_streaks", "quantile_normalize_quality",
+    "ngram_novelty_score", "source_overlap_matrix",
+    "interarrival_time_profile", "expectation_suite_report",
+    "revenue_growth_mom_yoy", "dedup_minhash_incremental",
 ]
 
 _JOIN_RE = re.compile(
