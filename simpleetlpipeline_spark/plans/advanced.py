@@ -4467,3 +4467,175 @@ ORACLE_SQL["revenue_growth_mom_yoy"] = """
     FROM lagged
     ORDER BY month
 """
+
+
+#: Minimum transition count for the predictability leaderboard (tiny
+#: histories make entropy estimates meaningless).
+SEQ_ENTROPY_MIN_N = 20
+
+
+def user_sequence_entropy(spark: SparkSession, sf_dir: str,
+                          min_n: int = SEQ_ENTROPY_MIN_N,
+                          top_n: int = 20) -> DataFrame:
+    """Behavioral predictability: the Shannon entropy of each user's
+    event-type TRANSITION distribution (consecutive event pairs),
+    reporting the most-predictable users — near-zero entropy at high
+    volume is the bot/scripted-traffic signature (real users mix
+    their next actions; replay loops don't).
+
+    Determinism (lp7 contract): each transition type contributes
+    n_i * ln(n_i / N) quantized to int64 at 1e-7 PER ROW before the
+    per-user sum, so the fold is order-free; entropy_lp7 =
+    -sum / N exact-int-divided only at the end (both engines `div`).
+
+    Shape: per-user lag window (millions of small partitions) ->
+    (user, from, to) hash agg -> per-user rollup carrying the lp7
+    terms -> two-phase salted_topk leaderboard. No global window
+    touches a row tier."""
+    from simpleetlpipeline_spark.operators.aggregates import salted_topk
+
+    ensure_session_conf(spark)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"))
+        .filter(F.col("from_type").isNotNull()))
+    counts = (trans.groupBy("user_id", "from_type", "to_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_i")))
+    wn = Window.partitionBy("user_id")
+    scored = counts.select(
+        "user_id", "n_i",
+        F.sum("n_i").over(wn).alias("n"))
+    terms = scored.select(
+        "user_id", "n",
+        F.floor(F.col("n_i")
+                * F.log(F.col("n_i") / F.col("n")) * 1e7)
+        .cast("long").alias("t_lp7"))
+    per_user = (terms.groupBy("user_id")
+                .agg(F.min("n").cast("long").alias("n_transitions"),
+                     F.sum("t_lp7").alias("__s"))
+                .filter(F.col("n_transitions") >= min_n)
+                .select("user_id", "n_transitions",
+                        F.expr("-__s div n_transitions")
+                        .alias("entropy_lp7")))
+    return (salted_topk(per_user, [],
+                        [F.asc("entropy_lp7"), F.asc("user_id")], top_n)
+            .withColumnRenamed("topk_rank", "rank")
+            .select("rank", "user_id", "n_transitions", "entropy_lp7"))
+
+
+QUERIES["user_sequence_entropy"] = user_sequence_entropy
+
+ORACLE_SQL["user_sequence_entropy"] = f"""
+    WITH trans AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                   AS from_type,
+               event_type AS to_type
+        FROM events
+    ), counts AS (
+        SELECT user_id, from_type, to_type,
+               CAST(count(*) AS BIGINT) AS n_i
+        FROM trans WHERE from_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT user_id, n_i,
+               sum(n_i) OVER (PARTITION BY user_id) AS n
+        FROM counts
+    ), per_user AS (
+        SELECT user_id,
+               CAST(min(n) AS BIGINT) AS n_transitions,
+               CAST(sum(CAST(floor(n_i * ln(CAST(n_i AS DOUBLE)
+                                            / CAST(n AS DOUBLE))
+                                   * 1e7) AS BIGINT)) AS BIGINT)
+                   AS s
+        FROM scored GROUP BY 1
+        HAVING CAST(min(n) AS BIGINT) >= {SEQ_ENTROPY_MIN_N}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY (-s) // n_transitions ASC,
+                                   user_id ASC) AS INT) AS rank,
+           user_id, n_transitions,
+           (-s) // n_transitions AS entropy_lp7
+    FROM per_user
+    QUALIFY rank <= 20
+    ORDER BY rank
+"""
+
+
+def weighted_price_percentiles(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED price percentiles per return flag: the p25 /
+    median / p75 of extended price where each lineitem counts by its
+    quantity — the volume-weighted view procurement actually prices
+    against (the unweighted order_value_percentiles treats a 1-unit
+    and a 50-unit line identically).
+
+    Exact-order-statistic contract: prices quantize to cents;
+    weights are exact integer quantities; percentile p is the
+    smallest price whose cumulative weight reaches ceil(p * W) —
+    computed as 100*cum >= p*W in integers, no engine percentile
+    builtin, no floats.
+
+    Shape: one lineitem scan -> (flag, cents) spine hash agg summing
+    weights (map-side combined, value-domain-bounded) -> per-flag
+    cumulative window over the spine -> one rollup. The same
+    domain-spine scaling argument as robust_outlier_mad."""
+    ensure_session_conf(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"))
+    spine = (li.groupBy("l_returnflag", "cents")
+             .agg(F.sum("w").cast("long").alias("w")))
+    wc = (Window.partitionBy("l_returnflag").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("l_returnflag")
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    cum = spine.select(
+        "l_returnflag", "cents",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wn).alias("tw"))
+
+    def pctl(p):
+        return F.min(F.when(F.col("cum") * 100 >= F.col("tw") * p,
+                            F.col("cents")))
+
+    return (cum.groupBy("l_returnflag")
+            .agg(F.min("tw").cast("long").alias("total_weight"),
+                 pctl(25).alias("p25_cents"),
+                 pctl(50).alias("p50_cents"),
+                 pctl(75).alias("p75_cents"))
+            .orderBy("l_returnflag"))
+
+
+QUERIES["weighted_price_percentiles"] = weighted_price_percentiles
+
+ORACLE_SQL["weighted_price_percentiles"] = """
+    WITH spine AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT l_returnflag, cents,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM spine
+    )
+    SELECT l_returnflag,
+           CAST(min(tw) AS BIGINT) AS total_weight,
+           min(CASE WHEN cum * 100 >= tw * 25 THEN cents END)
+               AS p25_cents,
+           min(CASE WHEN cum * 100 >= tw * 50 THEN cents END)
+               AS p50_cents,
+           min(CASE WHEN cum * 100 >= tw * 75 THEN cents END)
+               AS p75_cents
+    FROM cum GROUP BY 1 ORDER BY 1
+"""

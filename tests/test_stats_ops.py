@@ -1109,3 +1109,60 @@ def test_expectation_suite_detects_each_violation(spark, tmp_path):
     assert got["accepted_range__o_totalprice_gt_0"] == (5, 1, False)
     assert got["accepted_values__o_orderstatus"] == (5, 1, False)
     assert got["relationships__l_orderkey_in_orders"] == (2, 1, False)
+
+
+def test_user_sequence_entropy_hand_fixture(spark, tmp_path):
+    """A constant-next-action user scores exactly 0; a perfect
+    two-state alternator scores ln(2) on the lp7 grid; a short
+    history is filtered by the min-transition threshold."""
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(41):                      # user 1: view/click loop
+        rows.append((eid, t0 + timedelta(minutes=i), 1,
+                     "view" if i % 2 == 0 else "click", 1.0, "{}"))
+        eid += 1
+    for i in range(25):                      # user 2: all view
+        rows.append((eid, t0 + timedelta(minutes=i), 2,
+                     "view", 1.0, "{}"))
+        eid += 1
+    for i in range(5):                       # user 3: too short
+        rows.append((eid, t0 + timedelta(minutes=i), 3,
+                     "view", 1.0, "{}"))
+        eid += 1
+    _write(spark, tmp_path, "events", rows)
+    from simpleetlpipeline_spark.plans.advanced import (
+        user_sequence_entropy)
+    got = user_sequence_entropy(spark, str(tmp_path)).collect()
+    assert [(r["rank"], r["user_id"]) for r in got] == [(1, 2), (2, 1)]
+    assert got[0]["entropy_lp7"] == 0
+    n = 40
+    term = math.floor(20 * math.log(0.5) * 1e7)
+    assert got[1]["entropy_lp7"] == (-2 * term) // n
+    assert got[1]["n_transitions"] == n
+
+
+def test_weighted_price_percentiles_hand_fixture(spark, tmp_path):
+    """Weighted order statistics: a 99-unit cheap line dominates all
+    three percentiles for flag N; flag R's cumulative weights place
+    p25/p50/p75 at three distinct prices."""
+    day = datetime(1995, 1, 1)
+
+    def row(okey, price, qty, flag):
+        return (okey, 1, 1, 1, float(qty), float(price), 0.0, 0.0,
+                flag, "O", day)
+
+    li = [row(1, 1.00, 99, "N"), row(2, 100.00, 1, "N"),
+          row(3, 1.00, 1, "R"), row(4, 2.00, 1, "R"),
+          row(5, 3.00, 2, "R")]
+    _write(spark, tmp_path, "lineitem", li)
+    from simpleetlpipeline_spark.plans.advanced import (
+        weighted_price_percentiles)
+    got = {r["l_returnflag"]: r for r in
+           weighted_price_percentiles(spark, str(tmp_path)).collect()}
+    n = got["N"]
+    assert (n["total_weight"], n["p25_cents"], n["p50_cents"],
+            n["p75_cents"]) == (100, 100, 100, 100)
+    r = got["R"]
+    assert (r["total_weight"], r["p25_cents"], r["p50_cents"],
+            r["p75_cents"]) == (4, 100, 200, 300)

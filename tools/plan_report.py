@@ -91,6 +91,7 @@ HEADLINE = [
     "ngram_novelty_score", "source_overlap_matrix",
     "interarrival_time_profile", "expectation_suite_report",
     "revenue_growth_mom_yoy", "dedup_minhash_incremental",
+    "user_sequence_entropy", "weighted_price_percentiles",
 ]
 
 _JOIN_RE = re.compile(
