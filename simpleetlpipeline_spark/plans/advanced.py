@@ -25,10 +25,22 @@ Scale notes:
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.operators.dates import (
+    epoch_day,
+    epoch_date,
+    month_label,
+    month_start,
+    sql_epoch_day,
+    sql_epoch_date,
+    sql_month_label,
+    sql_month_start,
+)
 from simpleetlpipeline_spark.plans.analytics import COMPLETED
 from simpleetlpipeline_spark.session import ensure_session_conf
 
@@ -1951,6 +1963,22 @@ ORACLE_SQL["ab_test_report"] = f"""
 
 
 TREND_EPOCH = "1995-01-01"
+#: Day index of TREND_EPOCH since 1970-01-01 — lets the trend/CUSUM
+#: family derive its x-axis from raw epoch micros (timezone-proof;
+#: see operators/dates.py) instead of datediff(to_date(ts), ...),
+#: whose to_date resolves the session timezone at analysis time.
+TREND_EPOCH_DAY = 9131
+assert (_dt.date(1995, 1, 1) - _dt.date(1970, 1, 1)).days == TREND_EPOCH_DAY
+
+
+def _trend_day(col: str = "o_orderdate"):
+    """Days since TREND_EPOCH (long), from raw micros. Oracle twin:
+    ``(epoch_us(col) // 86400000000) - 9131``."""
+    return epoch_day(col) - F.lit(TREND_EPOCH_DAY)
+
+
+def _sql_trend_day(col: str = "o_orderdate") -> str:
+    return f"({sql_epoch_day(col)} - {TREND_EPOCH_DAY})"
 
 
 def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1971,8 +1999,7 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     daily = (
         read_table(spark, sf_dir, "orders")
-        .select(F.datediff(F.to_date("o_orderdate"),
-                           F.lit(TREND_EPOCH)).alias("x"),
+        .select(_trend_day().alias("x"),
                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
                 .cast("long").alias("cents"))
         .groupBy("x").agg(F.sum("cents").alias("y"))
@@ -2004,8 +2031,7 @@ QUERIES["revenue_trend_ols"] = revenue_trend_ols
 
 ORACLE_SQL["revenue_trend_ols"] = f"""
     WITH daily AS (
-        SELECT date_diff('day', DATE '{TREND_EPOCH}',
-                         CAST(o_orderdate AS DATE)) AS x,
+        SELECT {_sql_trend_day()} AS x,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                              AS BIGINT)) AS BIGINT) AS y
         FROM orders GROUP BY 1
@@ -2495,12 +2521,19 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: one map-side-combined daily rollup (|days| groups), then
     ordered windows over the tiny day table (the
     monthly_revenue_running contract: the unpartitioned window never
-    sees raw orders), TakeOrdered(1) for the argmax."""
+    sees raw orders), TakeOrdered(1) for the argmax.
+
+    Round-7 hardening (driver hash-red on first attestation, r6):
+    changepoint_day was the catalog's only other absolute-calendar
+    output — datediff(to_date(ts), epoch) shifts by exactly 1 under
+    a non-UTC analysis timezone while every translation-invariant
+    column stays put, which is precisely the red the gate recorded.
+    The day index now derives from raw micros (_trend_day /
+    operators/dates.epoch_day), twinned in the oracle."""
     ensure_session_conf(spark)
     daily = (
         read_table(spark, sf_dir, "orders")
-        .select(F.datediff(F.to_date("o_orderdate"),
-                           F.lit(TREND_EPOCH)).alias("day"),
+        .select(_trend_day().alias("day"),
                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
                 .cast("long").alias("cents"))
         .groupBy("day").agg(F.sum("cents").alias("y"))
@@ -2536,8 +2569,7 @@ QUERIES["revenue_cusum_changepoint"] = revenue_cusum_changepoint
 
 ORACLE_SQL["revenue_cusum_changepoint"] = f"""
     WITH daily AS (
-        SELECT date_diff('day', DATE '{TREND_EPOCH}',
-                         CAST(o_orderdate AS DATE)) AS day,
+        SELECT {_sql_trend_day()} AS day,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                              AS BIGINT)) AS BIGINT) AS y
         FROM orders GROUP BY 1
@@ -2809,8 +2841,7 @@ def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     daily = (
         read_table(spark, sf_dir, "orders")
-        .select(F.datediff(F.to_date("o_orderdate"),
-                           F.lit(TREND_EPOCH)).alias("day"),
+        .select(_trend_day().alias("day"),
                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
                 .cast("long").alias("cents"))
         .groupBy("day").agg(F.sum("cents").alias("y"))
@@ -2855,8 +2886,7 @@ ORACLE_SQL["revenue_autocorrelation"] = f"""
     WITH daily AS (
         SELECT day, y, row_number() OVER (ORDER BY day) AS d
         FROM (
-            SELECT date_diff('day', DATE '{TREND_EPOCH}',
-                             CAST(o_orderdate AS DATE)) AS day,
+            SELECT {_sql_trend_day()} AS day,
                    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
                                  * 100 AS BIGINT)) AS BIGINT) AS y
             FROM orders GROUP BY 1
@@ -3166,8 +3196,7 @@ def revenue_trend_theil_sen(spark: SparkSession,
     # orders scan+agg would run three times
     daily = track(
         read_table(spark, sf_dir, "orders")
-        .select(F.datediff(F.to_date("o_orderdate"),
-                           F.lit(TREND_EPOCH)).cast("long").alias("x"),
+        .select(_trend_day().alias("x"),
                 (F.col("o_totalprice").cast("decimal(18,2)") * 100)
                 .cast("long").alias("cents"))
         .groupBy("x").agg(F.sum("cents").alias("y"))
@@ -3197,9 +3226,7 @@ QUERIES["revenue_trend_theil_sen"] = revenue_trend_theil_sen
 
 ORACLE_SQL["revenue_trend_theil_sen"] = f"""
     WITH daily AS (
-        SELECT CAST(date_diff('day', DATE '{TREND_EPOCH}',
-                              CAST(o_orderdate AS DATE)) AS BIGINT)
-                   AS x,
+        SELECT {_sql_trend_day()} AS x,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
                              AS BIGINT)) AS BIGINT) AS y
         FROM orders GROUP BY 1

@@ -48,6 +48,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.operators.dates import (
+    month_label,
+    sql_month_label,
+)
 from simpleetlpipeline_spark.plans.analytics import COMPLETED
 from simpleetlpipeline_spark.session import ensure_session_conf
 
@@ -886,6 +890,14 @@ def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     hostile shuffle, LA-timezone session) could reproduce, so the
     double→display divergence surface is removed outright: hashing
     an int64 cannot wobble across engines or canonicalizers.
+    Round-7 hardening (the r6 red persisted on all-BIGINT outputs,
+    isolating the divergence to the MONTH BUCKETING): the month
+    label now derives from raw epoch micros via pure DATE arithmetic
+    (operators/dates.month_label) on the Spark side AND the
+    epoch_us-based twin on the oracle side, so no session-timezone
+    or parquet-reader flavor on either engine can shift a
+    midnight-UTC order into the adjacent month (the reproduced
+    round-6 mechanism; see tests/test_dates.py).
     """
     ensure_session_conf(spark)
     dec = F.col("o_totalprice").cast("decimal(18,2)")
@@ -893,7 +905,7 @@ def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == COMPLETED)
         .select(F.col("o_orderkey").alias("k"),
-                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                month_label("o_orderdate").alias("month"),
                 dec.alias("price"))
     )
     is_del = F.col("k") % RETRACT_DELETE_MOD == 0
@@ -948,7 +960,7 @@ QUERIES["monthly_sales_retract"] = monthly_sales_retract
 ORACLE_SQL["monthly_sales_retract"] = f"""
     WITH o AS (
         SELECT o_orderkey AS k,
-               strftime(o_orderdate, '%Y-%m') AS month,
+               {sql_month_label('o_orderdate')} AS month,
                CAST(o_totalprice AS DECIMAL(18,2)) AS price,
                o_orderkey % {RETRACT_DELETE_MOD} = 0 AS is_del,
                o_orderkey % {RETRACT_DELETE_MOD} != 0
