@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from simpleetlpipeline_spark.operators.dates import ts_lit
 from simpleetlpipeline_spark.functions.dedup import word_ngram_hashes_col
 from simpleetlpipeline_spark.functions.similarity import as_double_vec
 from simpleetlpipeline_spark.functions.text import tokens_col
@@ -576,7 +577,7 @@ ORACLE_SQL["shard_manifest"] = f"""
     GROUP BY 1
 """
 
-ORACLE_SQL["quality_bins"] = """
+ORACLE_SQL["quality_bins"] = f"""
     WITH t AS (
         SELECT doc_id,
                string_split_regex(lower(trim(text)), '\\s+') AS toks
@@ -596,7 +597,8 @@ ORACLE_SQL["quality_bins"] = """
         FROM s
     )
     SELECT doc_id, quality_score,
-           CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS INT)
+           CAST(ntile({N_QUALITY_BINS}) OVER
+                    (ORDER BY quality_score, doc_id) AS INT)
                AS quality_bin
     FROM q
 """
@@ -1153,6 +1155,10 @@ ORACLE_SQL["priority_sample_docs"] = f"""
 #: they placed at least one order on/after this date (same split
 #: instant as the CF holdout eval).
 WOE_CUTOFF = "2000-01-01"
+#: Decile count for the gains/lift readout — interpolated into
+#: BOTH the Spark default and the oracle (an out-of-band n_bins
+#: would silently diverge from a hardcoded oracle otherwise).
+GAINS_N_BINS = 10
 
 
 def woe_encoding(spark: SparkSession, sf_dir: str,
@@ -1182,7 +1188,7 @@ def woe_encoding(spark: SparkSession, sf_dir: str,
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate")
     active = (orders.groupBy("o_custkey")
-              .agg(F.max((F.col("o_orderdate") >= cutoff).cast("int"))
+              .agg(F.max((F.col("o_orderdate") >= ts_lit(cutoff)).cast("int"))
                    .alias("is_pos")))
     labeled = (customers
                .join(active,
@@ -1260,7 +1266,7 @@ ORACLE_SQL["woe_encoding"] = f"""
 
 def gains_lift_table(spark: SparkSession, sf_dir: str,
                      cutoff: str = WOE_CUTOFF,
-                     n_bins: int = 10) -> DataFrame:
+                     n_bins: int = GAINS_N_BINS) -> DataFrame:
     """Gains/lift table — the standard model-evaluation readout:
     customers are scored by pre-cutoff spend (the 'model'), cut into
     spend deciles, and each decile reports its post-cutoff repeat
@@ -1288,7 +1294,7 @@ def gains_lift_table(spark: SparkSession, sf_dir: str,
     orders = track(
         read_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_totalprice",
-                (F.col("o_orderdate") < cutoff).alias("is_pre"))
+                (F.col("o_orderdate") < ts_lit(cutoff)).alias("is_pre"))
         .persist())
     spend = (orders.filter("is_pre")
              .groupBy("o_custkey")
@@ -1348,8 +1354,8 @@ ORACLE_SQL["gains_lift_table"] = f"""
         FROM spend s LEFT JOIN repeat r USING (o_custkey)
     ), deciled AS (
         SELECT is_repeat,
-               ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC)
-                   AS decile
+               ntile({GAINS_N_BINS}) OVER
+                   (ORDER BY spend DESC, o_custkey ASC) AS decile
         FROM scored
     ), per AS (
         SELECT decile,

@@ -216,11 +216,19 @@ def two_pass_global_window(df: DataFrame, key_col: str,
     mm = df.agg(F.min(key_col).cast("double").alias(mn_c),
                 F.max(key_col).cast("double").alias(mx_c))
     span = F.col(mx_c) - F.col(mn_c)
-    bucket = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.floor((F.col(key_col).cast("double") - F.col(mn_c))
-                    / span * n_buckets),
-            F.lit(n_buckets - 1))).cast("int")
+    # NULL keys land in bucket 0: min/max ignore NULLs, so a NULL key
+    # would otherwise get a NULL bucket and silently drop out of the
+    # spine equi-join. ASC window ordering ranks NULLs FIRST, and
+    # bucket 0 is the first bucket with NULLs sorting first inside it
+    # (orderBy ascending), so the identity with the unpartitioned
+    # window is preserved for nullable keys too (identity test in
+    # tests/test_plans.py::test_two_pass_window_null_keys).
+    bucket = F.when(F.col(key_col).isNull(), F.lit(0)).otherwise(
+        F.when(span <= 0, F.lit(0)).otherwise(
+            F.least(
+                F.floor((F.col(key_col).cast("double") - F.col(mn_c))
+                        / span * n_buckets),
+                F.lit(n_buckets - 1)))).cast("int")
     keyed = (df.crossJoin(F.broadcast(mm))
              .withColumn(b_c, bucket).drop(mn_c, mx_c))
 

@@ -58,6 +58,8 @@ naive calendar semantics, which is exactly what these helpers pin.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -147,11 +149,63 @@ def hour_of(col: Column | str) -> Column:
     return F.pmod(_exact_div(_micros(col), HOUR_US), F.lit(24)).cast("int")
 
 
+def epoch_second(col: Column | str) -> Column:
+    """Whole seconds since epoch (long) — same value as
+    ``unix_timestamp(ts)`` on TIMESTAMP input, but via the pure
+    micros path (unix_timestamp's signature is tz-parameterised for
+    its string-parsing overload, so the plan-contract test bans it
+    wholesale). Oracle twin: ``epoch_us(ts) // 1000000`` or
+    ``floor(epoch(ts))``."""
+    return _exact_div(_micros(col), 1_000_000)
+
+
 def hour_bucket(col: Column | str) -> Column:
     """Hours since epoch (long) — an absolute hour bucket id
     (replaces ``date_trunc('hour', ts)`` as a grouping key). Oracle
     twin: ``epoch_us(ts) // 3600000000``."""
     return _exact_div(_micros(col), HOUR_US)
+
+
+def iso_second_label(col: Column | str) -> Column:
+    """'yyyy-MM-ddTHH:mm:ss' string from raw micros — the pure
+    replacement for ``date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")``
+    (fixture writers that must render wall-clock text). Oracle twin:
+    ``strftime(ts, '%Y-%m-%dT%H:%M:%S')`` on a naive read."""
+    us = _micros(col)
+
+    def two(n: Column) -> Column:
+        return F.lpad(n.cast("string"), 2, "0")
+
+    return F.concat(
+        day_label(col), F.lit("T"),
+        two(F.pmod(_exact_div(us, HOUR_US), F.lit(24))), F.lit(":"),
+        two(F.pmod(_exact_div(us, 60_000_000), F.lit(60))), F.lit(":"),
+        two(F.pmod(_exact_div(us, 1_000_000), F.lit(60))))
+
+
+def day_lit(date_str: str) -> int:
+    """Epoch-day number of an ISO date string, computed driver-side
+    (plain Python) — for comparisons against epoch_day(col)."""
+    return (_dt.date.fromisoformat(date_str) - _dt.date(1970, 1, 1)).days
+
+
+def ts_lit(date_str: str) -> Column:
+    """Timestamp literal at UTC midnight of ``date_str``, built from
+    raw micros (``timestamp_micros`` — no string->timestamp cast, so
+    no session-timezone parse at analysis time). Constant-folded by
+    Catalyst, so range predicates on timestamp columns still reach
+    the parquet scan as pushed filters (asserted by
+    tests/test_plans.py). A bare string comparand
+    (``F.col("ts") > "1997-01-01"``) instead parses the literal in
+    the session timezone: under an eastern-offset analysis timezone
+    the cutoff instant moves BEFORE the stored midnight instants and
+    the predicate admits an extra day of rows.
+
+    DuckDB oracle twin: ``TIMESTAMP '<date_str>'`` (naive) — equal
+    to this instant whenever the engines agree on raw micros, which
+    the date_axis_canary attests.
+    """
+    return F.timestamp_micros(F.lit(day_lit(date_str) * DAY_US))
 
 
 # --- DuckDB oracle-side spellings (f-string fragments) -------------

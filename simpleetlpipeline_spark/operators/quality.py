@@ -279,9 +279,11 @@ def table_stats_profile(spark, sf_dir: str):
     # a 5-way union of selects over the same lineage would recompute
     # the full-table aggregate five times
     def entry(name: str) -> F.Column:
+        # exact integer div (BIGINT `div`, truncating like the
+        # oracle's `//`): a double-quotient floor re-rounds at the
+        # 2^53 boundary — the ntile_from_rank hazard
         avg_len = (
-            F.floor(F.col("len_status") * 1000
-                    / (F.col("n_rows") - F.col(f"nn_{name}")))
+            F.expr(f"len_status * 1000 div (n_rows - nn_{name})")
             .cast("long")
             if name == "o_orderstatus" else F.lit(None).cast("long"))
         return F.struct(

@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simpleetlpipeline_spark.operators.dates import epoch_second
+
 VALID_FROM = "valid_from"
 VALID_TO = "valid_to"
 
@@ -209,15 +211,17 @@ def events_point_in_time_enrich(spark: SparkSession,
         F.col(VALID_FROM).alias("vf"), F.col(VALID_TO).alias("vt"))
     events = read_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type", "value")
-    # whole-second midpoint arithmetic: unix_timestamp truncates to
+    # whole-second midpoint arithmetic: epoch_second truncates to
     # seconds exactly like the oracle's floor(epoch(..)) — a
     # micros-vs-fractional-seconds mix would put the two engines'
     # midpoints sub-second apart and misclassify any event landing
-    # in the gap
+    # in the gap. (epoch_second, not unix_timestamp: same value on
+    # TIMESTAMP input, but without the tz-parameterised signature
+    # the catalog-wide plan contract bans.)
     mid = events.agg(
         F.timestamp_seconds(
-            F.floor((F.unix_timestamp(F.min("ts"))
-                     + F.unix_timestamp(F.max("ts"))) / 2)
+            F.floor((epoch_second(F.min("ts"))
+                     + epoch_second(F.max("ts"))) / 2)
             .cast("long")).alias("__mid"))
     versioned = (events.crossJoin(F.broadcast(mid))
                  .select("user_id", "event_type", "value",

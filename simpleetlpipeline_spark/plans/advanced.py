@@ -33,13 +33,17 @@ from pyspark.sql import functions as F
 from simpleetlpipeline_spark.io import read_table
 from simpleetlpipeline_spark.operators.dates import (
     epoch_day,
+    hour_bucket,
     epoch_date,
+    hour_of,
     month_label,
     month_start,
     sql_epoch_day,
     sql_epoch_date,
     sql_month_label,
     sql_month_start,
+    ts_lit,
+    week_start,
 )
 from simpleetlpipeline_spark.plans.analytics import COMPLETED
 from simpleetlpipeline_spark.session import ensure_session_conf
@@ -75,7 +79,7 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     monthly = (
         orders.filter(F.col("o_orderstatus") == COMPLETED)
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .groupBy(month_label("o_orderdate").alias("month"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
     )
@@ -309,7 +313,7 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events")
     return (
-        events.select(F.to_date("ts").alias("day"), "event_type")
+        events.select(epoch_date("ts").alias("day"), "event_type")
         .groupBy("day")
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.count(F.lit(1)))
@@ -656,7 +660,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_conf(spark)
     li = read_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp"))
+        F.col("l_shipdate") <= ts_lit(PRICING_CUTOFF))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -818,9 +822,10 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events")
-    # to_date: Spark's date_trunc returns TIMESTAMP while the oracle's
-    # returns DATE — normalize so the schemas compare equal.
-    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    # week_start: Monday DATE from pure epoch-day arithmetic (the
+    # timezone-proof replacement for to_date(date_trunc('week', ts));
+    # operators/dates.py) — matches the oracle's Monday truncation.
+    week = week_start("ts")
     firsts = (events.select("user_id", week.alias("w"))
               .groupBy("user_id").agg(F.min("w").alias("cohort_week")))
     active = (events.select("user_id", week.alias("active_week"))
@@ -851,7 +856,7 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events")
-    pairs = (events.select("user_id", F.to_date("ts").alias("day"))
+    pairs = (events.select("user_id", epoch_date("ts").alias("day"))
              .distinct())
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = pairs.select(
@@ -929,10 +934,10 @@ def ship_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_shipdate")
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate")
-    lat = F.datediff("l_shipdate", "o_orderdate")
+    lat = epoch_day("l_shipdate") - epoch_day("o_orderdate")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        .select(month_label("o_orderdate").alias("month"),
                 lat.alias("lat"))
         .groupBy("month")
         .agg(
@@ -1090,8 +1095,7 @@ def zorder_layout_manifest(spark: SparkSession, sf_dir: str,
     keyed = events.select(
         "event_id",
         (F.col("user_id") % (1 << _Z_BITS)).alias("ux"),
-        (F.floor(F.unix_timestamp("ts") / 3600)
-         .cast("long") % (1 << _Z_BITS)).alias("tx"),
+        (hour_bucket("ts") % (1 << _Z_BITS)).alias("tx"),
     )
     z = F.expr(_z_expr("ux", "tx", _shift_sql))
     ranked = two_pass_global_window(
@@ -1214,10 +1218,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str,
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice")
     anchor = orders.agg(
-        F.max(F.to_date("o_orderdate")).alias("__maxd"))
+        F.max(epoch_date("o_orderdate")).alias("__maxd"))
     per_cust = (
         orders.groupBy("o_custkey")
-        .agg(F.max(F.to_date("o_orderdate")).alias("last_order"),
+        .agg(F.max(epoch_date("o_orderdate")).alias("last_order"),
              F.count(F.lit(1)).alias("frequency"),
              F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
              .cast("double").alias("monetary"))
@@ -1479,8 +1483,8 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events").select(
-        F.date_format("ts", "yyyy-MM").alias("month"),
-        F.to_date("ts").alias("day"), "user_id")
+        month_label("ts").alias("month"),
+        epoch_date("ts").alias("day"), "user_id")
     dau = (events.groupBy("month", "day")
            .agg(F.count_distinct("user_id").alias("dau")))
     per_month_dau = dau.groupBy("month").agg(
@@ -1544,7 +1548,7 @@ def monthly_seasonality_index(spark: SparkSession,
     orders = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == COMPLETED)
     monthly = (orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        month_label("o_orderdate").alias("ym"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
              .alias("rev")))
     by_cal = (monthly.groupBy(
@@ -1620,7 +1624,7 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str,
     daily = (
         orders.groupBy(
             "o_orderstatus",
-            F.to_date("o_orderdate").alias("day"))
+            epoch_date("o_orderdate").alias("day"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
               .alias("day_rev"))
         .withColumn("day_num",
@@ -3102,7 +3106,7 @@ def supplier_efficiency_frontier(spark: SparkSession,
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_items"),
-             F.sum(F.datediff("l_shipdate", "o_orderdate").cast("long"))
+             F.sum(epoch_day("l_shipdate") - epoch_day("o_orderdate"))
              .alias("tot_lat"),
              F.sum(rev_term).alias("rev"))
         .withColumn("lat_e4",
@@ -3275,7 +3279,7 @@ def event_hour_mutual_information(spark: SparkSession,
 
     ensure_session_conf(spark)
     ev = read_table(spark, sf_dir, "events").select(
-        "event_type", F.hour("ts").cast("int").alias("h"))
+        "event_type", hour_of("ts").alias("h"))
     cells = track(
         ev.groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("nij")).persist())
@@ -3723,10 +3727,10 @@ def open_orders_timeline(spark: SparkSession,
     spans = (
         read_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.max(F.to_date("l_shipdate")).alias("shipped"))
+        .agg(F.max(epoch_date("l_shipdate")).alias("shipped"))
         .join(read_table(spark, sf_dir, "orders")
               .select("o_orderkey",
-                      F.to_date("o_orderdate").alias("placed")),
+                      epoch_date("o_orderdate").alias("placed")),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .select("placed",
                 F.greatest("shipped", "placed").alias("closed")))
@@ -3993,7 +3997,7 @@ def daily_revenue_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition ordered window is a non-issue at 100 TB."""
     ensure_session_conf(spark)
     daily = (read_table(spark, sf_dir, "orders")
-             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .groupBy(epoch_date("o_orderdate").alias("day"))
              .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                    * 100).cast("long").alias("cents")))
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
@@ -4244,7 +4248,7 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str,
     ensure_session_conf(spark)
     days = (read_table(spark, sf_dir, "events")
             .select("user_id",
-                    F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+                    epoch_day("ts")
                     .cast("long").alias("dayn"))
             .distinct())
     w = Window.partitionBy("user_id").orderBy("dayn")
@@ -4426,7 +4430,7 @@ def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderdate", "o_totalprice")
     monthly = (orders
-               .groupBy(F.date_trunc("month", "o_orderdate")
+               .groupBy(month_start("o_orderdate")
                         .alias("month_start"))
                .agg(F.sum(F.floor(F.col("o_totalprice") * 100)
                           .cast("long")).alias("revenue_cents")))
@@ -4447,7 +4451,8 @@ def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `//` on these (possibly negative) growth deltas — a floor-style
     # spelling diverges by one bp on every shrinking month
     return (lagged.select(
-        F.date_format("month_start", "yyyy-MM").alias("month"),
+        F.substring(F.col("month_start").cast("string"), 1, 7)
+        .alias("month"),
         "revenue_cents",
         F.expr("CASE WHEN prev_m > 0 THEN "
                "((revenue_cents - prev_m) * 10000) div prev_m END")
@@ -4460,9 +4465,9 @@ def revenue_growth_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["revenue_growth_mom_yoy"] = revenue_growth_mom_yoy
 
-ORACLE_SQL["revenue_growth_mom_yoy"] = """
+ORACLE_SQL["revenue_growth_mom_yoy"] = f"""
     WITH monthly AS (
-        SELECT date_trunc('month', o_orderdate) AS month_start,
+        SELECT {sql_month_start('o_orderdate')} AS month_start,
                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS revenue_cents
         FROM orders GROUP BY 1
@@ -4483,7 +4488,7 @@ ORACLE_SQL["revenue_growth_mom_yoy"] = """
                    AS prev_y
         FROM dense
     )
-    SELECT strftime(month_start, '%Y-%m') AS month,
+    SELECT substr(CAST(month_start AS VARCHAR), 1, 7) AS month,
            revenue_cents,
            CASE WHEN prev_m > 0 THEN
                ((revenue_cents - prev_m) * 10000) // prev_m
@@ -4499,11 +4504,14 @@ ORACLE_SQL["revenue_growth_mom_yoy"] = """
 #: Minimum transition count for the predictability leaderboard (tiny
 #: histories make entropy estimates meaningless).
 SEQ_ENTROPY_MIN_N = 20
+#: Leaderboard size — interpolated into BOTH sides (a non-default
+#: top_n would otherwise silently diverge from a hardcoded oracle).
+SEQ_ENTROPY_TOP_N = 20
 
 
 def user_sequence_entropy(spark: SparkSession, sf_dir: str,
                           min_n: int = SEQ_ENTROPY_MIN_N,
-                          top_n: int = 20) -> DataFrame:
+                          top_n: int = SEQ_ENTROPY_TOP_N) -> DataFrame:
     """Behavioral predictability: the Shannon entropy of each user's
     event-type TRANSITION distribution (consecutive event pairs),
     reporting the most-predictable users — near-zero entropy at high
@@ -4588,7 +4596,7 @@ ORACLE_SQL["user_sequence_entropy"] = f"""
            user_id, n_transitions,
            (-s) // n_transitions AS entropy_lp7
     FROM per_user
-    QUALIFY rank <= 20
+    QUALIFY rank <= {SEQ_ENTROPY_TOP_N}
     ORDER BY rank
 """
 

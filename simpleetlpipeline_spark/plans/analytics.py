@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.operators.dates import (
+    epoch_day,
+    month_label,
+    sql_epoch_day,
+    sql_month_label,
+)
 from simpleetlpipeline_spark.operators.joins import orphan_rows, rollup_update
 from simpleetlpipeline_spark.session import ensure_session_conf
 
@@ -73,14 +79,17 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 def monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/F8/O1: time-bucketed rollup (main.py:648-657).
 
-    strftime('%Y-%m') -> date_format; hash aggregate with map-side
-    partial combine; the status filter is pushed to the parquet scan.
+    strftime('%Y-%m') -> the timezone-proof month_label idiom
+    (operators/dates.py; the reference's SQLite strftime over TEXT
+    dates is naive-calendar, which is exactly what the idiom pins);
+    hash aggregate with map-side partial combine; the status filter
+    is pushed to the parquet scan.
     """
     ensure_session_conf(spark)
     return (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == COMPLETED)
-        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .groupBy(month_label("o_orderdate").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("total_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
@@ -399,8 +408,8 @@ ORACLE_SQL = {
         ORDER BY total_revenue DESC, p.p_partkey
         LIMIT 10
     """,
-    "monthly_sales": """
-        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    "monthly_sales": f"""
+        SELECT {sql_month_label('o_orderdate')} AS month,
                count(*) AS total_orders,
                round(sum(o_totalprice), 2) AS total_revenue
         FROM orders
@@ -550,8 +559,13 @@ def sql_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simpleetlpipeline_spark.io import run_sql
 
     ensure_session_conf(spark)
+    # Month bucket spelled in the timezone-proof SQL idiom (the SQL
+    # twin of operators/dates.month_label): date_format over a
+    # TIMESTAMP resolves the session timezone at analysis time.
     return run_sql(spark, sf_dir, """
-        SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+        SELECT substring(CAST(date_from_unix_date(CAST(
+                   unix_micros(o_orderdate) div 86400000000 AS INT))
+                   AS STRING), 1, 7) AS month,
                count(*) AS total_orders,
                round(sum(o_totalprice), 2) AS total_revenue
         FROM orders
@@ -670,4 +684,56 @@ ORACLE_SQL["events_user_reach"] = """
            count(*) AS n_events
     FROM events
     GROUP BY 1
+"""
+
+
+def date_axis_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMANENT gate-window diagnostic (never rotates out; round-6
+    verdict task #2). One cheap row per month of o_orderdate carrying
+    BOTH layers of the date axis:
+
+    - ``min_micros`` / ``max_micros`` — the RAW stored int64 micros
+      (the read layer: any cross-engine disagreement here means the
+      engines aren't even seeing the same instants);
+    - ``month`` / ``min_day`` / ``max_day`` — the rendered calendar
+      position via the timezone-proof epoch idiom (the render layer).
+
+    If a future driver round reds any date-carrying query, this
+    canary's diff localizes the divergence in ONE round: micros off
+    -> read-side (parquet reader / type mapping); micros green but
+    labels off -> render-side (calendar arithmetic); canary fully
+    green -> the red is not a date problem at all. The round-5/6
+    reds took two driver rounds to localize precisely because no
+    in-gate query separated the two layers.
+
+    Scale: one map-side-combined hash aggregate over ~|months|
+    groups, status filter pushed to the scan. Trivial at any SF.
+    """
+    ensure_session_conf(spark)
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(F.unix_micros(F.col("o_orderdate")).alias("us"),
+                epoch_day("o_orderdate").alias("day"),
+                month_label("o_orderdate").alias("month"))
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.min("us").alias("min_micros"),
+             F.max("us").alias("max_micros"),
+             F.min("day").alias("min_day"),
+             F.max("day").alias("max_day"))
+        .orderBy("month")
+    )
+
+
+QUERIES["date_axis_canary"] = date_axis_canary
+ORACLE_SQL["date_axis_canary"] = f"""
+    SELECT {sql_month_label('o_orderdate')} AS month,
+           count(*) AS n_orders,
+           min(epoch_us(o_orderdate)) AS min_micros,
+           max(epoch_us(o_orderdate)) AS max_micros,
+           min({sql_epoch_day('o_orderdate')}) AS min_day,
+           max({sql_epoch_day('o_orderdate')}) AS max_day
+    FROM orders
+    GROUP BY 1
+    ORDER BY month
 """

@@ -49,8 +49,14 @@ from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
 from simpleetlpipeline_spark.operators.dates import (
+    HOUR_US,
+    epoch_date,
+    epoch_day,
+    hour_bucket,
+    hour_of,
     month_label,
     sql_month_label,
+    ts_lit,
 )
 from simpleetlpipeline_spark.plans.analytics import COMPLETED
 from simpleetlpipeline_spark.session import ensure_session_conf
@@ -75,7 +81,7 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         lineitem.join(F.broadcast(part),
                       F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .groupBy(month_label("l_shipdate").alias("month"))
         .agg(
             F.round(F.sum(F.when(F.col("p_type") == PROMO_TYPE, rev)
                           .otherwise(F.lit(0.0))), 2).alias("promo_revenue"),
@@ -104,7 +110,7 @@ def late_ship_orders(spark: SparkSession, sf_dir: str,
         "o_orderkey", "o_orderdate", "o_orderpriority")
     lineitem = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate")
-    lateness = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    lateness = epoch_day("l_shipdate") - epoch_day("o_orderdate")
     return (
         orders.join(
             lineitem,
@@ -139,7 +145,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str,
     return (
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_orderkey", "o_custkey",
-                F.to_date("o_orderdate").alias("order_date"),
+                epoch_date("o_orderdate").alias("order_date"),
                 "o_totalprice", "total_qty")
     )
 
@@ -339,7 +345,8 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events").select(
-        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+        F.timestamp_micros(hour_bucket("ts") * HOUR_US).alias("hour"),
         "value")
     counts = (
         events.groupBy("event_type", "hour")
@@ -418,8 +425,7 @@ def monthly_sales_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def rollup(df):
         return (
-            df.groupBy(F.date_format("o_orderdate", "yyyy-MM")
-                       .alias("month"))
+            df.groupBy(month_label("o_orderdate").alias("month"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         )
@@ -608,8 +614,9 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events")
     return (
         events.select(
-            (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
-            F.hour("ts").cast("int").alias("hour_of_day"),
+            (F.pmod(epoch_day("ts") + 3, F.lit(7)) + 1)
+            .cast("int").alias("iso_dow"),
+            hour_of("ts").alias("hour_of_day"),
             "value")
         .groupBy("iso_dow", "hour_of_day")
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1362,7 +1369,7 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
     all_items = track(
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_orderkey", "o_custkey", "l_partkey",
-                (F.col("o_orderdate") < cutoff).alias("is_train"))
+                (F.col("o_orderdate") < ts_lit(cutoff)).alias("is_train"))
         .persist())
     train_items = all_items.filter("is_train")
     # the distinct user-item set itself has three consumers (the
@@ -1665,8 +1672,8 @@ def customer_retention_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def cohort(year: int):
         return track(orders.filter(
-            (F.col("o_orderdate") >= f"{year}-01-01")
-            & (F.col("o_orderdate") < f"{year + 1}-01-01"))
+            (F.col("o_orderdate") >= ts_lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < ts_lit(f"{year + 1}-01-01")))
             .select("o_custkey").distinct().persist())
 
     a, b = cohort(RETENTION_YEAR_A), cohort(RETENTION_YEAR_B)

@@ -58,6 +58,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
+from simpleetlpipeline_spark.operators.dates import (
+    epoch_date,
+    epoch_day,
+    ts_lit,
+    year_of,
+)
 from simpleetlpipeline_spark.session import ensure_session_conf
 
 # Exact-money helper: per-row cast to DECIMAL(18,2), exact sum,
@@ -121,7 +127,7 @@ def cross_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation",
-                 F.year("l_shipdate").alias("ship_year"))
+                 year_of("l_shipdate").alias("ship_year"))
         .agg(F.sum(_rev_dec()).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_lineitems"))
     )
@@ -166,7 +172,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(region_cust, F.col("o_custkey") == F.col("c_custkey"),
               "left_semi")
-        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .groupBy(year_of("o_orderdate").alias("order_year"))
         .agg(F.sum(target_rev).cast("double").alias("nation_revenue"),
              F.sum(_rev_dec()).cast("double").alias("total_revenue"))
     )
@@ -245,8 +251,8 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name")
     lineitem = (read_table(spark, sf_dir, "lineitem")
-                .filter((F.col("l_shipdate") >= TOP_SUPPLIER_START)
-                        & (F.col("l_shipdate") < TOP_SUPPLIER_END))
+                .filter((F.col("l_shipdate") >= ts_lit(TOP_SUPPLIER_START))
+                        & (F.col("l_shipdate") < ts_lit(TOP_SUPPLIER_END)))
                 .select("l_suppkey", "l_extendedprice", "l_discount"))
     rev = (lineitem.groupBy("l_suppkey")
            .agg(F.sum(_rev_dec()).cast("double").alias("total_revenue")))
@@ -349,10 +355,9 @@ def idle_high_balance_customers(spark: SparkSession, sf_dir: str,
                  .agg((F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
                        / F.count(F.lit(1))).alias("__thr")))
     cutoff = orders.agg(
-        F.date_sub(F.max(F.to_date("o_orderdate")), idle_days)
-        .alias("__cutoff"))
+        (F.max(epoch_day("o_orderdate")) - idle_days).alias("__cutoff"))
     recent = (orders.crossJoin(F.broadcast(cutoff))
-              .filter(F.to_date("o_orderdate") > F.col("__cutoff"))
+              .filter(epoch_day("o_orderdate") > F.col("__cutoff"))
               .select("o_custkey"))
     return (
         customer.crossJoin(F.broadcast(threshold))
@@ -574,8 +579,8 @@ def returned_revenue_customers(spark: SparkSession,
     decimal revenue (ties to the lowest custkey)."""
     ensure_session_conf(spark)
     orders = (read_table(spark, sf_dir, "orders")
-              .filter((F.col("o_orderdate") >= RETURNED_START)
-                      & (F.col("o_orderdate") < RETURNED_END))
+              .filter((F.col("o_orderdate") >= ts_lit(RETURNED_START))
+                      & (F.col("o_orderdate") < ts_lit(RETURNED_END)))
               .select("o_orderkey", "o_custkey"))
     li = (read_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_returnflag") == "R")
@@ -656,8 +661,8 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str,
         "o_orderkey", "o_orderdate")
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
-    late = (F.datediff(F.to_date("l_shipdate"),
-                       F.to_date("o_orderdate")) > late_days)
+    late = (epoch_day("l_shipdate")
+            - epoch_day("o_orderdate") > late_days)
     per_pair = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
@@ -791,18 +796,18 @@ def shipping_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("c_mktsegment") == SHIPPING_SEGMENT)
             .select("c_custkey"))
     orders = (read_table(spark, sf_dir, "orders")
-              .filter(F.col("o_orderdate") < SHIPPING_CUTOFF)
+              .filter(F.col("o_orderdate") < ts_lit(SHIPPING_CUTOFF))
               .select("o_orderkey", "o_custkey", "o_orderdate",
                       "o_orderpriority"))
     li = (read_table(spark, sf_dir, "lineitem")
-          .filter(F.col("l_shipdate") > SHIPPING_CUTOFF)
+          .filter(F.col("l_shipdate") > ts_lit(SHIPPING_CUTOFF))
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"),
               "left_semi")
         .groupBy("o_orderkey",
-                 F.to_date("o_orderdate").alias("order_date"),
+                 epoch_date("o_orderdate").alias("order_date"),
                  "o_orderpriority")
         .agg(F.sum(_rev_dec()).cast("double").alias("open_revenue"))
         .orderBy(F.desc("open_revenue"), F.asc("o_orderkey"))
@@ -828,8 +833,8 @@ def discount_revenue_forecast(spark: SparkSession,
     ensure_session_conf(spark)
     lo, hi = FORECAST_DISCOUNT
     li = (read_table(spark, sf_dir, "lineitem")
-          .filter((F.col("l_shipdate") >= f"{FORECAST_YEAR}-01-01")
-                  & (F.col("l_shipdate") < f"{FORECAST_YEAR + 1}-01-01")
+          .filter((F.col("l_shipdate") >= ts_lit(f"{FORECAST_YEAR}-01-01"))
+                  & (F.col("l_shipdate") < ts_lit(f"{FORECAST_YEAR + 1}-01-01"))
                   & (F.col("l_discount") >= lo)
                   & (F.col("l_discount") <= hi)
                   & (F.col("l_quantity") < FORECAST_MAX_QTY))
@@ -881,7 +886,7 @@ def product_margin_by_nation(spark: SparkSession,
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"),
-                 F.year("o_orderdate").alias("order_year"))
+                 year_of("o_orderdate").alias("order_year"))
         .agg(F.sum(margin).cast("double").alias("total_margin"),
              F.count(F.lit(1)).alias("n_lineitems"))
     )
@@ -962,8 +967,8 @@ def linestatus_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority")
     li = (read_table(spark, sf_dir, "lineitem")
-          .filter((F.col("l_shipdate") >= f"{MIX_YEAR}-01-01")
-                  & (F.col("l_shipdate") < f"{MIX_YEAR + 1}-01-01"))
+          .filter((F.col("l_shipdate") >= ts_lit(f"{MIX_YEAR}-01-01"))
+                  & (F.col("l_shipdate") < ts_lit(f"{MIX_YEAR + 1}-01-01")))
           .select("l_orderkey", "l_linestatus"))
     is_high = F.col("o_orderpriority").isin(*MIX_HIGH_PRIORITIES)
     return (
@@ -1002,8 +1007,8 @@ def surplus_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey"))
     pairs = (
         read_table(spark, sf_dir, "lineitem")
-        .filter((F.col("l_shipdate") >= f"{STOCK_YEAR}-01-01")
-                & (F.col("l_shipdate") < f"{STOCK_YEAR + 1}-01-01"))
+        .filter((F.col("l_shipdate") >= ts_lit(f"{STOCK_YEAR}-01-01"))
+                & (F.col("l_shipdate") < ts_lit(f"{STOCK_YEAR + 1}-01-01")))
         .select("l_suppkey", "l_partkey",
                 F.col("l_quantity").cast("bigint").alias("qty"))
         .groupBy("l_suppkey", "l_partkey")

@@ -314,13 +314,14 @@ def _jsonl_fixture_dir(spark, sf_dir: str) -> str:
     from pyspark.sql import functions as F
 
     from simpleetlpipeline_spark.io import build_cached_fixture_dir, read_table
+    from simpleetlpipeline_spark.operators.dates import iso_second_label
 
     def _build(tmp: str) -> None:
         subset = (
             read_table(spark, sf_dir, "events")
             .filter(F.col("event_id") % 5 == 0)
             .select("event_id",
-                    F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"),
+                    iso_second_label("ts").alias("ts"),
                     "user_id", "event_type", "value"))
         register_jsonl_events(spark)
         # 8 writer tasks -> 8 committed log files: the per-file partition

@@ -869,3 +869,97 @@ def test_two_pass_global_window_constant_key_degenerate(spark):
         assert rows[i].r == i + 1
         assert rows[i].c == 2 * (i + 1)
         assert rows[i].n == 500 and rows[i].tv == 1000
+
+
+def test_no_tz_sensitive_calendar_exprs_in_catalog_plans(spark, sf_dir):
+    """Timezone-independence contract for the WHOLE oracled catalog
+    (round-6 verdict tasks #1/#3): no analyzed plan may contain a
+    session-timezone-parameterised calendar expression over a raw
+    TIMESTAMP column, nor a string->timestamp literal cast. These are
+    exactly the expression classes that shifted midnight-UTC instants
+    into the adjacent day/month in the round-5/6 driver reds
+    (reproduction in tests/test_dates.py); the pure replacements live
+    in operators/dates.py.
+
+    Streaming entries are checked textually (their plans only form
+    inside a running query): streaming/*.py must not call the risky
+    pyspark functions at all — window()/session_window() are
+    epoch-aligned instant arithmetic and remain allowed.
+    """
+    import re
+
+    ts_cols = ("o_orderdate|l_shipdate|l_commitdate|l_receiptdate"
+               "|ts|p_ts|view_ts|purchase_ts")
+    risky = re.compile(
+        # tz-carrying rendering/bucketing functions, any input
+        r"\b(date_format|to_date|date_trunc|from_unixtime"
+        r"|unix_timestamp|to_timestamp|to_utc_timestamp"
+        r"|from_utc_timestamp|convert_timezone)\("
+        # calendar-field extraction directly over a timestamp column
+        rf"|\b(year|month|hour|minute|second|quarter|weekofyear"
+        rf"|dayofweek|dayofmonth|dayofyear|weekday)\(({ts_cols})#"
+        # implicit timestamp->date cast (tz-resolved at analysis)
+        rf"|cast\(({ts_cols})#\d+ as date\)"
+        # string literal -> timestamp cast (tz-parsed at analysis)
+        r"|cast\(\d{4}-\d{2}-\d{2}(?: \d{2}:\d{2}:\d{2})? as timestamp\)")
+
+    # Same construction-side-effect exemptions as the collect test,
+    # minus the ones that merely collect (their plans still form):
+    # these two run whole write/erase cycles at construction.
+    skip = {"etl_pipeline_run", "user_erasure_audit"}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip or name.startswith("streaming_"):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        hits = sorted({m.group(0) for m in risky.finditer(plan)})
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"tz-sensitive calendar exprs: {offenders}"
+
+    import glob as _glob
+    import os as _os
+    stream_dir = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "simpleetlpipeline_spark", "streaming")
+    src_risky = re.compile(
+        r"F\.(date_format|to_date|date_trunc|from_unixtime"
+        r"|unix_timestamp|to_utc_timestamp|from_utc_timestamp"
+        r"|year|month|hour|minute|second|weekday|dayofweek)\(")
+    for path in _glob.glob(_os.path.join(stream_dir, "*.py")):
+        src = open(path).read()
+        assert not src_risky.search(src), \
+            f"tz-sensitive calendar call in {path}"
+
+
+def test_two_pass_window_null_keys(spark):
+    """Identity contract for nullable bucketing keys: the helper must
+    match the unpartitioned window it replaces, which ranks NULLs
+    FIRST under ASC ordering (NULL keys used to get a NULL bucket and
+    silently drop out of the spine join)."""
+    from pyspark.sql import Window
+
+    from simpleetlpipeline_spark.operators.aggregates import (
+        two_pass_global_window,
+    )
+
+    rows = [(None, 10), (5, 1), (None, 20), (1, 2), (9, 3), (1, 4)]
+    df = spark.createDataFrame(rows, "k int, uid int")
+    got = two_pass_global_window(
+        df, "k", order_cols=[F.col("k"), F.col("uid")],
+        n_buckets=4, rank_out="r")
+    want = df.select(
+        "k", "uid",
+        F.row_number().over(
+            Window.orderBy(F.asc("k"), F.asc("uid"))).cast("long")
+        .alias("r"))
+    assert ({r.uid: (r.k, r.r) for r in got.collect()}
+            == {r.uid: (r.k, r.r) for r in want.collect()})
+    # all-NULL keys: every row still present, ordered by tiebreaker
+    df2 = spark.createDataFrame(
+        [(None, 3), (None, 1), (None, 2)], "k int, uid int")
+    got2 = two_pass_global_window(
+        df2, "k", order_cols=[F.col("k"), F.col("uid")],
+        n_buckets=4, rank_out="r")
+    assert sorted((r.uid, r.r) for r in got2.collect()) == \
+        [(1, 1), (2, 2), (3, 3)]
