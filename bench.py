@@ -28,8 +28,27 @@ import os
 import statistics
 import sys
 import time
+import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# pyspark's applyInPandasWithState serializer pd.concat()s empty
+# state frames per micro-batch and trips pandas' empty/all-NA-concat
+# FutureWarning (pyspark/sql/pandas/serializers.py:1696) — third-
+# party noise raised in the EXECUTOR-SIDE python worker, so it needs
+# a worker-env filter (set before the JVM spawns; local-mode workers
+# inherit it), not just a driver-side filterwarnings. Scoped to that
+# one pyspark module so the artifact tail stays clean for REAL
+# warnings — the round-5 numpy-overflow warning was a real bug this
+# channel caught; keeping everything else unmuffled is the point.
+# NB: CPython re.escape()s the module field of a PYTHONWARNINGS
+# entry — it must be the LITERAL module name, not a regex.
+_PYW = "ignore::FutureWarning:pyspark.sql.pandas.serializers"
+os.environ["PYTHONWARNINGS"] = ",".join(
+    filter(None, [os.environ.get("PYTHONWARNINGS"), _PYW]))
+warnings.filterwarnings(
+    "ignore", category=FutureWarning,
+    message=".*concatenation with empty or all-NA entries.*")
 
 
 #: Stdout-line byte budget: the driver captures only the last ~2000

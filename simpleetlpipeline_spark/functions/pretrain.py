@@ -1467,3 +1467,115 @@ ORACLE_SQL["quantile_normalize_quality"] = f"""
     SELECT q.doc_id, q.source, q.quality_score, p.pct_micro
     FROM q JOIN pct p USING (source, quality_score)
 """
+
+
+def calibration_reliability(spark: SparkSession, sf_dir: str,
+                            cutoff: str = WOE_CUTOFF,
+                            n_bins: int = GAINS_N_BINS) -> DataFrame:
+    """Reliability diagram + Brier decomposition inputs — the
+    calibration readout gains_lift_table's discrimination view
+    doesn't cover: a model can rank perfectly (high lift) while its
+    probabilities are badly calibrated. The 'model' converts each
+    customer's pre-cutoff spend rank into a predicted repeat
+    probability p = (n - rank + 1)/n (the rank-percentile score);
+    the target is the post-cutoff repeat flag. Per spend decile the
+    output carries the exact ingredients of ECE and the Brier score:
+    sum ECE = sum(cal_gap_e6) / (1e6 * N), Brier =
+    sum(brier_sum_e12) / (1e12 * N).
+
+    Determinism: p is the exact integer micro-probability
+    (n - rank + 1) * 1e6 div n (BIGINT div == DuckDB //); the
+    per-bin gap |sum(p_micro) - 1e6 * sum(y)| and squared-error sum
+    (p_micro - 1e6*y)^2 fold as integers/DECIMAL(38,0) — no float
+    ever enters an aggregation.
+
+    Shape: the gains_lift skeleton — persisted split scan, two-pass
+    distributed rank (never an unpartitioned window over the
+    customer tier), ntile_from_rank deciles, one n_bins-row hash
+    aggregate."""
+    from simpleetlpipeline_spark.cache import track
+    from simpleetlpipeline_spark.operators.aggregates import (
+        ntile_from_rank, two_pass_global_window)
+
+    ensure_session_conf(spark)
+    orders = track(
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice",
+                (F.col("o_orderdate") < ts_lit(cutoff)).alias("is_pre"))
+        .persist())
+    spend = (orders.filter("is_pre")
+             .groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                  .alias("spend")))
+    repeat = (orders.filter(~F.col("is_pre"))
+              .select("o_custkey").distinct()
+              .withColumn("is_repeat", F.lit(1)))
+    scored = (spend.join(repeat, "o_custkey", "left")
+              .select("o_custkey", "spend",
+                      F.coalesce("is_repeat", F.lit(0)).alias("is_repeat"),
+                      (-F.col("spend")).alias("neg_spend")))
+    ranked = two_pass_global_window(
+        scored, "neg_spend", [F.col("neg_spend"), F.col("o_custkey")],
+        rank_out="__r", total_rows_out="__n")
+    p_micro = F.expr("(__n - __r + 1) * 1000000 div __n")
+    err = p_micro - F.col("is_repeat").cast("long") * F.lit(1_000_000)
+    binned = ranked.select(
+        ntile_from_rank(F.col("__r"), F.col("__n"), n_bins)
+        .alias("decile"),
+        p_micro.alias("p_micro"),
+        F.col("is_repeat").cast("long").alias("y"),
+        (err * err).cast("decimal(38,0)").alias("sq"))
+    return (binned.groupBy("decile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 F.sum("p_micro").cast("long").alias("sum_p_micro"),
+                 F.sum("y").cast("long").alias("n_repeat"),
+                 F.abs(F.sum("p_micro")
+                       - F.sum("y") * F.lit(1_000_000))
+                 .cast("long").alias("cal_gap_e6"),
+                 F.sum("sq").alias("brier_sum_e12"))
+            .orderBy("decile"))
+
+
+QUERIES["calibration_reliability"] = calibration_reliability
+ORACLE_SQL["calibration_reliability"] = f"""
+    WITH o AS (
+        SELECT o_custkey, o_totalprice,
+               o_orderdate < TIMESTAMP '{WOE_CUTOFF}' AS is_pre
+        FROM orders
+    ), spend AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM o WHERE is_pre GROUP BY 1
+    ), repeat AS (
+        SELECT DISTINCT o_custkey, 1 AS is_repeat
+        FROM o WHERE NOT is_pre
+    ), scored AS (
+        SELECT s.o_custkey, s.spend,
+               COALESCE(r.is_repeat, 0) AS is_repeat
+        FROM spend s LEFT JOIN repeat r USING (o_custkey)
+    ), ranked AS (
+        SELECT is_repeat,
+               row_number() OVER (ORDER BY spend DESC, o_custkey ASC)
+                   AS r,
+               count(*) OVER () AS n,
+               ntile({GAINS_N_BINS}) OVER
+                   (ORDER BY spend DESC, o_custkey ASC) AS decile
+        FROM scored
+    ), p AS (
+        SELECT decile,
+               (n - r + 1) * 1000000 // n AS p_micro,
+               CAST(is_repeat AS BIGINT) AS y
+        FROM ranked
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+           CAST(sum(y) AS BIGINT) AS n_repeat,
+           CAST(abs(sum(p_micro) - 1000000 * sum(y)) AS BIGINT)
+               AS cal_gap_e6,
+           CAST(sum((p_micro - 1000000 * y) * (p_micro - 1000000 * y))
+                AS DECIMAL(38,0)) AS brier_sum_e12
+    FROM p
+    GROUP BY 1
+    ORDER BY decile
+"""

@@ -1621,3 +1621,70 @@ ORACLE_SQL["ngram_novelty_score"] = f"""
                 ELSE CAST(NULL AS BIGINT) END AS novelty_micro
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def token_fertility_by_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per source: subword (BPE-ish
+    pretokenizer) tokens per whitespace word and characters per
+    subword token — the per-corpus-slice numbers a training pipeline
+    uses to convert document budgets into token budgets and to spot
+    sources the tokenizer fragments badly (code, non-Latin text,
+    boilerplate markup). Extends the doc_stats/token_count family
+    (the reference has no text surface; SURVEY §2.6 quality analog).
+
+    Exactness: per-document token/word/char counts are exact ints
+    from the SAME regexes the oracled token_count_bpe uses; per-source
+    ratios are exact BIGINT milli-unit divisions (`div` == `//`).
+    Shape: one narrow projection, one map-side-combined hash agg to
+    |sources| rows — linear at any corpus size.
+    """
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(BPE_TOKEN_RE), 0))
+        .cast("long").alias("bpe"),
+        F.size(tokens_col(F.col("text"))).cast("long").alias("words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("long").alias("chars"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("bpe").alias("n_bpe_tokens"),
+                 F.sum("words").alias("n_ws_words"),
+                 F.sum("chars").alias("n_chars"))
+            .select("source", "n_docs", "n_bpe_tokens", "n_ws_words",
+                    "n_chars",
+                    F.expr("n_bpe_tokens * 1000 div n_ws_words")
+                    .alias("fertility_milli"),
+                    F.expr("n_chars * 1000 div n_bpe_tokens")
+                    .alias("chars_per_token_milli"))
+            .orderBy("source"))
+
+
+QUERIES["token_fertility_by_source"] = token_fertility_by_source
+ORACLE_SQL["token_fertility_by_source"] = f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(regexp_extract_all(lower(text),
+                    '{BPE_TOKEN_RE}')) AS BIGINT) AS bpe,
+               CAST(len(string_split_regex(lower(trim(text)),
+                    '\\s+')) AS BIGINT) AS words,
+               CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                    AS BIGINT) AS chars
+        FROM documents
+    ), agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(words) AS BIGINT) AS n_ws_words,
+               CAST(sum(chars) AS BIGINT) AS n_chars
+        FROM per_doc GROUP BY 1
+    )
+    SELECT source, n_docs, n_bpe_tokens, n_ws_words, n_chars,
+           n_bpe_tokens * 1000 // n_ws_words AS fertility_milli,
+           n_chars * 1000 // n_bpe_tokens AS chars_per_token_milli
+    FROM agg
+    ORDER BY source
+"""

@@ -362,3 +362,61 @@ def expectation_suite_report(spark, sf_dir: str):
     return (flat.unionByName(fk)
             .withColumn("passed", F.col("n_failed") == 0)
             .orderBy("expectation"))
+
+
+#: l-diversity threshold: an equivalence class whose sensitive
+#: attribute shows fewer than L distinct values is re-identifiable by
+#: homogeneity even when it satisfies k-anonymity.
+L_DIVERSITY_L = 3
+
+
+def l_diversity_report(spark, sf_dir: str, l_min: int = L_DIVERSITY_L):
+    """Distinct l-diversity audit — the k-anonymity companion
+    (k_anonymity_report, same QI ladder philosophy): k-anonymity
+    bounds re-identification by class SIZE, but a class where every
+    member shares one sensitive value (here c_mktsegment) leaks the
+    attribute even at size >= k. Per QI level: class count, the
+    minimum distinct-sensitive-value count over classes, classes
+    below `l_min`, and rows in those homogeneous classes.
+
+    QI ladder: 'nation+balance_band' (nation key + $2000 account-
+    balance band over exact cents — BIGINT `div`, truncating like
+    DuckDB `//` on the negative balances too) and generalized
+    'nation'.
+
+    Shape: per level one hash aggregate to (QI, sensitive) partials,
+    one to QI classes (both map-side combined), one-row rollup each —
+    exact integers throughout, no windows. Scale: |classes| rows.
+
+    Reference parity: no privacy surface in the reference
+    (main.py has none) — governance extension of SURVEY §2.6.
+    """
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) "
+               "div 200000").alias("bal_band"))
+
+    def level(name, cols):
+        per_class = (
+            cust.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("c_mktsegment").alias("l")))
+        return per_class.agg(
+            F.lit(name).alias("qi_level"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum(F.when(F.col("l") < l_min, 1).otherwise(0))
+            .cast("long").alias("n_homogeneous_classes"),
+            F.sum(F.when(F.col("l") < l_min, F.col("n"))
+                  .otherwise(F.lit(0)))
+            .cast("long").alias("n_rows_at_risk"))
+
+    return (level("nation+balance_band", ["c_nationkey", "bal_band"])
+            .unionByName(level("nation", ["c_nationkey"]))
+            .orderBy("qi_level"))

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.io import read_table
 from simpleetlpipeline_spark.operators.dates import (
+    day_lit,
     epoch_day,
     hour_bucket,
     epoch_date,
@@ -4673,4 +4674,109 @@ ORACLE_SQL["weighted_price_percentiles"] = """
            min(CASE WHEN cum * 100 >= tw * 75 THEN cents END)
                AS p75_cents
     FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+
+#: Two-sample split instant for the KS drift test (orders before vs
+#: on/after this date). Interpolated into both engines.
+KS_SPLIT = "1998-01-01"
+
+
+def order_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test over the order-value
+    distribution, pre- vs post-KS_SPLIT — the distribution-level
+    drift detector the catalog's PSI (events_value_psi) approximates
+    with fixed bins: KS is binning-free (sup-norm of the empirical
+    CDF gap) and so catches shape drift PSI's coarse bins smear out.
+    The statistic D, its exact scaled integer form, and the value at
+    which the CDF gap peaks (the drift location) are reported.
+
+    Exactness: with c_a/c_b the per-cent-value counts and n_a/n_b
+    the sample sizes, D = max |cum_a/n_a - cum_b/n_b| is compared as
+    the exact integer |cum_a * n_b - cum_b * n_a| (DECIMAL(38,0)
+    products of BIGINTs), so the argmax ordering and tie-break
+    (smallest cents) cannot wobble; the reported double is one
+    identical floor(x/y*1e6)/1e6 chain in both engines.
+
+    Shape: one scan -> hash agg to the distinct-cents spine (domain-
+    bounded: |distinct order values|, NOT row count), then the
+    two-pass distributed prefix sum TWICE (cum_a and cum_total; the
+    spine never crosses an unpartitioned window — the helper's
+    1024-bucket contract), TakeOrdered(1) for the argmax.
+    """
+    from simpleetlpipeline_spark.operators.aggregates import (
+        two_pass_global_window,
+    )
+
+    ensure_session_conf(spark)
+    pre = (epoch_day("o_orderdate") < F.lit(day_lit(KS_SPLIT)))
+    per_value = (
+        read_table(spark, sf_dir, "orders")
+        .select(F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+                       "AS BIGINT)").alias("cents"),
+                F.when(pre, 1).otherwise(0).cast("long").alias("a"),
+                F.when(pre, 0).otherwise(1).cast("long").alias("b"))
+        .groupBy("cents")
+        .agg(F.sum("a").alias("c_a"),
+             (F.sum("a") + F.sum("b")).alias("c_t"))
+    )
+    step1 = two_pass_global_window(
+        per_value, "cents", [F.col("cents")], value_col="c_a",
+        rank_out=None, cum_out="cum_a", total_value_out="n_a")
+    step2 = two_pass_global_window(
+        step1, "cents", [F.col("cents")], value_col="c_t",
+        rank_out=None, cum_out="cum_t", total_value_out="n_t")
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = step2.select(
+        "cents", "n_a",
+        (F.col("n_t") - F.col("n_a")).alias("n_b"),
+        F.abs(d38(F.col("cum_a")) * d38(F.col("n_t") - F.col("n_a"))
+              - d38(F.col("cum_t") - F.col("cum_a"))
+              * d38(F.col("n_a"))).alias("d_scaled"))
+    pick = scored.orderBy(F.desc("d_scaled"), F.asc("cents")).limit(1)
+    return pick.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_scaled").cast("decimal(38,0)").alias("d_scaled"),
+        F.col("cents").alias("at_cents"),
+        (F.floor(F.col("d_scaled").cast("double")
+                 / (F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")) * 1e6) / 1e6)
+        .alias("ks_d"))
+
+
+QUERIES["order_value_ks_drift"] = order_value_ks_drift
+
+ORACLE_SQL["order_value_ks_drift"] = f"""
+    WITH per AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+               CAST(sum(CASE WHEN {sql_epoch_day('o_orderdate')}
+                        < {day_lit(KS_SPLIT)} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c_a,
+               CAST(count(*) AS BIGINT) AS c_t
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT cents,
+               CAST(sum(c_a) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+               CAST(sum(c_t) OVER (ORDER BY cents) AS BIGINT) AS cum_t,
+               CAST(sum(c_a) OVER () AS BIGINT) AS n_a,
+               CAST(sum(c_t) OVER () AS BIGINT) AS n_t
+        FROM per
+    ), scored AS (
+        SELECT cents, n_a, n_t - n_a AS n_b,
+               CAST(abs(CAST(cum_a AS DECIMAL(38,0))
+                        * CAST(n_t - n_a AS DECIMAL(38,0))
+                        - CAST(cum_t - cum_a AS DECIMAL(38,0))
+                        * CAST(n_a AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS d_scaled
+        FROM ranked
+    )
+    SELECT n_a, n_b, d_scaled, cents AS at_cents,
+           floor(CAST(d_scaled AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 * 1e6) / 1e6 AS ks_d
+    FROM scored
+    ORDER BY d_scaled DESC, cents ASC
+    LIMIT 1
 """

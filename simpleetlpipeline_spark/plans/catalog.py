@@ -88,6 +88,48 @@ ORACLE_SQL["k_anonymity_report"] = f"""
 """
 
 from simpleetlpipeline_spark.operators.quality import (  # noqa: E402
+    L_DIVERSITY_L,
+    l_diversity_report,
+)
+
+QUERIES["l_diversity_report"] = l_diversity_report
+ORACLE_SQL["l_diversity_report"] = f"""
+    WITH cust AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 200000 AS bal_band
+        FROM customer
+    ), l1 AS (
+        SELECT c_nationkey, bal_band, count(*) AS n,
+               count(DISTINCT c_mktsegment) AS l
+        FROM cust GROUP BY 1, 2
+    ), l2 AS (
+        SELECT c_nationkey, count(*) AS n,
+               count(DISTINCT c_mktsegment) AS l
+        FROM cust GROUP BY 1
+    ), r1 AS (
+        SELECT 'nation+balance_band' AS qi_level,
+               count(*) AS n_classes,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l < {L_DIVERSITY_L} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_homogeneous_classes,
+               CAST(sum(CASE WHEN l < {L_DIVERSITY_L} THEN n ELSE 0 END)
+                    AS BIGINT) AS n_rows_at_risk
+        FROM l1
+    ), r2 AS (
+        SELECT 'nation' AS qi_level,
+               count(*) AS n_classes,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l < {L_DIVERSITY_L} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_homogeneous_classes,
+               CAST(sum(CASE WHEN l < {L_DIVERSITY_L} THEN n ELSE 0 END)
+                    AS BIGINT) AS n_rows_at_risk
+        FROM l2
+    )
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY qi_level
+"""
+
+from simpleetlpipeline_spark.operators.quality import (  # noqa: E402
     expectation_suite_report,
     table_stats_profile,
 )
@@ -303,24 +345,57 @@ ORACLE_SQL["table_stats_profile"] = """
 # driver history plus the full local ladder. All 12 rotated-in
 # entries re-verified this session at sf0.01 AND sf0.1 AND under
 # SPARK_GRAFT_ORACLE_SHUFFLE=3 AND an LA-timezone drive from /tmp.
+# Eighth-wave rotation (round 7, per the round-6 verdict's tasks
+# #2/#4/#5):
+#   * date_axis_canary enters slot 1 PERMANENTLY (it never rotates
+#     out): per month it emits the raw min/max stored micros AND the
+#     epoch-idiom rendered label/day bounds, so any future driver red
+#     involving dates localizes to read-vs-render in a single round.
+#   * monthly_sales_retract and revenue_cusum_changepoint STAY for
+#     re-attestation in the same window as the canary — both were
+#     rewritten to the timezone-proof epoch-micros idiom
+#     (operators/dates.py) after two rounds of calendar-shaped hash
+#     reds; green here proves the calendar theory, red-with-green-
+#     canary falsifies it and names the divergent layer.
+#   * The 13 oracled round-6-wave entries with ZERO driver history
+#     rotate in (zipf_term_fit .. weighted_price_percentiles below;
+#     dedup_minhash_incremental and embedding_pca_report are
+#     rows-only so their oracled siblings carry the attestation).
+#   * 14 retirees, EVERY one holding the >=2-rounds-driver-green bar
+#     (r5+r6, no single-round retirement this wave — the r6
+#     amendment is recorded in README's rotation-policy section):
+#     bigram_doc_logprob, ttr_by_source, source_vocab_overlap,
+#     embedding_outliers, pq_ann_topk, semantic_decontaminate,
+#     k_anonymity_report, pretrain_prepare_report,
+#     gopher_quality_flags, copurchase_pagerank, jsonl_ingest_rollup
+#     (custom-source family stays represented by
+#     streaming_jsonl_rollup), heavy_hitter_users (sketch family
+#     stays represented by hll_shard_merge), and the two re-attested
+#     rewrites quality_bins and zorder_layout_manifest (r4-r6 /
+#     r5-r6 histories).
+#   * All rotated-in entries pre-verified this session at sf0.01 AND
+#     sf0.1 AND under the hostile shuffle sweep AND the
+#     hostile-analysis-timezone harness (tests/test_dates.py).
 GATE_PREFIX = (
+    "date_axis_canary",
     "streaming_purchase_view_join",
     "streaming_user_totals_stateful",
-    "heavy_hitter_users",
-    "quality_bins",
+    "monthly_sales_retract", "revenue_cusum_changepoint",
+    "zipf_term_fit", "robust_outlier_mad", "embedding_dim_stats",
+    "woe_encoding", "gains_lift_table", "user_activity_streaks",
+    "quantile_normalize_quality", "ngram_novelty_score",
+    "interarrival_time_profile", "expectation_suite_report",
+    "revenue_growth_mom_yoy", "user_sequence_entropy",
+    "weighted_price_percentiles",
     "benford_digit_test", "copurchase_triangles", "revenue_trend_theil_sen",
-    "revenue_cusum_changepoint", "events_value_psi", "revenue_autocorrelation",
+    "events_value_psi", "revenue_autocorrelation",
     "chi_square_independence", "supplier_efficiency_frontier",
     "event_hour_mutual_information", "mann_whitney_u_test",
     "kaplan_meier_survival", "poisson_bootstrap_mean_ci",
     "nation_market_share", "supplier_value_concentration",
     "customer_order_distribution", "top_revenue_supplier", "small_order_part_revenue",
-    "disjunctive_promo_revenue", "idle_high_balance_customers", "bigram_doc_logprob",
-    "ttr_by_source", "source_vocab_overlap", "embedding_outliers",
-    "copurchase_pagerank", "monthly_sales_retract", "jsonl_ingest_rollup",
-    "streaming_jsonl_rollup", "zorder_layout_manifest", "gopher_quality_flags",
-    "semantic_decontaminate", "hll_shard_merge", "pretrain_prepare_report",
-    "pq_ann_topk", "k_anonymity_report", "feature_scaling_stats",
+    "disjunctive_promo_revenue", "idle_high_balance_customers",
+    "streaming_jsonl_rollup", "hll_shard_merge", "feature_scaling_stats",
     "item_cooccurrence_cf", "user_level_split", "stratified_exact_sample",
     "cheapest_supplier_per_part", "returned_revenue_customers", "supplier_part_variety",
     "suppliers_kept_waiting", "shipping_priority_orders", "discount_revenue_forecast",

@@ -963,3 +963,18 @@ def test_two_pass_window_null_keys(spark):
         n_buckets=4, rank_out="r")
     assert sorted((r.uid, r.r) for r in got2.collect()) == \
         [(1, 1), (2, 2), (3, 3)]
+
+
+def test_ts_lit_predicates_push_to_parquet(spark, sf_dir):
+    """ts_lit builds timestamp literals via timestamp_micros, which
+    Catalyst must constant-fold so range predicates still reach the
+    scan — losing pushdown would make the tz fix a 100TB regression."""
+    import re
+
+    from simpleetlpipeline_spark.plans.catalog import QUERIES
+
+    df = QUERIES["shipping_priority_orders"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "GreaterThan(l_shipdate," in pushed
+    assert "LessThan(o_orderdate," in pushed

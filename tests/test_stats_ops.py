@@ -1166,3 +1166,72 @@ def test_weighted_price_percentiles_hand_fixture(spark, tmp_path):
     r = got["R"]
     assert (r["total_weight"], r["p25_cents"], r["p50_cents"],
             r["p75_cents"]) == (4, 100, 200, 300)
+
+
+def test_ks_drift_matches_independent_pandas(spark, sf_dir):
+    """Third-implementation check (the chi-square/PSI zero-cell
+    lesson: Spark and the DuckDB oracle could share a formula bias,
+    so the statistic is recomputed from scratch in pandas)."""
+    import pandas as pd
+
+    from simpleetlpipeline_spark.operators.dates import day_lit
+    from simpleetlpipeline_spark.plans.advanced import (
+        KS_SPLIT,
+        order_value_ks_drift,
+    )
+
+    got = order_value_ks_drift(spark, sf_dir).collect()[0]
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (pdf["o_totalprice"].round(2) * 100).round().astype("int64")
+    days = (pdf["o_orderdate"].to_numpy().astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000)
+    a = cents[days < day_lit(KS_SPLIT)].sort_values().to_numpy()
+    b = cents[days >= day_lit(KS_SPLIT)].sort_values().to_numpy()
+    import numpy as np
+
+    xs = np.unique(np.concatenate([a, b]))
+    gap = np.abs(np.searchsorted(a, xs, "right") / len(a)
+                 - np.searchsorted(b, xs, "right") / len(b))
+    assert got.n_a == len(a) and got.n_b == len(b)
+    assert abs(got.ks_d - gap.max()) < 2e-6
+
+
+def test_calibration_reliability_ece_brier_sanity(spark, sf_dir):
+    """ECE/Brier recomputed independently in pandas from the raw
+    orders table; also checks the per-bin identities (sum_p within
+    [0, 1e6*n], gap == |sum_p - 1e6*repeat|)."""
+    import numpy as np
+    import pandas as pd
+
+    from simpleetlpipeline_spark.functions.pretrain import (
+        WOE_CUTOFF,
+        calibration_reliability,
+    )
+
+    rows = calibration_reliability(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cutoff = pd.Timestamp(WOE_CUTOFF)
+    pre = pdf[pdf["o_orderdate"] < cutoff]
+    post = pdf[pdf["o_orderdate"] >= cutoff]
+    spend = pre.groupby("o_custkey")["o_totalprice"].apply(
+        lambda s: s.round(2).sum()).round(2)
+    y = spend.index.isin(post["o_custkey"].unique()).astype(int)
+    df = (pd.DataFrame({"spend": spend, "y": y})
+          .reset_index()
+          .sort_values(["spend", "o_custkey"],
+                       ascending=[False, True])
+          .reset_index(drop=True))
+    n = len(df)
+    df["r"] = np.arange(1, n + 1)
+    df["p_micro"] = (n - df["r"] + 1) * 1_000_000 // n
+    total_gap = sum(r.cal_gap_e6 for r in rows)
+    total_sq = sum(int(r.brier_sum_e12) for r in rows)
+    brier = total_sq / 1e12 / n
+    want_brier = (((df["p_micro"] - 1_000_000 * df["y"]) ** 2).sum()
+                  / 1e12 / n)
+    assert sum(r.n_customers for r in rows) == n
+    assert sum(r.n_repeat for r in rows) == int(df["y"].sum())
+    assert abs(brier - want_brier) < 1e-9
+    assert 0 <= total_gap <= 1_000_000 * n
+    for r in rows:
+        assert 0 <= r.sum_p_micro <= 1_000_000 * r.n_customers
