@@ -4780,3 +4780,93 @@ ORACLE_SQL["order_value_ks_drift"] = f"""
     ORDER BY d_scaled DESC, cents ASC
     LIMIT 1
 """
+
+
+def seasonal_naive_backtest(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Forecast-quality backtest over daily revenue: the
+    seasonal-naive forecast (y_hat(d) = y(d-7), the baseline every
+    real forecasting system must beat) evaluated per month with
+    exact error integrals — WAPE (sum|err| / sum y) and MASE
+    (sum|err| vs the one-day-naive sum|y(d)-y(d-1)|, the
+    scale-free Hyndman-Koehler denominator). The catalog's trend/
+    seasonality ops (OLS, STL, seasonality index) DESCRIBE the
+    series; this one scores a predictor of it.
+
+    Lags are CALENDAR joins on the epoch-day number (day-7 / day-1
+    equi-joins), not positional window lags — a gap day would
+    silently shift a positional lag onto the wrong date in exactly
+    the way the mom_yoy dense-spine comment warns about; here days
+    missing either side simply drop out of the backtest, identically
+    in both engines.
+
+    Exactness: daily revenue folds as exact BIGINT cents; every
+    error term, numerator and denominator is a BIGINT sum; the two
+    reported ratios are exact integer micro-divisions. No floats.
+
+    Shape: one map-side-combined daily rollup (|days| groups), two
+    self-equi-joins of that tiny frame on day arithmetic, one
+    |months|-row hash agg."""
+    ensure_session_conf(spark)
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .select(epoch_day("o_orderdate").alias("day"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+        .groupBy("day").agg(F.sum("cents").alias("y"))
+    )
+    lag7 = daily.select((F.col("day") + 7).alias("day"),
+                        F.col("y").alias("y7"))
+    lag1 = daily.select((F.col("day") + 1).alias("day"),
+                        F.col("y").alias("y1"))
+    joined = (daily.join(lag7, "day").join(lag1, "day")
+              .select("day", "y",
+                      F.abs(F.col("y") - F.col("y7")).alias("e7"),
+                      F.abs(F.col("y") - F.col("y1")).alias("e1")))
+    month = F.substring(
+        F.date_from_unix_date(F.col("day").cast("int"))
+        .cast("string"), 1, 7)
+    return (joined.groupBy(month.alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum("y").alias("sum_y"),
+                 F.sum("e7").alias("sae_seasonal"),
+                 F.sum("e1").alias("sae_naive1"))
+            .select("month", "n_days", "sum_y",
+                    "sae_seasonal", "sae_naive1",
+                    F.expr("sae_seasonal * 1000000 div sum_y")
+                    .alias("wape_micro"),
+                    F.expr("sae_seasonal * 1000000 div sae_naive1")
+                    .alias("mase_micro"))
+            .orderBy("month"))
+
+
+QUERIES["seasonal_naive_backtest"] = seasonal_naive_backtest
+
+ORACLE_SQL["seasonal_naive_backtest"] = f"""
+    WITH daily AS (
+        SELECT {sql_epoch_day('o_orderdate')} AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), joined AS (
+        SELECT d.day, d.y,
+               abs(d.y - l7.y) AS e7,
+               abs(d.y - l1.y) AS e1
+        FROM daily d
+        JOIN daily l7 ON l7.day = d.day - 7
+        JOIN daily l1 ON l1.day = d.day - 1
+    )
+    SELECT substr(CAST(DATE '1970-01-01' + CAST(day AS INTEGER)
+                       AS VARCHAR), 1, 7) AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(e7) AS BIGINT) AS sae_seasonal,
+           CAST(sum(e1) AS BIGINT) AS sae_naive1,
+           CAST(sum(e7) AS BIGINT) * 1000000 // CAST(sum(y) AS BIGINT)
+               AS wape_micro,
+           CAST(sum(e7) AS BIGINT) * 1000000
+               // CAST(sum(e1) AS BIGINT) AS mase_micro
+    FROM joined
+    GROUP BY 1
+    ORDER BY month
+"""

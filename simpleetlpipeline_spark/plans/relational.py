@@ -1955,3 +1955,121 @@ ORACLE_SQL["copurchase_degree_powerlaw"] = f"""
                  * 1e6) / 1e6 AS r2
     FROM mo
 """
+
+
+#: Relative support floor for triple mining: 3 per-mille of baskets
+#: (SF-robust — an absolute count would go vacuous at sf0.001 and
+#: trivially-dense at sf1), floored at 2.
+TRIPLE_SUPPORT_MILLI = 3
+TRIPLE_TOP_N = 25
+
+
+def brand_triple_rules(spark: SparkSession, sf_dir: str,
+                       support_milli: int = TRIPLE_SUPPORT_MILLI,
+                       top_n: int = TRIPLE_TOP_N) -> DataFrame:
+    """Level-3 market-basket mining with association-rule scoring —
+    the A-priori step above copurchase_pairs/basket_lift_rules' pair
+    tier: frequent brand TRIPLES {a,b,c} plus the rule {a,b} -> c
+    scored by exact confidence = sup(abc)/sup(ab). Top-N triples by
+    support (brand-lexicographic tiebreak).
+
+    Support threshold is RELATIVE (>= support_milli per-mille of
+    baskets, floored at 2): an absolute floor is meaningless across
+    scale factors, and the per-mille form is the same number the
+    rule consumer reasons about.
+
+    Exactness: supports are integers; the threshold is an exact
+    BIGINT div of the basket count; confidence is an exact integer
+    micro-ratio (sup*1e6 div pair_sup). No floats anywhere.
+
+    Shape & scale: one basket shuffle builds distinct (order, brand)
+    pairs; triples enumerate inside each basket via a bounded 3-way
+    self-join on the order key (the brand domain caps per-basket
+    fan-out at C(|brands|,3); with an unbounded item domain this is
+    where the A-priori frequent-pair prune would gate candidate
+    generation — the pair-support join below is exactly that
+    structure); one hash agg to candidate triples; the pair-support
+    join reuses the same basket frame. All joins are key-joins; the
+    final top-N is TakeOrderedAndProject."""
+    from simpleetlpipeline_spark.cache import track
+
+    ensure_session_conf(spark)
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = track(
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("o"),
+                F.col("p_brand").alias("br"))
+        .distinct()
+        .persist())
+    n_baskets = items.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("__nb"))
+    min_sup = F.greatest(
+        F.lit(2), F.expr(f"__nb * {support_milli} div 1000"))
+    a = items.select("o", F.col("br").alias("brand_a"))
+    b = items.select("o", F.col("br").alias("brand_b"))
+    c = items.select("o", F.col("br").alias("brand_c"))
+    triples = (
+        a.join(b, "o").filter(F.col("brand_a") < F.col("brand_b"))
+        .join(c, "o").filter(F.col("brand_b") < F.col("brand_c"))
+        .groupBy("brand_a", "brand_b", "brand_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("support") >= min_sup)
+    )
+    pair_sup = (
+        a.join(b, "o").filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+    )
+    return (
+        triples.join(pair_sup, ["brand_a", "brand_b"])
+        .select(
+            "brand_a", "brand_b", "brand_c",
+            F.col("support").cast("long").alias("support"),
+            F.col("pair_support").cast("long").alias("pair_support"),
+            F.expr("support * 1000000 div pair_support")
+            .cast("long").alias("confidence_micro"),
+            F.expr(f"support * 1000000 div __nb")
+            .cast("long").alias("support_rate_micro"))
+        .orderBy(F.desc("support"), F.asc("brand_a"),
+                 F.asc("brand_b"), F.asc("brand_c"))
+        .limit(top_n)
+    )
+
+
+QUERIES["brand_triple_rules"] = brand_triple_rules
+
+ORACLE_SQL["brand_triple_rules"] = f"""
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (
+        SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM items
+    ), triples AS (
+        SELECT a.br AS brand_a, b.br AS brand_b, c.br AS brand_c,
+               CAST(count(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b ON a.o = b.o AND a.br < b.br
+        JOIN items c ON b.o = c.o AND b.br < c.br
+        GROUP BY 1, 2, 3
+    ), pairs AS (
+        SELECT a.br AS brand_a, b.br AS brand_b,
+               CAST(count(*) AS BIGINT) AS pair_support
+        FROM items a
+        JOIN items b ON a.o = b.o AND a.br < b.br
+        GROUP BY 1, 2
+    )
+    SELECT t.brand_a, t.brand_b, t.brand_c, t.support, p.pair_support,
+           t.support * 1000000 // p.pair_support AS confidence_micro,
+           t.support * 1000000 // nb.n_baskets AS support_rate_micro
+    FROM triples t
+    JOIN pairs p USING (brand_a, brand_b)
+    CROSS JOIN nb
+    WHERE t.support >= greatest(2, nb.n_baskets
+                                   * {TRIPLE_SUPPORT_MILLI} // 1000)
+    ORDER BY t.support DESC, t.brand_a, t.brand_b, t.brand_c
+    LIMIT {TRIPLE_TOP_N}
+"""

@@ -478,3 +478,49 @@ def test_minhash_incremental_equals_full_batch_slice(spark, sf_dir):
     # and at least one base-x-base pair exists in full but NOT in the
     # incremental slice (the work the incremental run correctly skips)
     assert f2 - f2_slice, "fixture must exercise the skipped tier"
+
+
+def test_bpe_train_merges_matches_python(spark, sf_dir):
+    """From-scratch pure-Python BPE trainer on the same corpus must
+    produce the identical merge table (rank, pair, merged, freq) —
+    the rows-only iterative loop's independent implementation."""
+    import collections
+    import re
+
+    import pandas as pd
+
+    from simpleetlpipeline_spark.functions.text import (
+        BPE_TRAIN_ROUNDS,
+        bpe_train_merges,
+    )
+
+    got = [tuple(r) for r in bpe_train_merges(spark, sf_dir).collect()]
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    freq = collections.Counter()
+    for text in pdf["text"]:
+        for w in re.split(r"\s+", str(text).strip().lower()):
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+    want = []
+    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        pf = collections.Counter()
+        for w, sym in vocab.items():
+            for i in range(len(sym) - 1):
+                pf[(sym[i], sym[i + 1])] += freq[w]
+        if not pf:
+            break
+        (a, b), n = min(pf.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, a, b, a + b, n))
+        for w, sym in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = out
+    assert got == want

@@ -134,7 +134,12 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # erase, write v2, read back counts) at
                            # construction — the etl_pipeline_run
                            # contract
-                           "user_erasure_audit")}
+                           "user_erasure_audit",
+                           # iterative BPE trainer: one argmax
+                           # collect + merge-apply materialization
+                           # per learned round (k-means/pagerank
+                           # loop contract)
+                           "bpe_train_merges")}
     for fn in batch.values():
         fn(spark, sf_dir)  # warm schema/file-index caches
     before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
@@ -905,8 +910,11 @@ def test_no_tz_sensitive_calendar_exprs_in_catalog_plans(spark, sf_dir):
 
     # Same construction-side-effect exemptions as the collect test,
     # minus the ones that merely collect (their plans still form):
-    # these two run whole write/erase cycles at construction.
-    skip = {"etl_pipeline_run", "user_erasure_audit"}
+    # these run whole write/erase/train cycles at construction
+    # (bpe_train_merges returns a LocalRelation of learned merges —
+    # no timestamp ever reaches its plan).
+    skip = {"etl_pipeline_run", "user_erasure_audit",
+            "bpe_train_merges"}
     offenders = {}
     for name, fn in QUERIES.items():
         if name in skip or name.startswith("streaming_"):

@@ -1235,3 +1235,62 @@ def test_calibration_reliability_ece_brier_sanity(spark, sf_dir):
     assert 0 <= total_gap <= 1_000_000 * n
     for r in rows:
         assert 0 <= r.sum_p_micro <= 1_000_000 * r.n_customers
+
+
+def test_seasonal_naive_backtest_matches_pandas(spark, sf_dir):
+    """Independent pandas recomputation (calendar joins, exact
+    cents) of WAPE/MASE for one month."""
+    import pandas as pd
+
+    from simpleetlpipeline_spark.plans.advanced import (
+        seasonal_naive_backtest,
+    )
+
+    rows = {r.month: r for r in
+            seasonal_naive_backtest(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    days = (pdf["o_orderdate"].to_numpy().astype("datetime64[us]")
+            .astype("int64") // 86_400_000_000)
+    cents = (pdf["o_totalprice"].round(2) * 100).round().astype("int64")
+    daily = (pd.DataFrame({"day": days, "cents": cents})
+             .groupby("day")["cents"].sum())
+    got_any = False
+    for month, r in rows.items():
+        sae7 = sae1 = sy = n = 0
+        for d, y in daily.items():
+            m = str(pd.Timestamp("1970-01-01")
+                    + pd.Timedelta(days=int(d)))[:7]
+            if m != month or (d - 7) not in daily.index \
+                    or (d - 1) not in daily.index:
+                continue
+            n += 1
+            sy += int(y)
+            sae7 += abs(int(y) - int(daily[d - 7]))
+            sae1 += abs(int(y) - int(daily[d - 1]))
+        assert (r.n_days, r.sum_y, r.sae_seasonal, r.sae_naive1) == \
+            (n, sy, sae7, sae1), month
+        assert r.wape_micro == sae7 * 1_000_000 // sy
+        assert r.mase_micro == sae7 * 1_000_000 // sae1
+        got_any = True
+        if len(rows) > 3 and month >= sorted(rows)[3]:
+            break  # a few months suffice; pandas loop is the slow part
+    assert got_any
+
+
+def test_brand_triple_rules_identities(spark, sf_dir):
+    """Support/confidence identities + non-vacuity: confidence and
+    support-rate are valid micro-ratios, supports honor the relative
+    floor, ordering is support-desc."""
+    from simpleetlpipeline_spark.plans.relational import (
+        brand_triple_rules,
+    )
+
+    rows = brand_triple_rules(spark, sf_dir).collect()
+    assert rows, "triple mining must not be vacuous at test SF"
+    sups = [r.support for r in rows]
+    assert sups == sorted(sups, reverse=True)
+    for r in rows:
+        assert 2 <= r.support <= r.pair_support
+        assert 0 < r.confidence_micro <= 1_000_000
+        assert 0 < r.support_rate_micro <= 1_000_000
+        assert r.brand_a < r.brand_b < r.brand_c
