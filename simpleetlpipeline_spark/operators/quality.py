@@ -420,3 +420,53 @@ def l_diversity_report(spark, sf_dir: str, l_min: int = L_DIVERSITY_L):
     return (level("nation+balance_band", ["c_nationkey", "bal_band"])
             .unionByName(level("nation", ["c_nationkey"]))
             .orderBy("qi_level"))
+
+
+#: Laplace scale for the DP release demo: sensitivity 1 (a customer
+#: appears in exactly one nation count), epsilon 1.0 -> b = 1.0.
+DP_EPSILON_MILLI = 1000
+
+
+def dp_noisy_nation_counts(spark, sf_dir: str,
+                           epsilon_milli: int = DP_EPSILON_MILLI):
+    """Differentially-private count release (epsilon-DP Laplace
+    mechanism) over per-nation customer counts — the fourth pillar
+    of the governance family (k-anonymity, l-diversity, erasure, and
+    now a calibrated-noise release). Sensitivity is 1 (each customer
+    contributes to exactly one nation), so noise ~ Laplace(1/eps)
+    via the inverse CDF x = -b*sgn(u-1/2)*ln(1-2|u-1/2|).
+
+    The per-group uniform is SEEDED AND PORTABLE — md5 of the nation
+    key, first 8 hex chars as a 32-bit integer, (h+0.5)/2^32 — so
+    the 'noise' is a pure deterministic function both engines
+    compute bit-identically (the same construction the media
+    fixtures use, functions/multimodal.py), making the release
+    oracle-checkable. A production release swaps the hash-uniform
+    for a real RNG and DROPS the true_count column carried here for
+    the gate (the monthly_sales_retract recheck-column pattern).
+
+    Shape: one map-side-combined hash agg to |nations| rows; the
+    noise math is per-group scalar arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.session import ensure_session_conf
+
+    ensure_session_conf(spark)
+    counts = (read_table(spark, sf_dir, "customer")
+              .groupBy("c_nationkey")
+              .agg(F.count(F.lit(1)).alias("true_count")))
+    h = F.expr("conv(substring(md5(cast(c_nationkey as string)), 1, 8),"
+               " 16, 10)").cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(4294967296.0)
+    b = F.lit(1000.0) / F.lit(float(epsilon_milli))
+    centered = u - 0.5
+    noise = (-b * F.signum(centered)
+             * F.log(1.0 - 2.0 * F.abs(centered)))
+    return (counts.select(
+        "c_nationkey", "true_count",
+        (F.floor(noise * 1e4) / 1e4).alias("noise"),
+        (F.col("true_count") + F.floor(noise * 1e4) / 1e4)
+        .alias("noisy_count"))
+        .orderBy("c_nationkey"))

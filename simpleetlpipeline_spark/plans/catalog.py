@@ -130,6 +130,35 @@ ORACLE_SQL["l_diversity_report"] = f"""
 """
 
 from simpleetlpipeline_spark.operators.quality import (  # noqa: E402
+    DP_EPSILON_MILLI,
+    dp_noisy_nation_counts,
+)
+
+QUERIES["dp_noisy_nation_counts"] = dp_noisy_nation_counts
+ORACLE_SQL["dp_noisy_nation_counts"] = f"""
+    WITH counts AS (
+        SELECT c_nationkey, count(*) AS true_count
+        FROM customer GROUP BY 1
+    ), seeded AS (
+        SELECT c_nationkey, true_count,
+               (CAST(concat('0x', substr(md5(CAST(c_nationkey
+                    AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                   / 4294967296.0 - 0.5 AS centered
+        FROM counts
+    ), noised AS (
+        SELECT c_nationkey, true_count,
+               floor((1000.0 / {DP_EPSILON_MILLI})
+                     * -sign(centered) * ln(1.0 - 2.0 * abs(centered))
+                     * 1e4) / 1e4 AS noise
+        FROM seeded
+    )
+    SELECT c_nationkey, true_count, noise,
+           true_count + noise AS noisy_count
+    FROM noised
+    ORDER BY c_nationkey
+"""
+
+from simpleetlpipeline_spark.operators.quality import (  # noqa: E402
     expectation_suite_report,
     table_stats_profile,
 )

@@ -69,9 +69,20 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # SPARK_GRAFT_ORACLE_SKIP=a,b,c — for the sf1-scale sweep, where
+    # three entries are excluded BY DESIGN (their oracles are the
+    # quadratic ground-truth forms: exact all-pairs cosine for
+    # embedding_neardup / semantic_dedup_clusters, the 8-block
+    # levenshtein self-join for fuzzy_name_neighbors). The exclusion
+    # is recorded in CORRECTNESS_sf1.json's `skipped` section.
+    skip = {s for s in os.environ.get(
+        "SPARK_GRAFT_ORACLE_SKIP", "").split(",") if s}
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"skip {name} (SPARK_GRAFT_ORACLE_SKIP)")
             continue
         sql = oracles.get(name)
         try:
