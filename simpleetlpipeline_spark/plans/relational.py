@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 from simpleetlpipeline_spark.io import read_table
 from simpleetlpipeline_spark.operators.dates import (
     HOUR_US,
+    label_of_month_start,
+    month_start,
     epoch_date,
     epoch_day,
     hour_bucket,
@@ -81,7 +83,7 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         lineitem.join(F.broadcast(part),
                       F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy(month_label("l_shipdate").alias("month"))
+        .groupBy(month_start("l_shipdate").alias("__m"))
         .agg(
             F.round(F.sum(F.when(F.col("p_type") == PROMO_TYPE, rev)
                           .otherwise(F.lit(0.0))), 2).alias("promo_revenue"),
@@ -90,7 +92,8 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     share = F.col("promo_revenue") / F.col("total_revenue") * 100
     return monthly.select(
-        "month", "promo_revenue", "total_revenue",
+        label_of_month_start("__m").alias("month"),
+        "promo_revenue", "total_revenue",
         (F.floor(share * 10000) / 10000).alias("promo_share_pct"),
     )
 
@@ -424,8 +427,10 @@ def monthly_sales_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rollup(df):
+        # DATE month key; the label renders on the merged |months|
+        # frame below (dates.month_label hot-path contract)
         return (
-            df.groupBy(month_label("o_orderdate").alias("month"))
+            df.groupBy(month_start("o_orderdate").alias("month"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))
         )
@@ -440,7 +445,7 @@ def monthly_sales_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.join(delta, "month", "full_outer")
         .select(
-            "month",
+            label_of_month_start("month").alias("month"),
             (F.coalesce("base_n", F.lit(0))
              + F.coalesce("delta_n", F.lit(0))).alias("total_orders"),
             F.round(F.coalesce("base_rev", F.lit(0.0))
@@ -912,7 +917,7 @@ def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == COMPLETED)
         .select(F.col("o_orderkey").alias("k"),
-                month_label("o_orderdate").alias("month"),
+                month_start("o_orderdate").alias("month"),
                 dec.alias("price"))
     )
     is_del = F.col("k") % RETRACT_DELETE_MOD == 0
@@ -959,7 +964,9 @@ def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum("p") * 1000).cast("long")
              .alias("recheck_revenue_milli"))
     )
-    return maintained.join(recheck, "month").orderBy("month")
+    return (maintained.join(recheck, "month")
+            .withColumn("month", label_of_month_start("month"))
+            .orderBy("month"))
 
 
 QUERIES["monthly_sales_retract"] = monthly_sales_retract
@@ -2072,4 +2079,76 @@ ORACLE_SQL["brand_triple_rules"] = f"""
                                    * {TRIPLE_SUPPORT_MILLI} // 1000)
     ORDER BY t.support DESC, t.brand_a, t.brand_b, t.brand_c
     LIMIT {TRIPLE_TOP_N}
+"""
+
+
+TRIGRAM_TOP_N = 30
+
+
+def frequent_event_trigrams(spark: SparkSession, sf_dir: str,
+                            top_n: int = TRIGRAM_TOP_N) -> DataFrame:
+    """Second-order sequence mining: the top contiguous THREE-event
+    paths per user (the PrefixSpan-lite depth user_path_transitions'
+    first-order matrix can't see — 'view->view->purchase' and
+    'purchase->view->view' are the same two transition matrices but
+    opposite behaviors), with the second-order conditional
+    p(t3 | t1,t2) attached: the trigram count over its (t1,t2)
+    prefix-bigram count, both exact integers.
+
+    Plan: ONE shuffle keyed by user orders each user's bounded event
+    sequence (two lag() windows share the sort), one hash agg to the
+    <=|types|^3 trigram table and one to the |types|^2 bigram table
+    (both map-side combined), a broadcast prefix join, TakeOrdered
+    top-N. Conditional probability is one deterministic division
+    floored 4dp (the user_path_transitions contract).
+    """
+    from pyspark.sql import Window
+
+    ensure_session_conf(spark)
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (events
+           .withColumn("t2", F.lag("event_type", 1).over(w))
+           .withColumn("t1", F.lag("event_type", 2).over(w))
+           .filter(F.col("t1").isNotNull()))
+    tri = (seq.groupBy("t1", "t2", F.col("event_type").alias("t3"))
+           .agg(F.count(F.lit(1)).alias("n_trigrams")))
+    bi = (seq.groupBy("t1", "t2")
+          .agg(F.count(F.lit(1)).alias("n_prefix")))
+    cond = F.col("n_trigrams") / F.col("n_prefix") * 10000
+    return (tri.join(F.broadcast(bi), ["t1", "t2"])
+            .select("t1", "t2", "t3",
+                    F.col("n_trigrams").cast("long").alias("n_trigrams"),
+                    F.col("n_prefix").cast("long").alias("n_prefix"),
+                    (F.floor(cond) / 10000).alias("cond_prob"))
+            .orderBy(F.desc("n_trigrams"), F.asc("t1"), F.asc("t2"),
+                     F.asc("t3"))
+            .limit(top_n))
+
+
+QUERIES["frequent_event_trigrams"] = frequent_event_trigrams
+
+ORACLE_SQL["frequent_event_trigrams"] = f"""
+    WITH seq AS (
+        SELECT lag(event_type, 2) OVER w AS t1,
+               lag(event_type, 1) OVER w AS t2,
+               event_type AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT * FROM seq WHERE t1 IS NOT NULL
+    ), tri AS (
+        SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_trigrams
+        FROM s GROUP BY 1, 2, 3
+    ), bi AS (
+        SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_prefix
+        FROM s GROUP BY 1, 2
+    )
+    SELECT t1, t2, t3, n_trigrams, n_prefix,
+           floor(CAST(n_trigrams AS DOUBLE) / n_prefix * 10000)
+               / 10000 AS cond_prob
+    FROM tri JOIN bi USING (t1, t2)
+    ORDER BY n_trigrams DESC, t1, t2, t3
+    LIMIT {TRIGRAM_TOP_N}
 """

@@ -176,18 +176,16 @@ def _hostile_build(spark, monkeypatch, names, tz="America/Los_Angeles"):
 
 
 def test_converted_queries_survive_hostile_analysis_tz(spark, monkeypatch):
-    """The round-6 driver reds plus every round-7 rotated-in gate
-    entry and the canary: identical output whether the plan is
-    analyzed under UTC or under America/Los_Angeles."""
+    """The ENTIRE gate window (minus the streaming replays, whose
+    window() bucketing is epoch-aligned instant arithmetic and which
+    cost ~15s each to replay): identical output whether the plan is
+    analyzed under UTC or under America/Los_Angeles. This is the
+    strongest local replica of the round-5/6 driver-red mechanism —
+    every entry the driver will hash is exercised under the hostile
+    timezone before rotation."""
     from simpleetlpipeline_spark.plans import catalog
-    names = ["monthly_sales_retract", "revenue_cusum_changepoint",
-             "date_axis_canary",
-             "zipf_term_fit", "robust_outlier_mad", "embedding_dim_stats",
-             "woe_encoding", "gains_lift_table", "user_activity_streaks",
-             "quantile_normalize_quality", "ngram_novelty_score",
-             "interarrival_time_profile", "expectation_suite_report",
-             "revenue_growth_mom_yoy", "user_sequence_entropy",
-             "weighted_price_percentiles"]
+    names = [n for n in catalog.GATE_PREFIX
+             if not n.startswith("streaming_")]
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     truth = {}
     for n in names:
