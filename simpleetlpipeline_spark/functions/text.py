@@ -1740,6 +1740,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
         .persist())
 
     learned = []
+    released: list = []
     for rank in range(1, rounds + 1):
         n = F.size("sym")
         pairs = (vocab.filter(n >= 2)
@@ -1749,8 +1750,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
                      "freq")
                  .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                  .agg(F.sum("freq").alias("pf")))
+        # This collect materializes the CURRENT vocab's persist as a
+        # side effect, so the previous round's cache can be released
+        # here — no dedicated count() job per round.
         top = (pairs.orderBy(F.desc("pf"), F.asc("a"), F.asc("b"))
                .limit(1).collect())
+        while released:
+            released.pop().unpersist()
         if not top:
             break
         a, b, pf = top[0]["a"], top[0]["b"], int(top[0]["pf"])
@@ -1780,9 +1786,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
         vocab = track(
             prev.select(apply_merge("sym").alias("sym"), "freq")
             .persist())
-        vocab.count()  # materialize before dropping the parent
-        prev.unpersist()
+        released.append(prev)  # freed after the next round's collect
     vocab.unpersist()
+    while released:
+        released.pop().unpersist()
     return spark.createDataFrame(
         learned, "rank int, left string, right string, "
                  "merged string, pair_freq long")
