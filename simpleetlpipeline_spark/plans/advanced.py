@@ -41,8 +41,6 @@ from simpleetlpipeline_spark.operators.dates import (
     month_label,
     month_start,
     sql_epoch_day,
-    sql_epoch_date,
-    sql_month_label,
     sql_month_start,
     ts_lit,
     week_start,
