@@ -1532,7 +1532,11 @@ def calibration_reliability(spark: SparkSession, sf_dir: str,
                  F.abs(F.sum("p_micro")
                        - F.sum("y") * F.lit(1_000_000))
                  .cast("long").alias("cal_gap_e6"),
-                 F.sum("sq").alias("brier_sum_e12"))
+                 # Digit string, not DECIMAL(38,0): INT128-backed
+                 # oracle outputs float-convert under pandas fetch
+                 # (the r8 root cause; tests/test_oracle_types.py).
+                 F.sum("sq").cast("decimal(38,0)").cast("string")
+                 .alias("brier_sum_e12"))
             .orderBy("decile"))
 
 
@@ -1573,8 +1577,9 @@ ORACLE_SQL["calibration_reliability"] = f"""
            CAST(sum(y) AS BIGINT) AS n_repeat,
            CAST(abs(sum(p_micro) - 1000000 * sum(y)) AS BIGINT)
                AS cal_gap_e6,
-           CAST(sum((p_micro - 1000000 * y) * (p_micro - 1000000 * y))
-                AS DECIMAL(38,0)) AS brier_sum_e12
+           CAST(CAST(sum((p_micro - 1000000 * y)
+                         * (p_micro - 1000000 * y))
+                     AS DECIMAL(38,0)) AS VARCHAR) AS brier_sum_e12
     FROM p
     GROUP BY 1
     ORDER BY decile

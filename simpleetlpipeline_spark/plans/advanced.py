@@ -2548,7 +2548,20 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     a non-UTC analysis timezone while every translation-invariant
     column stays put, which is precisely the red the gate recorded.
     The day index now derives from raw micros (_trend_day /
-    operators/dates.epoch_day), twinned in the oracle."""
+    operators/dates.epoch_day), twinned in the oracle.
+
+    Round-8 ROOT CAUSE (the r7 red persisted with a green date-axis
+    canary, falsifying the calendar theory): `cusum_scaled` was the
+    gate's only DECIMAL(38,0) output — DuckDB's pandas fetch turns
+    hugeint-backed decimals into float64 (str '5.5e14...'-style or
+    trailing-'.0' renderings) while Spark collects exact Decimal;
+    every local replica fetched via fetchall() (exact Decimal) and
+    so could not reproduce. Both sides now emit the value as a
+    digit STRING (Spark decimal→string and DuckDB decimal→VARCHAR
+    render identically, the repo's first-digit-of-cents precedent),
+    which is also the 100 TB-safe form: n*prefix exceeds int64 at
+    ~1e16 total daily cents. See monthly_sales_retract's round-8
+    note and tests/test_oracle_types.py for the catalog-wide ban."""
     ensure_session_conf(spark)
     daily = (
         read_table(spark, sf_dir, "orders")
@@ -2579,7 +2592,7 @@ def revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pick.select(
         F.col("day").cast("int").alias("changepoint_day"),
         F.col("n").cast("bigint").alias("n_days"),
-        F.col("cusum_scaled"),
+        F.col("cusum_scaled").cast("string").alias("cusum_scaled"),
         (F.floor(mean_before * 1e4) / 1e4).alias("mean_before_cents"),
         (F.floor(mean_after * 1e4) / 1e4).alias("mean_after_cents"))
 
@@ -2608,16 +2621,93 @@ ORACLE_SQL["revenue_cusum_changepoint"] = f"""
                    AS cusum_scaled
         FROM t
     )
+    , picked AS (
+        SELECT * FROM scored
+        ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 1
+    )
     SELECT CAST(day AS INTEGER) AS changepoint_day,
            CAST(n AS BIGINT) AS n_days,
-           cusum_scaled,
+           CAST(cusum_scaled AS VARCHAR) AS cusum_scaled,
            floor(CAST(prefix AS DOUBLE) / CAST(d AS DOUBLE) * 1e4) / 1e4
                AS mean_before_cents,
            floor(CAST(total - prefix AS DOUBLE)
                  / nullif(CAST(n - d AS DOUBLE), 0.0) * 1e4) / 1e4
                AS mean_after_cents
-    FROM scored
-    ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 1
+    FROM picked
+"""
+
+
+def cusum_daily_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 bisection canary (round-7 verdict task #1): the daily
+    sufficient statistics of revenue_cusum_changepoint in isolation —
+    the top-5 days by |n*prefix - d*total| with every intermediate
+    (day index, rank d, n, daily cents y, prefix sum) as plain
+    BIGINTs, no DECIMAL(38,0) anywhere in the OUTPUT (the ordering
+    key is still the exact decimal product). If the parent reds
+    while this is green, the divergence is confined to the argmax
+    row's non-BIGINT columns or the canonicalizer; if this reds, the
+    prefix/rank layer itself diverges. All five output columns are
+    exact integers identical by construction in both engines."""
+    ensure_session_conf(spark)
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .select(_trend_day().alias("day"),
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").alias("cents"))
+        .groupBy("day").agg(F.sum("cents").alias("y"))
+    )
+    w_cum = (Window.orderBy("day")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy()
+    t = (daily
+         .withColumn("prefix", F.sum("y").over(w_cum))
+         .withColumn("d", F.row_number().over(Window.orderBy("day")))
+         .withColumn("n", F.count(F.lit(1)).over(w_all))
+         .withColumn("total", F.sum("y").over(w_all)))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    scored = t.withColumn(
+        "cusum_scaled", d38("n") * d38("prefix") - d38("d") * d38("total"))
+    return (scored
+            .orderBy(F.abs(F.col("cusum_scaled")).desc(), F.asc("day"))
+            .limit(5)
+            .select(F.col("day").cast("long").alias("day"),
+                    F.col("d").cast("long").alias("d"),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("y").cast("long").alias("y"),
+                    F.col("prefix").cast("long").alias("prefix")))
+
+
+QUERIES["cusum_daily_canary"] = cusum_daily_canary
+
+ORACLE_SQL["cusum_daily_canary"] = f"""
+    WITH daily AS (
+        SELECT {_sql_trend_day()} AS day,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT day, y,
+               sum(y) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS prefix,
+               row_number() OVER (ORDER BY day) AS d,
+               count(*) OVER () AS n,
+               sum(y) OVER () AS total
+        FROM daily
+    ), scored AS (
+        SELECT *,
+               CAST(n AS DECIMAL(38,0)) * CAST(prefix AS DECIMAL(38,0))
+               - CAST(d AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0))
+                   AS cusum_scaled
+        FROM t
+    ), picked AS (
+        SELECT * FROM scored
+        ORDER BY abs(cusum_scaled) DESC, day ASC LIMIT 5
+    )
+    SELECT CAST(day AS BIGINT) AS day, CAST(d AS BIGINT) AS d,
+           CAST(n AS BIGINT) AS n, CAST(y AS BIGINT) AS y,
+           CAST(prefix AS BIGINT) AS prefix
+    FROM picked
 """
 
 
@@ -3971,7 +4061,7 @@ ORACLE_SQL["order_value_equidepth"] = f"""
                    - cnt AS cumb
         FROM spine
     ), total AS (SELECT count(*) AS n FROM vals)
-    SELECT cumb * {EQUIDEPTH_B} // n AS bucket,
+    SELECT CAST(cumb * {EQUIDEPTH_B} // n AS BIGINT) AS bucket,
            CAST(sum(cnt) AS BIGINT) AS n_orders,
            min(v) AS lo_cents, max(v) AS hi_cents,
            CAST(sum(v * cnt) AS BIGINT) AS revenue_cents
@@ -4751,7 +4841,8 @@ def order_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pick.select(
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.col("d_scaled").cast("decimal(38,0)").alias("d_scaled"),
+        F.col("d_scaled").cast("decimal(38,0)").cast("string")
+        .alias("d_scaled"),
         F.col("cents").alias("at_cents"),
         (F.floor(F.col("d_scaled").cast("double")
                  / (F.col("n_a").cast("double")
@@ -4786,13 +4877,17 @@ ORACLE_SQL["order_value_ks_drift"] = f"""
                     AS DECIMAL(38,0)) AS d_scaled
         FROM ranked
     )
-    SELECT n_a, n_b, d_scaled, cents AS at_cents,
+    , picked AS (
+        SELECT * FROM scored
+        ORDER BY d_scaled DESC, cents ASC
+        LIMIT 1
+    )
+    SELECT n_a, n_b, CAST(d_scaled AS VARCHAR) AS d_scaled,
+           cents AS at_cents,
            floor(CAST(d_scaled AS DOUBLE)
                  / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
                  * 1e6) / 1e6 AS ks_d
-    FROM scored
-    ORDER BY d_scaled DESC, cents ASC
-    LIMIT 1
+    FROM picked
 """
 
 

@@ -735,6 +735,49 @@ def date_axis_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def int128_fetch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 DIAGNOSTIC PROBE — a deliberate falsifiable test of
+    the r7 hash-reds' root-cause theory, NOT a regression. One row,
+    two columns with the IDENTICAL value (the nation row count): the
+    Spark side emits both as int64, but the ORACLE leaves
+    ``n_int128`` as DuckDB ``sum(1)`` — HUGEINT/INT128 — while
+    ``n_bigint`` is CAST to BIGINT.
+
+    Expected driver outcomes (record in README + VERDICT):
+    - **hash RED here** → the driver's oracle fetch converts INT128
+      to float64 (DuckDB's pandas/arrow path: ``str(25.0) !=
+      str(25)`` under the str-canonicalizer in GATE_ENV.json),
+      CONFIRMING why monthly_sales_retract (HUGEINT total_orders)
+      and revenue_cusum_changepoint (DECIMAL(38,0) cusum_scaled)
+      were the only reds for 3 rounds while every fetchall()-based
+      local replica passed — they were the only gated entries with
+      INT128-backed oracle outputs, and the never-gated
+      order_value_equidepth / order_value_ks_drift /
+      calibration_reliability carried the same latent class (all
+      five fixed this round; contract in tests/test_oracle_types.py
+      bans the class catalog-wide, THIS probe is its sole documented
+      exemption).
+    - **GREEN here** → the driver fetches exactly (fetchall-style)
+      and the theory is falsified; the r8 re-attestations of the
+      two fixed parents then carry the diagnostic weight.
+
+    A red in this slot is the expected positive signal, analogous to
+    round 7's date_axis_canary green being the signal that
+    falsified the calendar theory."""
+    ensure_session_conf(spark)
+    return (read_table(spark, sf_dir, "nation")
+            .agg(F.count(F.lit(1)).alias("n_bigint"),
+                 F.count(F.lit(1)).alias("n_int128")))
+
+
+QUERIES["int128_fetch_probe"] = int128_fetch_probe
+ORACLE_SQL["int128_fetch_probe"] = """
+    SELECT CAST(sum(1) AS BIGINT) AS n_bigint,
+           sum(1) AS n_int128
+    FROM nation
+"""
+
+
 QUERIES["date_axis_canary"] = date_axis_canary
 ORACLE_SQL["date_axis_canary"] = f"""
     SELECT {sql_month_label('o_orderdate')} AS month,

@@ -910,6 +910,24 @@ def monthly_sales_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     or parquet-reader flavor on either engine can shift a
     midnight-UTC order into the adjacent month (the reproduced
     round-6 mechanism; see tests/test_dates.py).
+
+    Round-8 ROOT CAUSE (found after the r7 date-axis canary came
+    back driver-green while this query stayed red, falsifying the
+    calendar theory): the ORACLE's `total_orders` was the only
+    un-cast column — `coalesce(count(*),0) + coalesce(sum(int),0)`
+    is HUGEINT in DuckDB (sum of integers widens to INT128), and
+    DuckDB's pandas/arrow fetch converts HUGEINT to float64
+    (`str(74.0) != str(74)` under a str-canonicalizing comparator),
+    while the fetchall() path every local replica used yields exact
+    Python ints — which is exactly why three rounds of sf0.01/sf0.1/
+    hostile-shuffle/hostile-TZ replicas could never reproduce it.
+    The r7 gate's only two hash-reds were exactly the only two gated
+    entries with an INT128-backed oracle output column (this one and
+    revenue_cusum_changepoint's DECIMAL(38,0)). Fix: CAST the oracle
+    sum to BIGINT; the catalog-wide contract test
+    (tests/test_oracle_types.py) now bans HUGEINT/DECIMAL outputs
+    everywhere, and plans/analytics.int128_fetch_probe carries a
+    deliberate HUGEINT so the r8 driver run confirms the mechanism.
     """
     ensure_session_conf(spark)
     dec = F.col("o_totalprice").cast("decimal(18,2)")
@@ -994,8 +1012,8 @@ ORACLE_SQL["monthly_sales_retract"] = f"""
         FROM o WHERE is_del OR is_upd GROUP BY 1
     ), maintained AS (
         SELECT month,
-               coalesce(base_n, 0) + coalesce(delta_n, 0)
-                   AS total_orders,
+               CAST(coalesce(base_n, 0) + coalesce(delta_n, 0)
+                    AS BIGINT) AS total_orders,
                CAST((coalesce(base_rev, CAST(0 AS DECIMAL(21,3)))
                      + coalesce(delta_rev, CAST(0 AS DECIMAL(21,3))))
                     * 1000 AS BIGINT) AS total_revenue_milli
@@ -1012,6 +1030,112 @@ ORACLE_SQL["monthly_sales_retract"] = f"""
     SELECT month, total_orders, total_revenue_milli,
            recheck_orders, recheck_revenue_milli
     FROM maintained JOIN recheck USING (month)
+    ORDER BY month
+"""
+
+
+def retract_base_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 bisection canary (round-7 verdict task #1): the BASE
+    layer of monthly_sales_retract in isolation — per-month order
+    count and exact revenue milli-units over status-F orders, no CDC
+    algebra, no full-outer merge. If the parent reds while this is
+    green, the divergence lives in the delta/merge layer; if this
+    reds too, it is in the base rollup itself. All outputs BIGINT
+    (the oracle casts its sums explicitly — the r8 root-cause class
+    was an un-cast INT128 oracle column, see the parent's docstring).
+
+    Scale: one map-side-combined hash aggregate, |months| groups."""
+    ensure_session_conf(spark)
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == COMPLETED)
+        .select(month_start("o_orderdate").alias("__m"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+        .groupBy("__m")
+        .agg(F.count(F.lit(1)).alias("base_n"),
+             (F.sum(F.col("price").cast("decimal(21,3)")) * 1000)
+             .cast("long").alias("base_rev_milli"))
+        .select(label_of_month_start("__m").alias("month"),
+                "base_n", "base_rev_milli")
+        .orderBy("month")
+    )
+
+
+QUERIES["retract_base_canary"] = retract_base_canary
+
+ORACLE_SQL["retract_base_canary"] = f"""
+    SELECT {sql_month_label('o_orderdate')} AS month,
+           count(*) AS base_n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         AS DECIMAL(21,3))) * 1000 AS BIGINT)
+               AS base_rev_milli
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    ORDER BY month
+"""
+
+
+def retract_delta_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 bisection canary: the DELTA layer of
+    monthly_sales_retract in isolation — the signed CDC aggregates
+    (delete → (-1, -price); update → (0, +10% correction)) per
+    month, before the full-outer merge onto the base. The oracle
+    CASTs delta_n to BIGINT (DuckDB sum(int) is HUGEINT — the exact
+    r8 root cause in the parent). Together with retract_base_canary
+    this brackets every layer of the parent: base red → base rollup;
+    delta red → CDC algebra; both green + parent red → the merge or
+    the canonicalizer."""
+    ensure_session_conf(spark)
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == COMPLETED)
+        .select(F.col("o_orderkey").alias("k"),
+                month_start("o_orderdate").alias("__m"),
+                dec.alias("price"))
+    )
+    is_del = F.col("k") % RETRACT_DELETE_MOD == 0
+    is_upd = (~is_del) & (F.col("k") % RETRACT_UPDATE_MOD == 0)
+    new_price = F.col("price") * F.lit("1.1").cast("decimal(3,1)")
+    return (
+        orders.filter(is_del | is_upd)
+        .select(
+            "__m",
+            F.when(is_del, F.lit(-1)).otherwise(F.lit(0)).alias("dn"),
+            F.when(is_del, (-F.col("price")).cast("decimal(21,3)"))
+            .otherwise((new_price - F.col("price")).cast("decimal(21,3)"))
+            .alias("dr"))
+        .groupBy("__m")
+        .agg(F.sum("dn").cast("long").alias("delta_n"),
+             (F.sum("dr") * 1000).cast("long").alias("delta_rev_milli"))
+        .select(label_of_month_start("__m").alias("month"),
+                "delta_n", "delta_rev_milli")
+        .orderBy("month")
+    )
+
+
+QUERIES["retract_delta_canary"] = retract_delta_canary
+
+ORACLE_SQL["retract_delta_canary"] = f"""
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               {sql_month_label('o_orderdate')} AS month,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               o_orderkey % {RETRACT_DELETE_MOD} = 0 AS is_del,
+               o_orderkey % {RETRACT_DELETE_MOD} != 0
+                   AND o_orderkey % {RETRACT_UPDATE_MOD} = 0 AS is_upd
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT month,
+           CAST(sum(CASE WHEN is_del THEN -1 ELSE 0 END) AS BIGINT)
+               AS delta_n,
+           CAST(sum(CASE WHEN is_del
+                    THEN CAST(-price AS DECIMAL(21,3))
+                    ELSE CAST(price * CAST(1.1 AS DECIMAL(3,1)) - price
+                              AS DECIMAL(21,3)) END)
+                * 1000 AS BIGINT) AS delta_rev_milli
+    FROM o WHERE is_del OR is_upd
+    GROUP BY 1
     ORDER BY month
 """
 

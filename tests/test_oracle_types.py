@@ -1,0 +1,105 @@
+"""Cross-engine OUTPUT-TYPE contract for the oracle gate (round 8).
+
+Root cause of the r5-r7 driver hash-reds (monthly_sales_retract,
+revenue_cusum_changepoint): their oracles were the only gated
+entries with an INT128-backed output column — DuckDB widens
+``sum(int)`` to HUGEINT and backs DECIMAL(p>18) with INT128, and
+DuckDB's pandas/arrow fetch converts BOTH to float64, while the
+``fetchall()`` path every local replica used yields exact Python
+ints/Decimals. Under a str-canonicalizing comparator
+(GATE_ENV.json: ``other_compare: str(v)``) that is
+``'74' != '74.0'`` — reproducible ONLY through the pandas fetch,
+which is why three rounds of sf0.01/sf0.1/hostile-shuffle/
+hostile-TZ local replicas stayed green while the driver stayed red.
+
+Contract enforced here, both engines:
+- no oracle output column may be HUGEINT or DECIMAL (any precision)
+  — big exact integers travel as BIGINT when they provably fit,
+  else as digit STRINGS (identical rendering in both engines);
+- no Spark query may return a DecimalType column.
+
+DATE/TIMESTAMP outputs are allowed: entries carrying them
+(shipping_priority_orders, events_unpivot_daily, events_hourly, ...)
+have multi-round driver-green history, so the driver's canonicalizer
+demonstrably handles them.
+
+``int128_fetch_probe`` is the sole documented exemption: it carries
+a deliberate HUGEINT so the r8 driver run confirms or falsifies the
+fetch-conversion mechanism (see its docstring).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from simpleetlpipeline_spark.plans.catalog import ORACLE_SQL, QUERIES
+
+#: The deliberate-HUGEINT diagnostic (plans/analytics.py) — the only
+#: entry allowed to violate the contract, by design.
+EXEMPT = {"int128_fetch_probe"}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def test_no_int128_backed_oracle_outputs(duck):
+    """Every oracle's result types must survive DuckDB's pandas
+    fetch losslessly: HUGEINT and DECIMAL columns float-convert
+    there (the r5-r7 driver-red mechanism) and are banned."""
+    offenders = {}
+    for name, sql in ORACLE_SQL.items():
+        if name in EXEMPT:
+            continue
+        rel = duck.sql(sql)
+        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"INT128-backed oracle outputs (float64 under pandas fetch, "
+        f"the r5-r7 driver-red class): {offenders} — CAST to BIGINT "
+        f"if it provably fits, else to VARCHAR digit strings on both "
+        f"sides")
+
+
+def test_probe_is_still_a_probe(duck):
+    """The exemption must stay honest: int128_fetch_probe's oracle
+    must actually produce one HUGEINT and one BIGINT column with
+    equal values, or the diagnostic reads as green vacuously."""
+    rel = duck.sql(ORACLE_SQL["int128_fetch_probe"])
+    types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    assert types == {"n_bigint": "BIGINT", "n_int128": "HUGEINT"}
+    row = rel.fetchall()[0]
+    assert row[0] == row[1] == 25
+
+
+def test_no_decimal_outputs_in_spark_schemas(spark, sf_dir):
+    """The Spark twin of the oracle-side ban: a DecimalType output
+    collects as decimal.Decimal, whose str rendering can disagree
+    with whatever the oracle's engine fetched (float64 '.0'
+    suffixes, exponent reprs). Exact big integers leave the engine
+    as long or as digit strings."""
+    from pyspark.sql.types import DecimalType
+
+    skip = {"etl_pipeline_run", "user_erasure_audit",
+            "bpe_train_merges"}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip or name.startswith("streaming_"):
+            continue
+        bad = [(f.name, f.dataType.simpleString())
+               for f in fn(spark, sf_dir).schema.fields
+               if isinstance(f.dataType, DecimalType)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"DecimalType Spark outputs: {offenders}"

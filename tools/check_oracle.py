@@ -7,6 +7,18 @@ column name, rows sorted, doubles compared to 1e-9 after the
 queries' own rounding). Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Fetch modes (SPARK_GRAFT_ORACLE_FETCH):
+- ``exact`` (default): Spark ``collect()`` + DuckDB ``fetchall()``
+  — exact Python ints/Decimals on both sides.
+- ``pandas``: Spark ``toPandas()`` (Arrow) + DuckDB ``.df()`` —
+  the dataframe fetch path, under which DuckDB converts HUGEINT
+  and DECIMAL columns to float64. This rung is what reproduces the
+  r5-r7 driver hash-reds that the exact path could never see
+  (``str(74.0) != str(74)``); run the ladder under BOTH modes.
+  Values are taken from the frames with numpy scalars unwrapped
+  via ``.item()`` (pandas NaT/NaN -> None), i.e. "whatever a
+  dataframe-iterating driver would str()".
 """
 
 from __future__ import annotations
@@ -37,6 +49,28 @@ def values_equal(a, b) -> bool:
             return True
         return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return str(a) == str(b)
+
+
+def _frame_rows(df) -> list[tuple]:
+    """Rows of a pandas frame as plain-Python tuples, the way a
+    dataframe-iterating comparator would see them: numpy scalars
+    unwrapped (int64 -> int, float64 -> float — so a HUGEINT column
+    that DuckDB float-converted STAYS a float, which is the point),
+    NaT/None-likes -> None."""
+    import pandas as pd
+
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        vals = []
+        for v in row:
+            if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)):
+                vals.append(None)
+            elif hasattr(v, "item") and type(v).__module__ == "numpy":
+                vals.append(v.item())
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return out
 
 
 def main() -> int:
@@ -77,6 +111,8 @@ def main() -> int:
     # is recorded in CORRECTNESS_sf1.json's `skipped` section.
     skip = {s for s in os.environ.get(
         "SPARK_GRAFT_ORACLE_SKIP", "").split(",") if s}
+    fetch = os.environ.get("SPARK_GRAFT_ORACLE_FETCH", "exact")
+    assert fetch in ("exact", "pandas"), fetch
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -88,7 +124,10 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if fetch == "pandas":
+                srows = _frame_rows(sdf.toPandas())
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
@@ -97,9 +136,14 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            if fetch == "pandas":
+                ddf = con.execute(sql).df()
+                dcols = list(ddf.columns)
+                drows = _frame_rows(ddf)
+            else:
+                res = con.execute(sql)
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
