@@ -48,7 +48,8 @@ os.environ["PYTHONWARNINGS"] = ",".join(
     filter(None, [os.environ.get("PYTHONWARNINGS"), _PYW]))
 warnings.filterwarnings(
     "ignore", category=FutureWarning,
-    message=".*concatenation with empty or all-NA entries.*")
+    message=".*concatenation with empty or all-NA entries.*",
+    module=r"pyspark\.sql\.pandas\.serializers")
 
 
 #: Stdout-line byte budget: the driver captures only the last ~2000

@@ -1339,22 +1339,30 @@ def gains_lift_table(spark: SparkSession, sf_dir: str,
 
 QUERIES["gains_lift_table"] = gains_lift_table
 
-ORACLE_SQL["gains_lift_table"] = f"""
+
+def gains_lift_oracle(cutoff: str = WOE_CUTOFF,
+                      n_bins: int = GAINS_N_BINS) -> str:
+    """Oracle twin as a BUILDER over the same parameters as the
+    Spark function, so non-default calls can be parity-checked too
+    (tests/test_functions.py::test_parameterized_oracle_parity);
+    ORACLE_SQL pins the defaults — identical to the Spark defaults
+    by construction because both sides read the same constants."""
+    return f"""
     WITH spend AS (
         SELECT o_custkey,
                sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
-        FROM orders WHERE o_orderdate < TIMESTAMP '{WOE_CUTOFF}'
+        FROM orders WHERE o_orderdate < TIMESTAMP '{cutoff}'
         GROUP BY 1
     ), repeat AS (
         SELECT DISTINCT o_custkey, 1 AS is_repeat
-        FROM orders WHERE o_orderdate >= TIMESTAMP '{WOE_CUTOFF}'
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{cutoff}'
     ), scored AS (
         SELECT s.o_custkey, s.spend,
                COALESCE(r.is_repeat, 0) AS is_repeat
         FROM spend s LEFT JOIN repeat r USING (o_custkey)
     ), deciled AS (
         SELECT is_repeat,
-               ntile({GAINS_N_BINS}) OVER
+               ntile({n_bins}) OVER
                    (ORDER BY spend DESC, o_custkey ASC) AS decile
         FROM scored
     ), per AS (
@@ -1383,6 +1391,9 @@ ORACLE_SQL["gains_lift_table"] = f"""
     FROM per CROSS JOIN tot
     ORDER BY decile
 """
+
+
+ORACLE_SQL["gains_lift_table"] = gains_lift_oracle()
 
 
 def quantile_normalize_quality(spark: SparkSession,
@@ -1541,10 +1552,16 @@ def calibration_reliability(spark: SparkSession, sf_dir: str,
 
 
 QUERIES["calibration_reliability"] = calibration_reliability
-ORACLE_SQL["calibration_reliability"] = f"""
+
+
+def calibration_oracle(cutoff: str = WOE_CUTOFF,
+                       n_bins: int = GAINS_N_BINS) -> str:
+    """Parameterized oracle twin (same contract as
+    gains_lift_oracle: non-default calls stay parity-checkable)."""
+    return f"""
     WITH o AS (
         SELECT o_custkey, o_totalprice,
-               o_orderdate < TIMESTAMP '{WOE_CUTOFF}' AS is_pre
+               o_orderdate < TIMESTAMP '{cutoff}' AS is_pre
         FROM orders
     ), spend AS (
         SELECT o_custkey,
@@ -1562,7 +1579,7 @@ ORACLE_SQL["calibration_reliability"] = f"""
                row_number() OVER (ORDER BY spend DESC, o_custkey ASC)
                    AS r,
                count(*) OVER () AS n,
-               ntile({GAINS_N_BINS}) OVER
+               ntile({n_bins}) OVER
                    (ORDER BY spend DESC, o_custkey ASC) AS decile
         FROM scored
     ), p AS (
@@ -1584,3 +1601,6 @@ ORACLE_SQL["calibration_reliability"] = f"""
     GROUP BY 1
     ORDER BY decile
 """
+
+
+ORACLE_SQL["calibration_reliability"] = calibration_oracle()

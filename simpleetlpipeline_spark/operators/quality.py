@@ -445,6 +445,14 @@ def dp_noisy_nation_counts(spark, sf_dir: str,
     for a real RNG and DROPS the true_count column carried here for
     the gate (the monthly_sales_retract recheck-column pattern).
 
+    ln() determinism (ADVICE r7): ln is the one non-correctly-
+    rounded op in this chain, but the released noise is a function
+    of the nation KEY alone (0..24), so all 25 possible values are
+    permanent constants — tests/test_stats_ops.py::
+    test_dp_noise_quantization_boundary_margin proves each sits
+    >= 1e-4 from its floor(noise*1e4) boundary, ~9 orders of
+    magnitude beyond any cross-engine 1-ulp log wobble.
+
     Shape: one map-side-combined hash agg to |nations| rows; the
     noise math is per-group scalar arithmetic.
     """

@@ -4669,7 +4669,14 @@ def user_sequence_entropy(spark: SparkSession, sf_dir: str,
 
 QUERIES["user_sequence_entropy"] = user_sequence_entropy
 
-ORACLE_SQL["user_sequence_entropy"] = f"""
+def user_sequence_entropy_oracle(min_n: int = SEQ_ENTROPY_MIN_N,
+                                 top_n: int = SEQ_ENTROPY_TOP_N) -> str:
+    """Parameterized oracle twin over the SAME params as the Spark
+    function, so non-default (min_n, top_n) calls remain parity-
+    checkable (tests/test_functions.py::
+    test_parameterized_oracle_parity); ORACLE_SQL pins the shared
+    module defaults."""
+    return f"""
     WITH trans AS (
         SELECT user_id,
                lag(event_type) OVER (PARTITION BY user_id
@@ -4694,16 +4701,19 @@ ORACLE_SQL["user_sequence_entropy"] = f"""
                                    * 1e7) AS BIGINT)) AS BIGINT)
                    AS s
         FROM scored GROUP BY 1
-        HAVING CAST(min(n) AS BIGINT) >= {SEQ_ENTROPY_MIN_N}
+        HAVING CAST(min(n) AS BIGINT) >= {min_n}
     )
     SELECT CAST(row_number() OVER (ORDER BY (-s) // n_transitions ASC,
                                    user_id ASC) AS INT) AS rank,
            user_id, n_transitions,
            (-s) // n_transitions AS entropy_lp7
     FROM per_user
-    QUALIFY rank <= {SEQ_ENTROPY_TOP_N}
+    QUALIFY rank <= {top_n}
     ORDER BY rank
 """
+
+
+ORACLE_SQL["user_sequence_entropy"] = user_sequence_entropy_oracle()
 
 
 def weighted_price_percentiles(spark: SparkSession,

@@ -2221,10 +2221,14 @@ def frequent_event_trigrams(spark: SparkSession, sf_dir: str,
 
     Plan: ONE shuffle keyed by user orders each user's bounded event
     sequence (two lag() windows share the sort), one hash agg to the
-    <=|types|^3 trigram table and one to the |types|^2 bigram table
-    (both map-side combined), a broadcast prefix join, TakeOrdered
-    top-N. Conditional probability is one deterministic division
-    floored 4dp (the user_path_transitions contract).
+    <=|types|^3 trigram table; the |types|^2 prefix-bigram table then
+    DERIVES from the trigram table (every seq row lands in exactly
+    one trigram group, so sum(n_trigrams) over (t1,t2) == the prefix
+    count) — the corpus is scanned and window-sorted exactly once,
+    with no persist needed (ADVICE r7 flagged the previous
+    two-consumer lineage). Broadcast prefix join, TakeOrdered top-N.
+    Conditional probability is one deterministic division floored
+    4dp (the user_path_transitions contract).
     """
     from pyspark.sql import Window
 
@@ -2236,10 +2240,17 @@ def frequent_event_trigrams(spark: SparkSession, sf_dir: str,
            .withColumn("t2", F.lag("event_type", 1).over(w))
            .withColumn("t1", F.lag("event_type", 2).over(w))
            .filter(F.col("t1").isNotNull()))
-    tri = (seq.groupBy("t1", "t2", F.col("event_type").alias("t3"))
-           .agg(F.count(F.lit(1)).alias("n_trigrams")))
-    bi = (seq.groupBy("t1", "t2")
-          .agg(F.count(F.lit(1)).alias("n_prefix")))
+    from simpleetlpipeline_spark.cache import track
+
+    # tri feeds BOTH the join probe and the derived prefix table —
+    # persist the <=|types|^3 aggregate so the corpus scan + per-user
+    # window sort behind it run exactly once.
+    tri = track(
+        seq.groupBy("t1", "t2", F.col("event_type").alias("t3"))
+        .agg(F.count(F.lit(1)).alias("n_trigrams"))
+        .persist())
+    bi = (tri.groupBy("t1", "t2")
+          .agg(F.sum("n_trigrams").alias("n_prefix")))
     cond = F.col("n_trigrams") / F.col("n_prefix") * 10000
     return (tri.join(F.broadcast(bi), ["t1", "t2"])
             .select("t1", "t2", "t3",

@@ -524,3 +524,40 @@ def test_bpe_train_merges_matches_python(spark, sf_dir):
                     i += 1
             vocab[w] = out
     assert got == want
+
+
+def test_parameterized_oracle_parity(spark, sf_dir):
+    """ADVICE r7: Spark-side parameters (n_bins, min_n, top_n,
+    cutoff) must stay parity-checkable at NON-default values — the
+    static ORACLE_SQL strings pin the shared defaults, and these
+    builder twins prove the parameterization itself is faithful, so
+    a future caller passing non-defaults cannot silently diverge."""
+    import duckdb
+
+    from simpleetlpipeline_spark.functions.pretrain import (
+        calibration_oracle, calibration_reliability, gains_lift_oracle,
+        gains_lift_table)
+    from simpleetlpipeline_spark.plans.advanced import (
+        user_sequence_entropy, user_sequence_entropy_oracle)
+
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    cases = [
+        (gains_lift_table(spark, sf_dir, n_bins=4),
+         gains_lift_oracle(n_bins=4)),
+        (calibration_reliability(spark, sf_dir, n_bins=3),
+         calibration_oracle(n_bins=3)),
+        (user_sequence_entropy(spark, sf_dir, min_n=5, top_n=7),
+         user_sequence_entropy_oracle(min_n=5, top_n=7)),
+    ]
+    for sdf, sql in cases:
+        srows = sorted(tuple(r) for r in sdf.collect())
+        drows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert sorted(sdf.columns) == sorted(
+            d[0] for d in con.execute(sql).description)
+        assert len(srows) == len(drows) and srows, sql
+        for rs, rd in zip(srows, drows):
+            assert [str(v) for v in rs] == [str(v) for v in rd]

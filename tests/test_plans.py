@@ -893,8 +893,22 @@ def test_no_tz_sensitive_calendar_exprs_in_catalog_plans(spark, sf_dir):
     """
     import re
 
-    ts_cols = ("o_orderdate|l_shipdate|l_commitdate|l_receiptdate"
-               "|ts|p_ts|view_ts|purchase_ts")
+    # Fixture-derived timestamp columns (ADVICE r7: a future table /
+    # column with a new timestamp name must not slip past the
+    # field-extraction branch), plus the in-plan ALIASES queries
+    # give renamed timestamp columns (not derivable from schemas).
+    import pyarrow.parquet as pq
+    fixture_ts = set()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        schema = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        for fld in schema:
+            if str(fld.type).startswith("timestamp"):
+                fixture_ts.add(fld.name)
+    assert {"o_orderdate", "l_shipdate", "ts"} <= fixture_ts
+    ts_cols = "|".join(sorted(
+        fixture_ts | {"p_ts", "view_ts", "purchase_ts"}))
     risky = re.compile(
         # tz-carrying rendering/bucketing functions, any input
         r"\b(date_format|to_date|date_trunc|from_unixtime"

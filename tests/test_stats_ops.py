@@ -1294,3 +1294,35 @@ def test_brand_triple_rules_identities(spark, sf_dir):
         assert 0 < r.confidence_micro <= 1_000_000
         assert 0 < r.support_rate_micro <= 1_000_000
         assert r.brand_a < r.brand_b < r.brand_c
+
+
+def test_dp_noise_quantization_boundary_margin():
+    """ADVICE r7: dp_noisy_nation_counts is the one released value
+    whose cross-engine parity rests on a transcendental (ln is not
+    correctly rounded — JVM Math.log vs libm may differ by 1 ulp),
+    quantized via floor(noise*1e4). The released noise depends ONLY
+    on the nation key (md5-hash uniform), not on any data, so the 25
+    possible values are permanent constants — this test proves every
+    one sits >= 1e-4 away from a floor boundary, i.e. ~9 orders of
+    magnitude beyond any 1-ulp log wobble, so the floored release is
+    engine-independent for ALL fixtures, not just the swept ones."""
+    import hashlib
+    import math
+
+    from simpleetlpipeline_spark.operators.quality import (
+        DP_EPSILON_MILLI,
+    )
+
+    b = 1000.0 / DP_EPSILON_MILLI
+    worst = 1.0
+    for k in range(25):
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        c = u - 0.5
+        noise = -b * math.copysign(1.0, c) * math.log(1.0 - 2.0 * abs(c))
+        x = noise * 1e4
+        worst = min(worst, x - math.floor(x), math.ceil(x) - x)
+    assert worst >= 1e-4, (
+        f"a nation's noise*1e4 sits {worst} from a floor boundary — "
+        f"within reach of cross-engine ln() wobble; re-derive the "
+        f"release as an exact integer before trusting the oracle")

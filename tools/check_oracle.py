@@ -56,7 +56,17 @@ def _frame_rows(df) -> list[tuple]:
     dataframe-iterating comparator would see them: numpy scalars
     unwrapped (int64 -> int, float64 -> float — so a HUGEINT column
     that DuckDB float-converted STAYS a float, which is the point),
-    NaT/None-likes -> None."""
+    NaT/None-likes -> None.
+
+    datetime.date normalizes to a midnight Timestamp: Spark's
+    toPandas renders DATE columns as object(date) while DuckDB's
+    .df() gives datetime64 — a representation split the REAL
+    driver's canonicalizer demonstrably equates (every DATE-output
+    entry has multi-round driver-green history), so this emulation
+    must not flag it; numeric type splits (the INT128 class) are
+    what this rung exists to catch."""
+    import datetime
+
     import pandas as pd
 
     out = []
@@ -67,6 +77,9 @@ def _frame_rows(df) -> list[tuple]:
                 vals.append(None)
             elif hasattr(v, "item") and type(v).__module__ == "numpy":
                 vals.append(v.item())
+            elif (isinstance(v, datetime.date)
+                  and not isinstance(v, datetime.datetime)):
+                vals.append(pd.Timestamp(v))
             else:
                 vals.append(v)
         out.append(tuple(vals))
