@@ -502,7 +502,77 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hybrid-search geometry: the fixed query vector (vec_id, aligned
+#: 1:1 with doc_id in the fixtures), candidate-pool depth per leg,
+#: the RRF damping constant (the standard 60 from the original
+#: reciprocal-rank-fusion paper), and the fused top-k.
+HYBRID_PROBE_ID = 0
+HYBRID_POOL = 50
+HYBRID_RRF_K = 60
+HYBRID_TOP_K = 10
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str,
+                      k: int = HYBRID_TOP_K,
+                      pool: int = HYBRID_POOL) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with exact-cosine
+    vector ranking by Reciprocal Rank Fusion — the standard RAG
+    retrieval stack (sparse + dense legs, rank-level fusion so the
+    two scores never need calibrating against each other). Score =
+    sum over legs of 1/(60 + rank), docs missing from a leg's pool
+    contribute 0.
+
+    Determinism: both legs rank by already-quantized keys (BM25's
+    int64 micro-score; cosine floored 4dp) with doc_id tie-breaks;
+    the RRF sum is two exact IEEE divisions added once, floored to
+    nano-units. r_lex / r_vec are carried in the output (NULL when
+    the doc is in only one pool) so the gate hashes the fusion's
+    inputs, not just its winner list.
+
+    Shape: the lexical leg is bm25_doc_ranking's plan (term filter
+    below the agg, TakeOrderedAndProject pool); the dense leg is one
+    broadcast of the single probe vector against the corpus scan and
+    a TakeOrdered pool. The full-outer fusion join and the rank
+    windows run on <= 2*pool rows (constant, driver-tier by
+    construction) — at 100 TB both legs stay linear single-pass and
+    the fusion cost is unchanged."""
+    from simpleetlpipeline_spark.functions.text import bm25_doc_ranking
+
+    ensure_session_conf(spark)
+    lex_pool = bm25_doc_ranking(spark, sf_dir, k=pool)
+    w_lex = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).cast("int").alias("r_lex"))
+
+    vecs = _vectors(spark, sf_dir)
+    probe = (vecs.filter(F.col("vec_id") == HYBRID_PROBE_ID)
+             .select(F.col("e").alias("a_e"), F.col("nrm").alias("a_nrm")))
+    scored = (vecs.filter(F.col("vec_id") != HYBRID_PROBE_ID)
+              .crossJoin(F.broadcast(probe))
+              .select(F.col("vec_id").alias("doc_id"),
+                      cosine(F.col("a_e"), F.col("e"),
+                             F.col("a_nrm"), F.col("nrm"))
+                      .alias("cosine_sim")))
+    vec_pool = (scored.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+                .limit(pool))
+    w_vec = Window.orderBy(F.desc("cosine_sim"), F.asc("doc_id"))
+    vec = vec_pool.select(
+        "doc_id", F.row_number().over(w_vec).cast("int").alias("r_vec"))
+
+    fused = lex.join(vec, "doc_id", "full_outer")
+    leg = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(HYBRID_RRF_K)) + r.cast("double")),
+        F.lit(0.0))
+    return (fused
+            .select("doc_id", "r_lex", "r_vec",
+                    F.floor((leg(F.col("r_lex")) + leg(F.col("r_vec")))
+                            * 1e9).cast("long").alias("rrf_nano"))
+            .orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+            .limit(k))
+
+
 QUERIES = {
+    "hybrid_rrf_search": hybrid_rrf_search,
     "ann_topk": ann_topk,
     "ann_lsh_topk": ann_lsh_topk,            # rows-only (SRP planes)
     "embedding_neardup": embedding_neardup,
@@ -531,6 +601,49 @@ _VECS_SQL = """
                (acc, x) -> acc + x)) AS nrm
     FROM embeddings
 """
+
+def _hybrid_rrf_oracle(k: int = HYBRID_TOP_K,
+                       pool: int = HYBRID_POOL) -> str:
+    from simpleetlpipeline_spark.functions.text import BM25_SCORED_CTES
+
+    return f"""
+    WITH {BM25_SCORED_CTES},
+    lexpool AS (
+        SELECT doc_id, score_micro FROM bm25_docs
+        ORDER BY score_micro DESC, doc_id ASC LIMIT {pool}
+    ), lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_micro DESC,
+                                       doc_id ASC) AS INT) AS r_lex
+        FROM lexpool
+    ), v AS ({_VECS_SQL}),
+    scoredv AS (
+        SELECT b.vec_id AS doc_id, {_COS_SQL} AS cosine_sim
+        FROM v b CROSS JOIN
+             (SELECT * FROM v WHERE vec_id = {HYBRID_PROBE_ID}) a
+        WHERE b.vec_id != {HYBRID_PROBE_ID}
+    ), vecpool AS (
+        SELECT * FROM scoredv
+        ORDER BY cosine_sim DESC, doc_id ASC LIMIT {pool}
+    ), vec AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine_sim DESC,
+                                       doc_id ASC) AS INT) AS r_vec
+        FROM vecpool
+    ), fused AS (
+        SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec
+        FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, r_lex, r_vec,
+           CAST(floor((COALESCE(1.0 / ({HYBRID_RRF_K}.0
+                                       + CAST(r_lex AS DOUBLE)), 0.0)
+                       + COALESCE(1.0 / ({HYBRID_RRF_K}.0
+                                         + CAST(r_vec AS DOUBLE)), 0.0))
+                      * 1e9) AS BIGINT) AS rrf_nano
+    FROM fused
+    ORDER BY rrf_nano DESC, doc_id ASC LIMIT {k}
+"""
+
 
 ORACLE_SQL = {
     "ann_topk": f"""
@@ -661,6 +774,8 @@ _CENT_COS = """
             (acc, x) -> acc + x)
         / (v.nrm * c.c_nrm) * 10000) / 10000
 """
+
+ORACLE_SQL["hybrid_rrf_search"] = _hybrid_rrf_oracle()
 
 ORACLE_SQL["ann_ivf_topk"] = f"""
     WITH v AS ({_VECS_SQL}),

@@ -1255,8 +1255,12 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str,
 
 QUERIES["bm25_doc_ranking"] = bm25_doc_ranking
 
-ORACLE_SQL["bm25_doc_ranking"] = f"""
-    WITH base AS (
+#: The BM25 per-doc scoring CTE chain, shared verbatim between the
+#: bm25_doc_ranking oracle and the hybrid_rrf_search oracle
+#: (functions/similarity.py) — one definition so the lexical leg of
+#: the fusion can never drift from the standalone ranking.
+BM25_SCORED_CTES = """
+    base AS (
         SELECT doc_id,
                len(list_filter(string_split_regex(lower(trim(text)),
                                                   '\\s+'),
@@ -1271,7 +1275,7 @@ ORACLE_SQL["bm25_doc_ranking"] = f"""
         FROM (SELECT doc_id, dl, unnest(tokens) AS t FROM base)
         WHERE t IN ('join', 'hash', 'stream')
         GROUP BY 1, 2, 3
-    ), scored AS (
+    ), bm25_scored AS (
         SELECT doc_id,
                CAST(floor(
                    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
@@ -1287,10 +1291,17 @@ ORACLE_SQL["bm25_doc_ranking"] = f"""
         FROM (SELECT doc_id, dl, token, tf,
                      count(*) OVER (PARTITION BY token) AS df
               FROM tf), corpus
+    ), bm25_docs AS (
+        SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+               CAST(count(*) AS BIGINT) AS n_terms_matched
+        FROM bm25_scored GROUP BY 1
     )
-    SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
-           CAST(count(*) AS BIGINT) AS n_terms_matched
-    FROM scored GROUP BY 1
+"""
+
+ORACLE_SQL["bm25_doc_ranking"] = f"""
+    WITH {BM25_SCORED_CTES}
+    SELECT doc_id, score_micro, n_terms_matched
+    FROM bm25_docs
     ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_TOP_K}
 """
 

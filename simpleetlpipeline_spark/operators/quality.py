@@ -228,12 +228,22 @@ def k_anonymity_report(spark, sf_dir: str, k: int = K_ANONYMITY_K):
             .orderBy("qi_level"))
 
 
-def table_stats_profile(spark, sf_dir: str):
+def table_stats_profile(spark, sf_dir: str, ndv_mode: str = "exact"):
     """ANALYZE-style column statistics for the orders table: one row
-    per column with row/null counts, exact distinct count, and
+    per column with row/null counts, distinct count, and
     type-canonical min/max — the optimizer-statistics collection
     (ndv, null fraction, bounds) every cost-based planner and data
     catalog runs after a load.
+
+    ``ndv_mode`` (r7 verdict task #5 — the 100 TB swap-in is now a
+    parameter, not a comment): ``"exact"`` (default; the oracle's
+    form) plans the multi-column count(DISTINCT) as Spark's Expand —
+    5x the scan into one shuffle; ``"approx"`` swaps each NDV for
+    approx_count_distinct (HLL++, mergeable sketches, no Expand),
+    which is what you run at 100 TB where a 5x row multiplication
+    of the fact scan is real money and +-2% NDV error is free. Only
+    the exact mode is oracle-compared; the approx mode is pinned by
+    a relative-error pytest (tests/test_stats_ops.py).
 
     Canonical-exact contract (no engine repr leaks): numeric bounds
     are BIGINT (cents for the money column, epoch micros for the
@@ -254,10 +264,17 @@ def table_stats_profile(spark, sf_dir: str):
     from simpleetlpipeline_spark.io import read_table
     from simpleetlpipeline_spark.session import ensure_session_conf
 
+    assert ndv_mode in ("exact", "approx"), ndv_mode
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100).cast("long")
     micros = (F.unix_micros(F.col("o_orderdate"))).cast("long")
+
+    def ndv(col):
+        if ndv_mode == "approx":
+            return F.approx_count_distinct(col)
+        return F.count_distinct(col)
+
     agg = orders.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         *[x for name, col in (
@@ -269,7 +286,7 @@ def table_stats_profile(spark, sf_dir: str):
         ) for x in (
             F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long")
             .alias(f"nn_{name}"),
-            F.count_distinct(col).cast("long").alias(f"nd_{name}"),
+            ndv(col).cast("long").alias(f"nd_{name}"),
             F.min(col).cast("string").alias(f"mn_{name}"),
             F.max(col).cast("string").alias(f"mx_{name}"),
         )],

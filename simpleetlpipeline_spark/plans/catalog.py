@@ -405,30 +405,80 @@ ORACLE_SQL["table_stats_profile"] = """
 #   * All rotated-in entries pre-verified this session at sf0.01 AND
 #     sf0.1 AND under the hostile shuffle sweep AND the
 #     hostile-analysis-timezone harness (tests/test_dates.py).
+# Ninth-wave rotation (round 8, per the round-7 verdict's tasks
+# #1/#2/#3/#7):
+#   * ROOT CAUSE CLOSURE: the r5-r7 hash-reds were the only gated
+#     entries whose ORACLE output carried an INT128-backed column
+#     (HUGEINT total_orders; DECIMAL(38,0) cusum_scaled) — DuckDB's
+#     pandas/arrow fetch converts INT128 to float64 while fetchall()
+#     (every local replica) yields exact ints/Decimals, so
+#     str-canonicalization sees '74.0' != '74' ONLY on the driver's
+#     path. Both reds are fixed (BIGINT cast / digit-string output),
+#     the class is banned catalog-wide (tests/test_oracle_types.py),
+#     and check_oracle grew a SPARK_GRAFT_ORACLE_FETCH=pandas rung
+#     that reproduces the divergence locally.
+#   * DIAGNOSTIC SLOTS: int128_fetch_probe (slot 2) carries a
+#     DELIBERATE HUGEINT — driver hash-red there is the EXPECTED
+#     positive signal confirming the mechanism (see its docstring);
+#     green would falsify it. retract_base/delta_canary and
+#     cusum_daily_canary are the verdict-prescribed strict sub-plans
+#     of the two reds, bracketing base rollup / CDC algebra / merge.
+#   * Rotate in the never-gated fixed INT128 class
+#     (order_value_ks_drift, calibration_reliability,
+#     order_value_equidepth), the r7-wave zero-history additions
+#     (token_fertility_by_source, l_diversity_report,
+#     dp_noisy_nation_counts, brand_triple_rules,
+#     seasonal_naive_backtest, frequent_event_trigrams), and the
+#     backlog families with no in-window representative: CDC/SCD
+#     (scd2_customer_history, cdc_latest_state), warehouse ops
+#     (snapshot_diff, table_stats_profile — now with the ndv_mode
+#     parameter, exact default), governance erasure
+#     (user_erasure_audit), and two fresh sketches
+#     (cms_user_event_counts, hll_audience_overlap) replacing the
+#     retiring hll_shard_merge.
+#   * 20 retirees, EVERY one holding the >=2-rounds-driver-green
+#     bar (18 with r5+r6+r7, 2 with r6+r7): streaming_purchase_view
+#     _join (streaming stays represented by the stateful op + the
+#     custom-source rollup), six subquery shapes (family rep:
+#     idle_high_balance_customers), six TPC-H shapes (family rep:
+#     shipping_priority_orders — kept deliberately for its DATE
+#     output column), feature_scaling_stats, item_cooccurrence_cf,
+#     stratified_exact_sample (pretrain-sampling rep:
+#     user_level_split), hll_shard_merge (sketch family gets two
+#     FRESH entries instead), events_unpivot_daily,
+#     benford_digit_test, copurchase_triangles.
+#   * All rotated-in entries pre-verified this session at sf0.01 AND
+#     sf0.1 AND under the hostile shuffle sweep AND the hostile-TZ
+#     drive AND the new pandas-fetch rung (probe excepted by
+#     design).
 GATE_PREFIX = (
     "date_axis_canary",
-    "streaming_purchase_view_join",
-    "streaming_user_totals_stateful",
-    "monthly_sales_retract", "revenue_cusum_changepoint",
+    "int128_fetch_probe",
+    "monthly_sales_retract",
+    "retract_base_canary", "retract_delta_canary",
+    "revenue_cusum_changepoint", "cusum_daily_canary",
+    "order_value_ks_drift", "calibration_reliability",
+    "order_value_equidepth",
+    "token_fertility_by_source", "l_diversity_report",
+    "dp_noisy_nation_counts", "brand_triple_rules",
+    "seasonal_naive_backtest", "frequent_event_trigrams",
+    "scd2_customer_history", "cdc_latest_state",
+    "user_erasure_audit", "snapshot_diff", "table_stats_profile",
+    "cms_user_event_counts", "hll_audience_overlap",
+    "streaming_user_totals_stateful", "streaming_jsonl_rollup",
     "zipf_term_fit", "robust_outlier_mad", "embedding_dim_stats",
     "woe_encoding", "gains_lift_table", "user_activity_streaks",
     "quantile_normalize_quality", "ngram_novelty_score",
     "interarrival_time_profile", "expectation_suite_report",
     "revenue_growth_mom_yoy", "user_sequence_entropy",
     "weighted_price_percentiles",
-    "benford_digit_test", "copurchase_triangles", "revenue_trend_theil_sen",
-    "events_value_psi", "revenue_autocorrelation",
-    "chi_square_independence", "supplier_efficiency_frontier",
-    "event_hour_mutual_information", "mann_whitney_u_test",
-    "kaplan_meier_survival", "poisson_bootstrap_mean_ci",
-    "nation_market_share", "supplier_value_concentration",
-    "customer_order_distribution", "top_revenue_supplier", "small_order_part_revenue",
-    "disjunctive_promo_revenue", "idle_high_balance_customers",
-    "streaming_jsonl_rollup", "hll_shard_merge", "feature_scaling_stats",
-    "item_cooccurrence_cf", "user_level_split", "stratified_exact_sample",
-    "cheapest_supplier_per_part", "returned_revenue_customers", "supplier_part_variety",
-    "suppliers_kept_waiting", "shipping_priority_orders", "discount_revenue_forecast",
-    "product_margin_by_nation", "events_unpivot_daily",
+    "revenue_trend_theil_sen", "events_value_psi",
+    "revenue_autocorrelation", "chi_square_independence",
+    "supplier_efficiency_frontier", "event_hour_mutual_information",
+    "mann_whitney_u_test", "kaplan_meier_survival",
+    "poisson_bootstrap_mean_ci",
+    "idle_high_balance_customers", "shipping_priority_orders",
+    "user_level_split",
 )
 
 

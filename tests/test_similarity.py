@@ -253,3 +253,33 @@ def test_embedding_pca_matches_direct_numpy(spark, sf_dir):
     w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals_f, 1e-12))) \
         @ evecs.T
     assert np.allclose(w @ cov @ w.T, np.eye(64), atol=1e-6)
+
+
+def test_hybrid_rrf_plan_and_fusion_semantics(spark, sf_dir):
+    """hybrid_rrf_search: (a) the dense leg broadcasts the single
+    probe vector (no corpus-side shuffle for the cross score), (b)
+    the fused output carries both legs' ranks with NULL for
+    one-pool docs, (c) rrf_nano matches a hand-computed RRF on the
+    returned rows."""
+    import math
+
+    from simpleetlpipeline_spark.functions.similarity import (
+        HYBRID_RRF_K, hybrid_rrf_search)
+
+    df = hybrid_rrf_search(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, "probe vector must broadcast"
+    rows = df.collect()
+    assert 0 < len(rows) <= 10
+    got_null_leg = False
+    for r in rows:
+        legs = 0.0
+        for rank in (r["r_lex"], r["r_vec"]):
+            if rank is None:
+                got_null_leg = True
+            else:
+                assert 1 <= rank <= 50
+                legs += 1.0 / (HYBRID_RRF_K + float(rank))
+        assert r["rrf_nano"] == math.floor(legs * 1e9)
+    ranks = [r["rrf_nano"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)

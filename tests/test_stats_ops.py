@@ -1326,3 +1326,34 @@ def test_dp_noise_quantization_boundary_margin():
         f"a nation's noise*1e4 sits {worst} from a floor boundary — "
         f"within reach of cross-engine ln() wobble; re-derive the "
         f"release as an exact integer before trusting the oracle")
+
+
+def test_table_stats_profile_approx_ndv_mode(spark, sf_dir):
+    """r7 verdict task #5: the 100 TB NDV path is a real parameter.
+    The approx mode must (a) plan WITHOUT the 5x Expand the exact
+    multi-column count(DISTINCT) costs, (b) agree with the exact
+    NDVs within HLL++'s default rsd envelope, and (c) leave every
+    non-NDV column bit-identical."""
+    from simpleetlpipeline_spark.operators.quality import (
+        table_stats_profile,
+    )
+
+    exact_df = table_stats_profile(spark, sf_dir)
+    approx_df = table_stats_profile(spark, sf_dir, ndv_mode="approx")
+
+    plan = (approx_df._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" not in plan, "approx mode must not Expand the scan"
+    exact_plan = (exact_df._jdf.queryExecution().executedPlan()
+                  .toString())
+    assert "Expand" in exact_plan, \
+        "exact multi-NDV is expected to plan via Expand (sanity)"
+
+    exact = {r["column_name"]: r.asDict() for r in exact_df.collect()}
+    approx = {r["column_name"]: r.asDict() for r in approx_df.collect()}
+    assert exact.keys() == approx.keys()
+    for name in exact:
+        e, a = exact[name], approx[name]
+        # HLL++ default rsd is 0.05; allow 3x for small-n wobble.
+        nd_e, nd_a = e.pop("n_distinct"), a.pop("n_distinct")
+        assert abs(nd_a - nd_e) <= max(3, 0.15 * nd_e), (name, nd_e, nd_a)
+        assert e == a, name
