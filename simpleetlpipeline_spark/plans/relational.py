@@ -1140,6 +1140,79 @@ ORACLE_SQL["retract_delta_canary"] = f"""
 """
 
 
+def revenue_cube_nation_segment(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """CUBE rollup over (nation, market segment): every grouping set
+    — per (nation, segment), per nation, per segment, and the grand
+    total — in one result, with GROUPING flags distinguishing a real
+    key from a subtotal row (the OLAP cube surface the catalog's
+    plain GROUP BYs never exposed; ANSI GROUP BY CUBE on the oracle
+    side, DataFrame.cube on Spark's).
+
+    Scale shape — the part that matters at 100 TB: Spark implements
+    cube via Expand (each input row replicated once per grouping
+    set), so cubing the raw join would push 4x the FACT table
+    through the shuffle. Instead the plan aggregates to the
+    (nation, segment) base grid FIRST (one map-side-combined
+    shuffle, <= 25x5 groups) and cubes the 125-row base, re-
+    aggregating counts as sums — subtotals of exact decimal sums
+    are exact, so the two-level form is bit-identical to the direct
+    cube while the Expand multiplies 125 rows instead of the fact
+    stream. Both dims broadcast into the fact scan.
+
+    Determinism: counts and decimal(21,3) sums only; milli-unit
+    BIGINT outputs; NULL grouping keys are rendered 'ALL' (no TPC-H
+    nation/segment uses that token), with g_nation/g_segment
+    carrying the authoritative subtotal flags."""
+    ensure_session_conf(spark)
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)")
+        .cast("decimal(21,3)").alias("price"))
+    joined = (orders
+              .join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"])
+              .join(F.broadcast(nation),
+                    cust["c_nationkey"] == nation["n_nationkey"]))
+    base = (joined.groupBy("n_name", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("price").alias("rev")))
+    return (base.cube("n_name", "c_mktsegment")
+            .agg(F.grouping("n_name").cast("int").alias("g_nation"),
+                 F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+                 F.sum("n").cast("long").alias("n_orders"),
+                 (F.sum("rev") * 1000).cast("long").alias("revenue_milli"))
+            .select(
+                F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+                F.coalesce(F.col("c_mktsegment"), F.lit("ALL"))
+                .alias("segment"),
+                "g_nation", "g_segment", "n_orders", "revenue_milli")
+            .orderBy("g_nation", "g_segment", "nation", "segment"))
+
+
+QUERIES["revenue_cube_nation_segment"] = revenue_cube_nation_segment
+
+ORACLE_SQL["revenue_cube_nation_segment"] = """
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(c_mktsegment, 'ALL') AS segment,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         AS DECIMAL(21,3))) * 1000 AS BIGINT)
+               AS revenue_milli
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE(n_name, c_mktsegment)
+    ORDER BY g_nation, g_segment, nation, segment
+"""
+
+
 CF_MIN_ORDERS = 3
 CF_TOP_N = 50
 

@@ -1000,3 +1000,31 @@ def test_ts_lit_predicates_push_to_parquet(spark, sf_dir):
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
     assert "GreaterThan(l_shipdate," in pushed
     assert "LessThan(o_orderdate," in pushed
+
+
+def test_revenue_cube_expands_base_grid_not_fact(spark, sf_dir):
+    """revenue_cube_nation_segment's 100 TB contract: Spark plans
+    CUBE via Expand (one replica of every input row per grouping
+    set), so the Expand must consume the <= |nations|x|segments|
+    base aggregate, NEVER the orders scan — i.e. in the plan tree
+    the fragment below Expand contains an aggregate, and both dims
+    broadcast into the fact join."""
+    from simpleetlpipeline_spark.plans.relational import (
+        revenue_cube_nation_segment,
+    )
+
+    plan = _plan(revenue_cube_nation_segment(spark, sf_dir))
+    assert "Expand" in plan, "cube should plan via Expand"
+    below = plan.split("Expand", 1)[1]
+    assert "HashAggregate" in below[:4000], \
+        "Expand must sit above the pre-aggregated base grid"
+    assert plan.count("BroadcastHashJoin") >= 2, \
+        "customer and nation dims must broadcast into the fact scan"
+    rows = revenue_cube_nation_segment(spark, sf_dir).collect()
+    grand = [r for r in rows if r["g_nation"] == 1 and r["g_segment"] == 1]
+    assert len(grand) == 1
+    per_pair = [r for r in rows
+                if r["g_nation"] == 0 and r["g_segment"] == 0]
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in per_pair)
+    assert grand[0]["revenue_milli"] == sum(
+        r["revenue_milli"] for r in per_pair)
