@@ -103,3 +103,46 @@ def test_no_decimal_outputs_in_spark_schemas(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"DecimalType Spark outputs: {offenders}"
+
+
+def test_pandas_fetch_reproduces_probe_and_clears_fixed(spark, duck, sf_dir):
+    """The dataframe-fetch emulation (the driver's evident path:
+    Spark toPandas + DuckDB .df()) must (a) STILL flag the deliberate
+    int128_fetch_probe — proving the emulation actually exercises
+    the INT128→float64 conversion — and (b) pass every query the r8
+    fix touched, plus a nullable-int-output representative
+    (hybrid_rrf_search) where BOTH engines float-convert
+    symmetrically."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "check_oracle.py"))
+    co = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(co)
+
+    def compare(name):
+        sdf = QUERIES[name](spark, sf_dir)
+        srows = co._frame_rows(sdf.toPandas())
+        ddf = duck.execute(ORACLE_SQL[name]).df()
+        drows = co._frame_rows(ddf)
+        if len(srows) != len(drows):
+            return False
+        ns = co.normalize(srows, sdf.columns)
+        nd = co.normalize(drows, list(ddf.columns))
+        return all(
+            len(rs) == len(rd)
+            and all(co.values_equal(a, b) for a, b in zip(rs, rd))
+            for rs, rd in zip(ns, nd))
+
+    assert not compare("int128_fetch_probe"), (
+        "the probe no longer diverges under dataframe fetch — either "
+        "the emulation or the probe went vacuous")
+    for name in ("monthly_sales_retract", "revenue_cusum_changepoint",
+                 "order_value_ks_drift", "calibration_reliability",
+                 "order_value_equidepth", "retract_base_canary",
+                 "retract_delta_canary", "cusum_daily_canary",
+                 "hybrid_rrf_search"):
+        assert compare(name), f"{name} diverges under dataframe fetch"
