@@ -3183,7 +3183,14 @@ def supplier_efficiency_frontier(spark: SparkSession,
     move a point on or off the frontier.
 
     Shape & scale: one fact-fact shuffle (lineitem⋈orders, the pair
-    you bucket at warehouse scale) into a per-supplier hash agg, then
+    you bucket at warehouse scale) planned as a SHUFFLED HASH join —
+    orders is far smaller than lineitem but too big to broadcast, so
+    hashing the orders partition beats SORTING both sides (measured
+    10.1s → 3.5s at sf1; the SMJ sort of 6M lineitem rows was the
+    whole gap). Per-partition build memory is |orders|/shuffle
+    partitions — the quantity you size partitions for anyway — and
+    AQE still handles skew on the probe side. Then a per-supplier
+    hash agg feeds
     the distributed two-phase skyline: phase 1 runs the 2-D sweep
     WITHIN each partition (windows keyed by spark_partition_id — a
     locally dominated point is globally dominated, so this is a safe
@@ -3199,8 +3206,9 @@ def supplier_efficiency_frontier(spark: SparkSession,
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
         "l_shipdate")
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate")
+    orders = (read_table(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_orderdate")
+              .hint("shuffle_hash"))
     supp = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name")
 
