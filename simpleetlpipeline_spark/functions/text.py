@@ -1038,6 +1038,10 @@ GOPHER_MAX_MEAN_LEN = 10.0
 GOPHER_MIN_STOPWORD_FRAC = 0.01
 GOPHER_MAX_NUMERIC_FRAC = 0.2
 _GOPHER_STOPWORDS = LANG_MARKERS["en"]
+#: Threshold grid for quality_filter_sweep, in exact 4dp milli-units
+#: (0.05, 0.15, ..., 0.95): integer comparisons against the floored
+#: 4dp score — no float threshold ever compares.
+QUALITY_SWEEP_THRESHOLDS_M4 = tuple(range(500, 10000, 1000))
 
 
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,6 +1137,154 @@ ORACLE_SQL["gopher_quality_flags"] = f"""
                AS gopher_pass
     FROM m
 """
+
+ORACLE_SQL["quality_filter_sweep"] = f"""
+    WITH raw AS (
+        SELECT doc_id, text,
+               string_split_regex(lower(trim(text)), '\\s+') AS toks_q,
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x != '') AS toks_g
+        FROM documents
+    ), per_doc AS (
+        SELECT
+            CAST(floor(least(1.0, len(toks_q) / 50.0)
+                       * (1 - len(list_filter(toks_q,
+                                  x -> x IN {_STOPWORDS_SQL}))
+                             * 1.0 / len(toks_q)) * 10000) AS BIGINT)
+                AS score_m4,
+            (len(toks_g) >= {GOPHER_MIN_WORDS}
+             AND len(toks_g) <= {GOPHER_MAX_WORDS}
+             AND floor(length(regexp_replace(lower(trim(text)),
+                                             '\\s+', '', 'g'))
+                       * 1.0 / len(toks_g) * 10000) / 10000
+                 >= {GOPHER_MIN_MEAN_LEN}
+             AND floor(length(regexp_replace(lower(trim(text)),
+                                             '\\s+', '', 'g'))
+                       * 1.0 / len(toks_g) * 10000) / 10000
+                 <= {GOPHER_MAX_MEAN_LEN}
+             AND floor(len(list_filter(toks_g, x -> x IN
+                           {tuple(_GOPHER_STOPWORDS)!r}))
+                       * 1.0 / len(toks_g) * 10000) / 10000
+                 >= {GOPHER_MIN_STOPWORD_FRAC}
+             AND floor(len(list_filter(toks_g,
+                           x -> length(translate(x, '0123456789', ''))
+                                = 0))
+                       * 1.0 / len(toks_g) * 10000) / 10000
+                 <= {GOPHER_MAX_NUMERIC_FRAC}) AS is_pass
+        FROM raw
+    ), spine AS (
+        SELECT score_m4, is_pass, CAST(count(*) AS BIGINT) AS n
+        FROM per_doc GROUP BY 1, 2
+    ), grid AS (
+        SELECT unnest({list(QUALITY_SWEEP_THRESHOLDS_M4)!r})
+            AS threshold_m4
+    ), cells AS (
+        SELECT CAST(threshold_m4 AS BIGINT) AS threshold_m4,
+               CAST(sum(CASE WHEN score_m4 >= threshold_m4 AND is_pass
+                        THEN n ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score_m4 >= threshold_m4
+                             AND NOT is_pass
+                        THEN n ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN score_m4 < threshold_m4 AND is_pass
+                        THEN n ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN score_m4 < threshold_m4
+                             AND NOT is_pass
+                        THEN n ELSE 0 END) AS BIGINT) AS tn
+        FROM spine CROSS JOIN grid
+        GROUP BY 1
+    )
+    SELECT threshold_m4, tp, fp, fn, tn,
+           tp * 1000000 // nullif(tp + fp, 0) AS precision_micro,
+           tp * 1000000 // nullif(tp + fn, 0) AS recall_micro,
+           2 * tp * 1000000 // nullif(2 * tp + fp + fn, 0) AS f1_micro
+    FROM cells
+    ORDER BY threshold_m4
+"""
+
+
+def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep for the corpus quality filter: treating
+    the Gopher rule screen (gopher_quality_flags) as the pseudo-label
+    and doc_stats' heuristic quality score as the classifier, report
+    the confusion counts and precision/recall/F1 at each score
+    threshold — the table a curation pipeline reads to CHOOSE the
+    cutoff (keep-rate vs agreement trade-off) before committing a
+    multi-TB filter pass. The same harness re-runs unchanged when a
+    model-based scorer replaces the heuristic.
+
+    Determinism: the score enters as its exact floored 4dp integer
+    (score_m4) and thresholds are integer milli-units, so membership
+    is pure integer comparison; precision/recall/F1 are integer
+    micro-ratios via BIGINT div (F1 from the direct integer identity
+    2*tp / (2*tp + fp + fn) — no float P/R intermediates).
+
+    Shape: ONE documents scan computes (score_m4, gopher_pass) per
+    doc, a map-side-combined aggregate collapses to the <= 10k x 2
+    (score, label) SPINE, and the 10-threshold grid cross-joins the
+    spine — the corpus never replicates per threshold (the naive
+    explode-per-threshold form pushes T x corpus rows through the
+    shuffle)."""
+    ensure_session_conf(spark)
+    docs = read_table(spark, sf_dir, "documents")
+
+    # doc_stats' quality formula, verbatim, as the exact 4dp integer.
+    toks_q = tokens_col(F.col("text"))
+    n_q = F.size(toks_q).cast("long")
+    stop_q = F.size(
+        F.filter(toks_q, lambda t: t.isin(*STOPWORDS))).cast("long")
+    score_m4 = F.floor(
+        F.least(F.lit(1.0), n_q / F.lit(50.0))
+        * (1 - stop_q / n_q) * 10000).cast("long")
+
+    # gopher_quality_flags' pass rule, verbatim.
+    toks_g = F.filter(tokens_col(F.col("text")), lambda t: t != "")
+    n_g = F.size(toks_g)
+    total_len = F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                          r"\s+", ""))
+    n_stop_g = F.size(F.filter(
+        toks_g, lambda t: t.isin(*_GOPHER_STOPWORDS)))
+    n_num = F.size(F.filter(
+        toks_g, lambda t: F.length(F.translate(t, "0123456789", "")) == 0))
+    mean_len = F.floor(total_len / n_g * 10000) / 10000
+    stop_frac = F.floor(n_stop_g / n_g * 10000) / 10000
+    num_frac = F.floor(n_num / n_g * 10000) / 10000
+    gopher_pass = (
+        (n_g >= GOPHER_MIN_WORDS) & (n_g <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (stop_frac >= GOPHER_MIN_STOPWORD_FRAC)
+        & (num_frac <= GOPHER_MAX_NUMERIC_FRAC))
+
+    spine = (docs.select(score_m4.alias("score_m4"),
+                         gopher_pass.alias("is_pass"))
+             .groupBy("score_m4", "is_pass")
+             .agg(F.count(F.lit(1)).alias("n")))
+    grid = (spark.range(1)
+            .select(F.explode(F.array(
+                *[F.lit(t) for t in QUALITY_SWEEP_THRESHOLDS_M4]))
+                .alias("__t"))
+            .select(F.col("__t").cast("long").alias("threshold_m4")))
+    kept = F.col("score_m4") >= F.col("threshold_m4")
+    cell = lambda cond: F.sum(F.when(cond, F.col("n"))  # noqa: E731
+                              .otherwise(F.lit(0))).cast("long")
+    out = (spine.crossJoin(F.broadcast(grid))
+           .groupBy("threshold_m4")
+           .agg(cell(kept & F.col("is_pass")).alias("tp"),
+                cell(kept & ~F.col("is_pass")).alias("fp"),
+                cell(~kept & F.col("is_pass")).alias("fn"),
+                cell(~kept & ~F.col("is_pass")).alias("tn")))
+    return (out.select(
+        "threshold_m4", "tp", "fp", "fn", "tn",
+        F.expr("tp * 1000000 div nullif(tp + fp, 0)")
+        .alias("precision_micro"),
+        F.expr("tp * 1000000 div nullif(tp + fn, 0)")
+        .alias("recall_micro"),
+        F.expr("2 * tp * 1000000 div nullif(2 * tp + fp + fn, 0)")
+        .alias("f1_micro"))
+        .orderBy("threshold_m4"))
+
+
+QUERIES["quality_filter_sweep"] = quality_filter_sweep
 
 
 COMPRESSION_LEVEL = 6
