@@ -188,8 +188,24 @@ def main() -> None:
     # stdout gets a size-bounded line because the driver captures only
     # the last ~2000 bytes of output — round 2's 66-query line overran
     # that window and recorded "parsed": null.
+    #
+    # Clobber guard (round-8 verdict task #3): the driver invokes this
+    # harness with repeat=1 each round, which for two consecutive
+    # rounds overwrote the committed repeat-3 median artifact with a
+    # noisier single pass. A run with FEWER passes than the existing
+    # artifact diverts to BENCH_LAST.json; equal-or-more passes (a
+    # deliberate re-measurement) still owns BENCH_FULL.json.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
+    out_path = os.path.join(here, "BENCH_FULL.json")
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prev_repeat = int(json.load(fh).get("repeat", 1))
+        except (ValueError, OSError):
+            prev_repeat = 1
+        if n_passes < prev_repeat:
+            out_path = os.path.join(here, "BENCH_LAST.json")
+    with open(out_path, "w") as fh:
         json.dump(result, fh, indent=1)
         fh.write("\n")
 

@@ -529,6 +529,14 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str,
     the doc is in only one pool) so the gate hashes the fusion's
     inputs, not just its winner list.
 
+    Probe asymmetry, INTENDED (round-8 advice): the dense leg
+    excludes HYBRID_PROBE_ID (a vector trivially matches itself at
+    cosine 1.0), but the lexical pool may legitimately contain
+    doc_id 0 — the lexical query is a FIXED TERM SET
+    (bm25_doc_ranking's probe terms), not doc 0's own text, so doc 0
+    is an ordinary lexical candidate, not a self-match. The oracle
+    mirrors the same rule on both legs.
+
     Shape: the lexical leg is bm25_doc_ranking's plan (term filter
     below the agg, TakeOrderedAndProject pool); the dense leg is one
     broadcast of the single probe vector against the corpus scan and

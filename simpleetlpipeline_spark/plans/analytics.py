@@ -736,34 +736,28 @@ def date_axis_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def int128_fetch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-8 DIAGNOSTIC PROBE — a deliberate falsifiable test of
-    the r7 hash-reds' root-cause theory, NOT a regression. One row,
-    two columns with the IDENTICAL value (the nation row count): the
-    Spark side emits both as int64, but the ORACLE leaves
-    ``n_int128`` as DuckDB ``sum(1)`` — HUGEINT/INT128 — while
-    ``n_bigint`` is CAST to BIGINT.
+    """Round-8 diagnostic, RE-ARMED round 9 as a GREEN contract.
 
-    Expected driver outcomes (record in README + VERDICT):
-    - **hash RED here** → the driver's oracle fetch converts INT128
-      to float64 (DuckDB's pandas/arrow path: ``str(25.0) !=
-      str(25)`` under the str-canonicalizer in GATE_ENV.json),
-      CONFIRMING why monthly_sales_retract (HUGEINT total_orders)
-      and revenue_cusum_changepoint (DECIMAL(38,0) cusum_scaled)
-      were the only reds for 3 rounds while every fetchall()-based
-      local replica passed — they were the only gated entries with
-      INT128-backed oracle outputs, and the never-gated
-      order_value_equidepth / order_value_ks_drift /
-      calibration_reliability carried the same latent class (all
-      five fixed this round; contract in tests/test_oracle_types.py
-      bans the class catalog-wide, THIS probe is its sole documented
-      exemption).
-    - **GREEN here** → the driver fetches exactly (fetchall-style)
-      and the theory is falsified; the r8 re-attestations of the
-      two fixed parents then carry the diagnostic weight.
+    History: in round 8 this entry's oracle deliberately left
+    ``n_int128`` as DuckDB ``sum(1)`` (HUGEINT/INT128) while
+    ``n_bigint`` was CAST to BIGINT, as a falsifiable test of the
+    r5-r7 hash-red theory. The driver came back hash-RED on exactly
+    this entry (CORRECTNESS_r08.json) with both fixed parents
+    (monthly_sales_retract, revenue_cusum_changepoint) GREEN —
+    CONFIRMING that the driver's oracle fetch converts INT128 to
+    float64 (DuckDB's pandas/arrow path: ``str(25.0) != str(25)``
+    under GATE_ENV.json's str-canonicalizer).
 
-    A red in this slot is the expected positive signal, analogous to
-    round 7's date_axis_canary green being the signal that
-    falsified the calendar theory."""
+    With the theory confirmed, the probe's oracle now CASTs BOTH
+    columns to BIGINT — the same two-column shape, attesting the
+    fixed class green instead of burning a gate slot on a permanent
+    known-red (round-8 verdict task #1). The HUGEINT positive
+    control lives on in tests/test_oracle_types.py
+    (``test_pandas_fetch_emulation_still_detects_int128``, a
+    non-catalog SQL twin) and in the ``SPARK_GRAFT_ORACLE_FETCH=
+    pandas`` ladder rung, so a regression in either the fetch
+    emulation or a future INT128-typed oracle still trips locally
+    before any driver round."""
     ensure_session_conf(spark)
     return (read_table(spark, sf_dir, "nation")
             .agg(F.count(F.lit(1)).alias("n_bigint"),
@@ -773,7 +767,7 @@ def int128_fetch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["int128_fetch_probe"] = int128_fetch_probe
 ORACLE_SQL["int128_fetch_probe"] = """
     SELECT CAST(sum(1) AS BIGINT) AS n_bigint,
-           sum(1) AS n_int128
+           CAST(sum(1) AS BIGINT) AS n_int128
     FROM nation
 """
 

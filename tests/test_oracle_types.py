@@ -23,9 +23,13 @@ DATE/TIMESTAMP outputs are allowed: entries carrying them
 have multi-round driver-green history, so the driver's canonicalizer
 demonstrably handles them.
 
-``int128_fetch_probe`` is the sole documented exemption: it carries
-a deliberate HUGEINT so the r8 driver run confirms or falsifies the
-fetch-conversion mechanism (see its docstring).
+Round-9 update: the r8 driver run came back hash-RED on
+``int128_fetch_probe`` exactly as the theory predicted (with both
+fixed parents green), so the mechanism is CONFIRMED and the probe's
+catalog oracle is re-armed as an all-BIGINT green contract — there
+are no exemptions left; the deliberate-HUGEINT positive control
+lives here as a non-catalog SQL twin
+(``test_pandas_fetch_emulation_still_detects_int128``).
 """
 
 from __future__ import annotations
@@ -35,9 +39,21 @@ import pytest
 
 from simpleetlpipeline_spark.plans.catalog import ORACLE_SQL, QUERIES
 
-#: The deliberate-HUGEINT diagnostic (plans/analytics.py) — the only
-#: entry allowed to violate the contract, by design.
-EXEMPT = {"int128_fetch_probe"}
+#: Round-8 carried one documented exemption (the deliberate-HUGEINT
+#: int128_fetch_probe); with the fetch theory confirmed the probe is
+#: re-armed green and the set is empty — kept so any future
+#: diagnostic must be added HERE, visibly, to violate the contract.
+EXEMPT: set[str] = set()
+
+#: The round-8 probe oracle, verbatim: one BIGINT column and one
+#: HUGEINT column with identical values. No catalog entry may carry
+#: this anymore; it persists as the positive control proving the
+#: pandas-fetch emulation still detects the INT128->float64 class.
+HUGEINT_CONTROL_SQL = """
+    SELECT CAST(sum(1) AS BIGINT) AS n_bigint,
+           sum(1) AS n_int128
+    FROM nation
+"""
 
 
 @pytest.fixture(scope="module")
@@ -72,14 +88,17 @@ def test_no_int128_backed_oracle_outputs(duck):
         f"sides")
 
 
-def test_probe_is_still_a_probe(duck):
-    """The exemption must stay honest: int128_fetch_probe's oracle
-    must actually produce one HUGEINT and one BIGINT column with
-    equal values, or the diagnostic reads as green vacuously."""
+def test_probe_re_armed_green(duck):
+    """The re-armed probe's catalog oracle must be all-BIGINT (the
+    green contract), and the non-catalog HUGEINT control must still
+    be a genuine probe — one BIGINT, one HUGEINT, equal values."""
     rel = duck.sql(ORACLE_SQL["int128_fetch_probe"])
     types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
-    assert types == {"n_bigint": "BIGINT", "n_int128": "HUGEINT"}
-    row = rel.fetchall()[0]
+    assert types == {"n_bigint": "BIGINT", "n_int128": "BIGINT"}
+    ctl = duck.sql(HUGEINT_CONTROL_SQL)
+    ctypes = {c: str(t) for c, t in zip(ctl.columns, ctl.types)}
+    assert ctypes == {"n_bigint": "BIGINT", "n_int128": "HUGEINT"}
+    row = ctl.fetchall()[0]
     assert row[0] == row[1] == 25
 
 
@@ -105,14 +124,14 @@ def test_no_decimal_outputs_in_spark_schemas(spark, sf_dir):
     assert not offenders, f"DecimalType Spark outputs: {offenders}"
 
 
-def test_pandas_fetch_reproduces_probe_and_clears_fixed(spark, duck, sf_dir):
+def test_pandas_fetch_emulation_still_detects_int128(spark, duck, sf_dir):
     """The dataframe-fetch emulation (the driver's evident path:
-    Spark toPandas + DuckDB .df()) must (a) STILL flag the deliberate
-    int128_fetch_probe — proving the emulation actually exercises
-    the INT128→float64 conversion — and (b) pass every query the r8
-    fix touched, plus a nullable-int-output representative
-    (hybrid_rrf_search) where BOTH engines float-convert
-    symmetrically."""
+    Spark toPandas + DuckDB .df()) must (a) STILL flag the
+    non-catalog HUGEINT control — proving the emulation actually
+    exercises the INT128→float64 conversion — and (b) pass the
+    re-armed probe plus every query the r8 fix touched, plus a
+    nullable-int-output representative (hybrid_rrf_search) where
+    BOTH engines float-convert symmetrically."""
     import importlib.util
     import os
 
@@ -123,10 +142,10 @@ def test_pandas_fetch_reproduces_probe_and_clears_fixed(spark, duck, sf_dir):
     co = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(co)
 
-    def compare(name):
+    def compare(name, sql=None):
         sdf = QUERIES[name](spark, sf_dir)
         srows = co._frame_rows(sdf.toPandas())
-        ddf = duck.execute(ORACLE_SQL[name]).df()
+        ddf = duck.execute(sql or ORACLE_SQL[name]).df()
         drows = co._frame_rows(ddf)
         if len(srows) != len(drows):
             return False
@@ -137,10 +156,11 @@ def test_pandas_fetch_reproduces_probe_and_clears_fixed(spark, duck, sf_dir):
             and all(co.values_equal(a, b) for a, b in zip(rs, rd))
             for rs, rd in zip(ns, nd))
 
-    assert not compare("int128_fetch_probe"), (
-        "the probe no longer diverges under dataframe fetch — either "
-        "the emulation or the probe went vacuous")
-    for name in ("monthly_sales_retract", "revenue_cusum_changepoint",
+    assert not compare("int128_fetch_probe", sql=HUGEINT_CONTROL_SQL), (
+        "the HUGEINT control no longer diverges under dataframe "
+        "fetch — the emulation went vacuous")
+    for name in ("int128_fetch_probe",
+                 "monthly_sales_retract", "revenue_cusum_changepoint",
                  "order_value_ks_drift", "calibration_reliability",
                  "order_value_equidepth", "retract_base_canary",
                  "retract_delta_canary", "cusum_daily_canary",

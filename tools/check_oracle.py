@@ -67,6 +67,7 @@ def _frame_rows(df) -> list[tuple]:
     what this rung exists to catch."""
     import datetime
 
+    import numpy as np
     import pandas as pd
 
     out = []
@@ -75,8 +76,14 @@ def _frame_rows(df) -> list[tuple]:
         for v in row:
             if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)):
                 vals.append(None)
-            elif hasattr(v, "item") and type(v).__module__ == "numpy":
-                vals.append(v.item())
+            elif isinstance(v, np.ndarray):
+                # Array-typed output columns (embedding vectors, token
+                # lists) arrive as ndarray cells under BOTH engines'
+                # dataframe fetch; .item() raises ValueError for
+                # size>1, so convert to plain lists (str-comparable
+                # across engines) instead of misreporting the query as
+                # an engine error.
+                vals.append(v.tolist())
             elif (isinstance(v, datetime.date)
                   and not isinstance(v, datetime.datetime)):
                 vals.append(pd.Timestamp(v))
