@@ -610,6 +610,30 @@ _VECS_SQL = """
     FROM embeddings
 """
 
+# Fast twins for the QUADRATIC oracles only (embedding_neardup,
+# semantic_dedup_clusters): the interpreted list_reduce fold costs
+# ~60x a native fixed-size-array dot product, which at sf1's 200M
+# candidate pairs is the difference between an 8s oracle and one
+# that cannot run (the two entries were documented sf1 sweep skips
+# until round 9). array_inner_product on DOUBLE[64] is verified
+# BIT-IDENTICAL to the in-order fold after the shared 4dp floor on
+# the sf0.01/sf0.1 fixtures (tests/test_similarity.py::
+# test_array_oracle_matches_fold_oracle); the linear oracles keep
+# the fold form untouched (multi-round driver-green history).
+_VECS_ARR_SQL = """
+    SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS e,
+           sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, x) -> acc + x)) AS nrm
+    FROM embeddings
+"""
+
+_COS_ARR_SQL = """
+    floor(array_inner_product(a.e, b.e) / (a.nrm * b.nrm) * 10000)
+        / 10000
+"""
+
 def _hybrid_rrf_oracle(k: int = HYBRID_TOP_K,
                        pool: int = HYBRID_POOL) -> str:
     from simpleetlpipeline_spark.functions.text import BM25_SCORED_CTES
@@ -673,11 +697,11 @@ ORACLE_SQL = {
         FROM ranked WHERE rank <= {TOP_K}
     """,
     "embedding_neardup": f"""
-        WITH v AS ({_VECS_SQL})
+        WITH v AS ({_VECS_ARR_SQL})
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               {_COS_SQL} AS cosine_sim
+               {_COS_ARR_SQL} AS cosine_sim
         FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE {_COS_SQL} >= {NEARDUP_THRESHOLD}
+        WHERE {_COS_ARR_SQL} >= {NEARDUP_THRESHOLD}
     """,
     "label_centroids": """
         SELECT label,
@@ -991,27 +1015,59 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str,
 
 QUERIES["semantic_dedup_clusters"] = semantic_dedup_clusters
 
+def _cc_label_prop_sql(rounds: int = 24) -> str:
+    """Connected-components tail for an oracle whose CTE chain has
+    already defined ``sym(a, b)`` (symmetric edge list): min-label
+    propagation with a label-pointer jump, unrolled `rounds` times.
+
+    The round-5 oracle enumerated full reachability with a recursive
+    CTE — |component|^2 rows, which on sf1's one giant ~20k-node
+    component is 400M rows and was one of the three documented sf1
+    sweep skips. Per unrolled round every node takes the min label
+    over {self} ∪ neighbors (propagation, +1 hop) and then jumps to
+    its label's label (path halving). Measured coverage is ~2 hops
+    per round along worst-case chains (the sf0.1 fixture's
+    diameter-22 component converges in 11 rounds; sf1's giant
+    component, diameter 8, in 4), so 24 rounds cover diameter ~48 —
+    2x any fixture's worst. The margin is SAFE, not assumed: an
+    under-converged unroll CANNOT pass silently, because surplus
+    components disagree with Spark's exact union-find output and
+    the hash compare reds (exactly how the 8-round draft was caught
+    at sf0.1). Every CTE is MATERIALIZED — DuckDB inlines CTEs by
+    default, and each round references its predecessor twice, which
+    would make the inlined expansion (and its parquet re-scans)
+    exponential."""
+    ctes = ["nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM sym)",
+            "l0 AS MATERIALIZED (SELECT n, n AS l FROM nodes)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""p{r} AS MATERIALIZED (
+        SELECT n, min(l) AS l FROM (
+            SELECT n, l FROM l{r - 1}
+            UNION ALL
+            SELECT s.a AS n, t.l AS l
+            FROM sym s JOIN l{r - 1} t ON t.n = s.b
+        ) GROUP BY n)""")
+        ctes.append(f"""l{r} AS MATERIALIZED (
+        SELECT x.n, least(x.l, y.l) AS l
+        FROM p{r} x JOIN p{r} y ON y.n = x.l)""")
+    return (", ".join(ctes) + f"""
+    SELECT CAST(l AS BIGINT) AS keep_vec_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
+    FROM l{rounds} GROUP BY l""")
+
+
 ORACLE_SQL["semantic_dedup_clusters"] = f"""
-    WITH RECURSIVE v AS ({_VECS_SQL}),
-    pairs AS (
+    WITH v AS MATERIALIZED ({_VECS_ARR_SQL}),
+    pairs AS MATERIALIZED (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id
         FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE {_COS_SQL} >= {NEARDUP_THRESHOLD}
-    ), sym AS (
+        WHERE {_COS_ARR_SQL} >= {NEARDUP_THRESHOLD}
+    ), sym AS MATERIALIZED (
         SELECT a_id AS a, b_id AS b FROM pairs
         UNION
         SELECT b_id, a_id FROM pairs
-    ), reach(n, m) AS (
-        SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-        UNION
-        SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
-    ), comp AS (
-        SELECT n, min(m) AS component FROM reach GROUP BY n
-    )
-    SELECT CAST(component AS BIGINT) AS keep_vec_id,
-           CAST(count(*) AS BIGINT) AS cluster_size,
-           string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
-    FROM comp GROUP BY component
+    ), {_cc_label_prop_sql()}
 """
 
 

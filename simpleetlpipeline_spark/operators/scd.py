@@ -218,14 +218,24 @@ def events_point_in_time_enrich(spark: SparkSession,
     # in the gap. (epoch_second, not unix_timestamp: same value on
     # TIMESTAMP input, but without the tz-parameterised signature
     # the catalog-wide plan contract bans.)
+    #
+    # The midpoint stays an INTEGER second count end to end (round-9
+    # TZ-proofing, caught by the pre-rotation hostile-TZ rung): the
+    # previous form rebuilt a timestamp and compared `ts < mid`,
+    # whose oracle twin `to_timestamp(..)` is TIMESTAMPTZ in DuckDB
+    # — under a non-UTC ambient TZ the naive-vs-aware comparison
+    # shifted the cutoff by the zone offset and misclassified every
+    # event inside that window. Integers cannot carry a timezone.
+    # `epoch_second(ts) < mid_sec` is exactly `ts < mid` for a
+    # whole-second midpoint (sub-second parts only push ts upward).
     mid = events.agg(
-        F.timestamp_seconds(
-            F.floor((epoch_second(F.min("ts"))
-                     + epoch_second(F.max("ts"))) / 2)
-            .cast("long")).alias("__mid"))
+        F.floor((epoch_second(F.min("ts"))
+                 + epoch_second(F.max("ts"))) / 2)
+        .cast("long").alias("__mid_sec"))
     versioned = (events.crossJoin(F.broadcast(mid))
                  .select("user_id", "event_type", "value",
-                         F.when(F.col("ts") < F.col("__mid"), 1)
+                         F.when(epoch_second(F.col("ts"))
+                                < F.col("__mid_sec"), 1)
                          .otherwise(2).alias("at_version")))
     joined = versioned.join(
         F.broadcast(hist),
@@ -272,15 +282,16 @@ ORACLE_SQL["events_point_in_time_enrich"] = """
         SELECT u.c_custkey, u.c_mktsegment, 2 AS vf, NULL AS vt
         FROM upd u JOIN changed c USING (c_custkey)
     ), mid AS (
-        SELECT to_timestamp(CAST(floor(
+        SELECT CAST(floor(
                    (CAST(floor(epoch(min(ts))) AS BIGINT)
                     + CAST(floor(epoch(max(ts))) AS BIGINT)) / 2)
-               AS BIGINT)) AS m
+               AS BIGINT) AS m_sec
         FROM events
     ), versioned AS (
         SELECT user_id, event_type, value,
-               CASE WHEN ts < (SELECT m FROM mid) THEN 1 ELSE 2 END
-                   AS at_version
+               CASE WHEN epoch_us(ts) // 1000000
+                         < (SELECT m_sec FROM mid)
+                    THEN 1 ELSE 2 END AS at_version
         FROM events
     )
     SELECT event_type, c_mktsegment AS segment_at_time,

@@ -451,12 +451,69 @@ ORACLE_SQL["table_stats_profile"] = """
 #     sf0.1 AND under the hostile shuffle sweep AND the hostile-TZ
 #     drive AND the new pandas-fetch rung (probe excepted by
 #     design).
+# Tenth-wave rotation (round 9, per the round-8 verdict's tasks
+# #1/#2/#4):
+#   * int128_fetch_probe STAYS at slot 2, RE-ARMED GREEN: the r8
+#     driver red confirmed the INT128->float64 fetch theory, so its
+#     oracle now casts both columns to BIGINT (task #1 — no more
+#     red-by-design slots; the HUGEINT positive control lives in
+#     tests/test_oracle_types.py and the pandas-fetch ladder rung).
+#   * AMENDMENT (recorded here + README): the three r8 bisection
+#     canaries (retract_base/delta_canary, cusum_daily_canary)
+#     retire with ONE round of driver-green history — below the
+#     usual >=2 bar — because their diagnostic purpose is CLOSED:
+#     they existed solely to bracket the r5-r7 reds, the root cause
+#     is confirmed and fixed, and both PARENTS
+#     (monthly_sales_retract, revenue_cusum_changepoint) stay
+#     in-window for a second green. Keeping converged one-purpose
+#     canaries would burn three first-attestation slots.
+#   * 26 further retirees, EVERY one holding the >=2-rounds-driver-
+#     green bar: the 13 r7-wave entries (r7+r8: zipf_term_fit,
+#     robust_outlier_mad, embedding_dim_stats, woe_encoding,
+#     gains_lift_table, user_activity_streaks,
+#     quantile_normalize_quality, ngram_novelty_score,
+#     interarrival_time_profile, expectation_suite_report,
+#     revenue_growth_mom_yoy, user_sequence_entropy,
+#     weighted_price_percentiles), the 9 r6-wave stats entries
+#     (r6-r8: revenue_trend_theil_sen, events_value_psi,
+#     revenue_autocorrelation, chi_square_independence,
+#     supplier_efficiency_frontier, event_hour_mutual_information,
+#     mann_whitney_u_test, kaplan_meier_survival,
+#     poisson_bootstrap_mean_ci), and 4 four-round veterans
+#     (streaming_jsonl_rollup, idle_high_balance_customers,
+#     shipping_priority_orders, user_level_split).
+#     streaming_user_totals_stateful (r5-r8) stays as the streaming
+#     family's in-window representative.
+#   * 29 rotate-ins, draining the never-gated backlog 62 -> 34 and
+#     giving every module-family a driver-gated representative:
+#     the events_* behavioral family (events_wau,
+#     events_cohort_retention, events_funnel_windowed,
+#     events_point_in_time_enrich, events_key_skew,
+#     events_stickiness, events_hourly_gapfill), the copurchase
+#     graph family (copurchase_khop_reach,
+#     copurchase_degree_powerlaw) plus the round-9-rewritten
+#     cf_holdout_hitrate (salted neighbor top-k + half-pair
+#     explode — gated to attest the rewrite), hybrid_rrf_search,
+#     quality_filter_sweep, fd_audit, revenue_cube_nation_segment
+#     (the only grouping-sets entry), rolling_7d_revenue,
+#     customer_rfm_segments, ab_test_report,
+#     bloom_semijoin_reduction, media_ingest_rollup, kmeans_assign,
+#     sequence_pack, shard_manifest, train_split_assign,
+#     bm25_doc_ranking, bigram_pmi, doc_chunk, doc_repetition, the
+#     round-9-rewritten fuzzy_name_neighbors (name-level exact
+#     rewrite), and the NEW compaction_invariant (task #4: one plan
+#     exercising merge_upsert -> compact_table -> time travel).
+#   * All rotated-in entries pre-verified this session at sf0.01
+#     AND sf0.1 AND under the hostile shuffle sweep AND the
+#     pandas-fetch rung AND a hostile-timezone drive (see README
+#     round-9 notes); the three former sf1-skip oracles
+#     (fuzzy_name_neighbors, embedding_neardup,
+#     semantic_dedup_clusters) additionally hash-verified at sf1.
 GATE_PREFIX = (
     "date_axis_canary",
     "int128_fetch_probe",
     "monthly_sales_retract",
-    "retract_base_canary", "retract_delta_canary",
-    "revenue_cusum_changepoint", "cusum_daily_canary",
+    "revenue_cusum_changepoint",
     "order_value_ks_drift", "calibration_reliability",
     "order_value_equidepth",
     "token_fertility_by_source", "l_diversity_report",
@@ -465,20 +522,22 @@ GATE_PREFIX = (
     "scd2_customer_history", "cdc_latest_state",
     "user_erasure_audit", "snapshot_diff", "table_stats_profile",
     "cms_user_event_counts", "hll_audience_overlap",
-    "streaming_user_totals_stateful", "streaming_jsonl_rollup",
-    "zipf_term_fit", "robust_outlier_mad", "embedding_dim_stats",
-    "woe_encoding", "gains_lift_table", "user_activity_streaks",
-    "quantile_normalize_quality", "ngram_novelty_score",
-    "interarrival_time_profile", "expectation_suite_report",
-    "revenue_growth_mom_yoy", "user_sequence_entropy",
-    "weighted_price_percentiles",
-    "revenue_trend_theil_sen", "events_value_psi",
-    "revenue_autocorrelation", "chi_square_independence",
-    "supplier_efficiency_frontier", "event_hour_mutual_information",
-    "mann_whitney_u_test", "kaplan_meier_survival",
-    "poisson_bootstrap_mean_ci",
-    "idle_high_balance_customers", "shipping_priority_orders",
-    "user_level_split",
+    "streaming_user_totals_stateful",
+    "events_wau", "events_cohort_retention",
+    "events_funnel_windowed", "events_point_in_time_enrich",
+    "events_key_skew", "events_stickiness", "events_hourly_gapfill",
+    "copurchase_khop_reach", "copurchase_degree_powerlaw",
+    "cf_holdout_hitrate",
+    "hybrid_rrf_search", "quality_filter_sweep",
+    "fd_audit", "revenue_cube_nation_segment",
+    "rolling_7d_revenue", "customer_rfm_segments", "ab_test_report",
+    "bloom_semijoin_reduction",
+    "media_ingest_rollup",
+    "kmeans_assign", "sequence_pack", "shard_manifest",
+    "train_split_assign",
+    "bm25_doc_ranking", "bigram_pmi", "doc_chunk", "doc_repetition",
+    "fuzzy_name_neighbors",
+    "compaction_invariant",
 )
 
 

@@ -44,6 +44,8 @@ Scale notes (the 100 TB framing for each):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -56,6 +58,7 @@ from simpleetlpipeline_spark.operators.dates import (
     epoch_day,
     hour_bucket,
     hour_of,
+    iso_second_label,
     month_label,
     sql_month_label,
     ts_lit,
@@ -345,28 +348,36 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the spine side is always the small side — it broadcasts, and
     the left join back to the aggregated counts (already |buckets|
     rows, not raw events) stays shuffle-free on the probe side.
+
+    Round-9 TZ-proofing (caught by the pre-rotation hostile-TZ
+    rung): the bucket key is now the integer hours-since-epoch id
+    end to end (a LONG sequence spine, step 1) and the output hour
+    renders as an ISO label string — the previous TimestampType
+    output held the correct UTC instants but PySpark's collect()
+    renders TimestampType through the local process timezone, so a
+    non-UTC driver saw shifted wall-clock datetimes.
     """
     ensure_session_conf(spark)
     events = read_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.timestamp_micros(hour_bucket("ts") * HOUR_US).alias("hour"),
-        "value")
+        "event_type", hour_bucket("ts").alias("hb"), "value")
     counts = (
-        events.groupBy("event_type", "hour")
+        events.groupBy("event_type", "hb")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
-    bounds = events.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    bounds = events.agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
     spine = (
         events.select("event_type").distinct()
         .crossJoin(F.broadcast(bounds))
         .select("event_type",
-                F.explode(F.sequence(
-                    "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+                F.explode(F.sequence("lo", "hi")).alias("hb"))
     )
     return (
-        spine.join(counts, ["event_type", "hour"], "left")
-        .select("event_type", "hour",
+        spine.join(counts, ["event_type", "hb"], "left")
+        .select("event_type",
+                iso_second_label(
+                    F.timestamp_micros(F.col("hb") * HOUR_US))
+                .alias("hour"),
                 F.coalesce("n_events", F.lit(0)).alias("n_events"),
                 F.coalesce("total_value", F.lit(0.0)).alias("total_value"))
     )
@@ -376,26 +387,28 @@ QUERIES["events_hourly_gapfill"] = events_hourly_gapfill
 
 ORACLE_SQL["events_hourly_gapfill"] = """
     WITH e AS (
-        SELECT event_type, date_trunc('hour', ts) AS hour, value
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hb, value
         FROM events
     ), counts AS (
-        SELECT event_type, hour, count(*) AS n_events,
+        SELECT event_type, hb, count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM e GROUP BY 1, 2
     ), bounds AS (
-        SELECT min(hour) AS lo, max(hour) AS hi FROM e
+        SELECT min(hb) AS lo, max(hb) AS hi FROM e
     ), spine AS (
-        SELECT t.event_type, s.hour
+        SELECT t.event_type, s.hb
         FROM (SELECT DISTINCT event_type FROM e) t
         CROSS JOIN (
-            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            SELECT unnest(generate_series(lo, hi)) AS hb
             FROM bounds) s
     )
-    SELECT sp.event_type, sp.hour,
+    SELECT sp.event_type,
+           strftime(make_timestamp(sp.hb * 3600000000),
+                    '%Y-%m-%dT%H:%M:%S') AS hour,
            coalesce(c.n_events, 0) AS n_events,
            coalesce(c.total_value, 0.0) AS total_value
     FROM spine sp
-    LEFT JOIN counts c USING (event_type, hour)
+    LEFT JOIN counts c USING (event_type, hb)
 """
 
 
@@ -549,6 +562,125 @@ ORACLE_SQL["snapshot_diff"] = """
     WHERE CASE WHEN o.c_custkey IS NULL THEN 'added'
                WHEN n.c_custkey IS NULL THEN 'removed'
                WHEN o.bal != n.bal THEN 'changed' END IS NOT NULL
+"""
+
+
+def compaction_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-ops attestation (round-8 verdict task #4): one plan
+    that exercises the full io-layer lifecycle — versioned seed
+    publish → MERGE upsert (io.merge_upsert) → small-files compaction
+    (io.compact_table) → time-travel read of the pre-merge snapshot
+    (io.read_table_version) — and returns a content invariant the
+    DuckDB oracle can rebuild from the source table alone.
+
+    Lifecycle, against a throwaway /tmp table root:
+      v1   seed: customer (c_custkey, bal_cents) written as 8 small
+           files via write_table_version.
+      v2   merge_upsert of a deterministic delta: every 9th key's
+           balance credited +1000 cents (update path), every
+           custkey%100==7 key re-inserted NEGATED (insert path —
+           TPC-H keys are positive at every SF, so no collision).
+      v2c  compact_table rewrite of the v2 snapshot (8 files → 1).
+
+    Output: one row per snapshot (v1 time-traveled, v2 current, v2c
+    compacted) with exact-integer content aggregates. The invariant
+    the hash gate enforces: v1 matches the oracle's base CTE (publish
+    + time travel are lossless), v2 matches the oracle's merged CTE
+    (the anti-join⊕union MERGE algebra is exactly SQL MERGE), and v2c
+    carries IDENTICAL aggregates to v2 (compaction moves bytes, never
+    rows). files_ok asserts the rewrite did not grow the file count.
+
+    Scale: merge is one left-anti shuffle + union (no driver rows);
+    compaction is one round-robin repartition sized by bytes. The
+    3-row result is collected so the scratch root can be deleted
+    before returning (same pattern as etl_pipeline_run)."""
+    import shutil
+    import tempfile
+
+    from simpleetlpipeline_spark.io import (
+        compact_table,
+        merge_upsert,
+        read_table_version,
+        write_table_version,
+    )
+
+    ensure_session_conf(spark)
+    td = tempfile.mkdtemp(prefix="compaction_inv_")
+    try:
+        root = os.path.join(td, "cust_bal")
+        base = read_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100).cast("long")
+            .alias("bal_cents"))
+        write_table_version(base.repartition(8), root)
+
+        k = F.col("c_custkey")
+        updates = (
+            base.filter(k % 9 == 0)
+            .select("c_custkey",
+                    (F.col("bal_cents") + 1000).alias("bal_cents"))
+            .unionByName(
+                base.filter(k % 100 == 7)
+                .select((-k).alias("c_custkey"), "bal_cents"))
+        )
+        v2_dir = merge_upsert(spark, root, updates, ["c_custkey"])
+        files_before, files_after = compact_table(
+            spark, v2_dir, target_mb=1024)
+
+        def _agg(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(
+                F.lit(label).alias("snapshot"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("c_custkey").alias("n_keys"),
+                F.sum("bal_cents").alias("sum_bal_cents"),
+                F.min("c_custkey").alias("min_key"),
+                F.max("c_custkey").alias("max_key"),
+                F.lit(files_after <= files_before).alias("files_ok"))
+
+        out = (
+            _agg(read_table_version(spark, root, version=1), "v1_seed")
+            .unionAll(_agg(read_table_version(spark, root), "v2_merged"))
+            .unionAll(_agg(read_table_version(spark, v2_dir + "_compacted"),
+                           "v2_compacted"))
+            .orderBy("snapshot")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+QUERIES["compaction_invariant"] = compaction_invariant
+
+ORACLE_SQL["compaction_invariant"] = """
+    WITH base AS (
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ), merged AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 9 = 0 THEN bal_cents + 1000
+                    ELSE bal_cents END AS bal_cents
+        FROM base
+        UNION ALL
+        SELECT -c_custkey, bal_cents FROM base WHERE c_custkey % 100 = 7
+    ), snap AS (
+        SELECT 'v1_seed' AS snapshot, * FROM base
+        UNION ALL
+        SELECT 'v2_merged', * FROM merged
+        UNION ALL
+        SELECT 'v2_compacted', * FROM merged
+    )
+    SELECT snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+           CAST(min(c_custkey) AS BIGINT) AS min_key,
+           CAST(max(c_custkey) AS BIGINT) AS max_key,
+           TRUE AS files_ok
+    FROM snap
+    GROUP BY snapshot
+    ORDER BY snapshot
 """
 
 
@@ -1550,9 +1682,10 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
 
     Every count is integer-exact; neighbor top-k ties break on the
     item id; the single float is the final ratio, floored 6dp from
-    exact integers. Shape: one basket shuffle for pairs, a
-    |items|-keyed window for neighbor top-k (support-bounded; the
-    salted form is the swap-in per salted_topk), user-keyed
+    exact integers. Shape: one HALF-pair basket explode (each
+    unordered pair emitted once, mirrored after the persisted
+    aggregate), a SALTED two-phase top-k for neighbors (no per-item
+    straggler even under a hot item), user-keyed
     semi/anti joins for the rec set — all linear at any SF. The
     |items| x k neighbor table broadcasts into the rec-set join when
     the part table is small enough (guarded like decontaminate's
@@ -1560,6 +1693,7 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
     on the item key instead of OOMing executors)."""
     from simpleetlpipeline_spark.cache import track
     from simpleetlpipeline_spark.functions.similarity import _table_bytes
+    from simpleetlpipeline_spark.operators.aggregates import salted_topk
 
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders").select(
@@ -1593,27 +1727,40 @@ def cf_holdout_hitrate(spark: SparkSession, sf_dir: str,
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .filter(F.size("parts") >= 2)
     )
-    # emit BOTH directions of each co-purchase pair inside the basket
-    # explode — the union-of-flipped-aggregate form recomputes the
-    # whole basket explode + groupBy twice (the union's two branches
-    # share no persisted frame); one directed explode costs 2x the
-    # exploded rows but folds in a single map-side-combined aggregate
+    # emit each unordered co-purchase pair ONCE (the basket arrays
+    # are sorted, so x<y enumerates each pair exactly once), fold the
+    # map-side-combined count on the half pairs, PERSIST that tiny
+    # aggregate, then mirror it — counts are symmetric. Round 8
+    # emitted both directions inside the explode to keep a single
+    # aggregate pass; at sf1 the 2x exploded rows were the dominant
+    # shuffle (worst linear ratio 7.69), and mirroring the persisted
+    # |distinct pairs| aggregate costs a union of counted rows, not a
+    # second explode.
     pair_structs = F.flatten(F.transform(
         F.col("parts"),
-        lambda x, i: F.flatten(F.transform(
+        lambda x, i: F.transform(
             F.slice(F.col("parts"), i + 2,
                     F.greatest(F.size("parts") - i - 1, F.lit(0))),
-            lambda y: F.array(F.struct(x.alias("pa"), y.alias("pb")),
-                              F.struct(y.alias("pa"), x.alias("pb"))),
-        )),
+            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+        ),
     ))
-    assoc = (train_baskets.select(F.explode(pair_structs).alias("p"))
-             .select("p.pa", "p.pb")
-             .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_ab")))
-    w = Window.partitionBy("pa").orderBy(F.desc("n_ab"), F.asc("pb"))
-    neighbors = (assoc.withColumn("r", F.row_number().over(w))
-                 .filter(F.col("r") <= n_neighbors)
-                 .select("pa", F.col("pb").alias("rec")))
+    assoc_half = track(
+        train_baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist())
+    assoc = assoc_half.unionAll(
+        assoc_half.select(F.col("pb").alias("pa"),
+                          F.col("pa").alias("pb"), "n_ab"))
+    # skew-proof neighbor top-k (round-8 verdict task #5): a hot item
+    # co-occurring with everything would make the plain per-pa window
+    # a straggler; salted_topk ranks within (pa, salt) first, then
+    # re-ranks <= k*n_salts survivors. (n_ab desc, pb asc) is a total
+    # order within pa, so results are identical to the plain window.
+    neighbors = (
+        salted_topk(assoc, ["pa"],
+                    [F.desc("n_ab"), F.asc("pb")], k=n_neighbors)
+        .select("pa", F.col("pb").alias("rec")))
     # neighbors is <= |items| x k skinny int rows; the part table's
     # on-disk footprint bounds |items|, so gate the broadcast on it
     if _table_bytes(sf_dir, "part") * n_neighbors <= 256 << 20:

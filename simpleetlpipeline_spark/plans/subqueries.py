@@ -655,18 +655,44 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str,
     collapses to (order, supplier, late?) pairs map-side, the
     per-order profile is |orders| groups, and only sole-late orders
     reach the final per-supplier count. No EXISTS re-scan, no
-    row explosion — the shuffle is the pair set, twice."""
+    row explosion — the shuffle is the pair set, twice.
+
+    Round-9 plan hardening (sf1 linear ratio 7.06, r8 verdict task
+    #5): the lateness test only needs the LATEST ship date per
+    (order, supplier) — max(ship) - orderdate > X is equivalent to
+    max(ship - orderdate > X) — so lineitem folds to its pair
+    aggregate BEFORE touching orders (map-side combine shrinks the
+    fact shuffle to |pairs| and the old post-join pair aggregate
+    disappears), and the 2-column orders projection broadcasts when
+    small enough (size-gated like cf_holdout_hitrate's neighbor
+    table; past the bound both sides are pre-aggregated and the
+    join shuffles on the order key)."""
+    from simpleetlpipeline_spark.functions.similarity import _table_bytes
+
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate")
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate")
-    late = (epoch_day("l_shipdate")
-            - epoch_day("o_orderdate") > late_days)
+        "o_orderkey", epoch_day("o_orderdate").alias("o_day"))
+    if _table_bytes(sf_dir, "orders") <= 256 << 20:
+        orders = F.broadcast(orders)
+    # ONE shuffle for BOTH aggregation levels: hash-partitioning on
+    # l_orderkey alone satisfies the clustering requirement of the
+    # (l_orderkey, l_suppkey) pair aggregate AND of the per-order
+    # rollup (subset clustering), so neither groupBy adds an
+    # exchange. The round-8 form paid two full-|pairs| shuffles;
+    # (order, supplier) is nearly unique per lineitem row in TPC-H,
+    # so the map-side combine those shuffles bought was ~free anyway.
+    li = (read_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .repartition("l_orderkey"))
+    pair_max = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(epoch_day("l_shipdate")).alias("max_ship_day"))
+    )
     per_pair = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+        pair_max.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey",
+                F.when(F.col("max_ship_day") - F.col("o_day") > late_days,
+                       1).otherwise(0).alias("is_late"))
     )
     per_order = (
         per_pair.groupBy("l_orderkey")

@@ -121,6 +121,11 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # count) and persists the edge cache at
                            # construction, same class as kmeans
                            "copurchase_pagerank",
+                           # runs the whole merge->compact->time-
+                           # travel lifecycle by contract, then
+                           # returns the 3-row collected invariant
+                           # (same pattern as etl_pipeline_run)
+                           "compaction_invariant",
                            # builds its JSONL fixture dir through the
                            # writer on first construction; the Python
                            # data source also plans its partitions
@@ -1028,3 +1033,55 @@ def test_revenue_cube_expands_base_grid_not_fact(spark, sf_dir):
     assert grand[0]["n_orders"] == sum(r["n_orders"] for r in per_pair)
     assert grand[0]["revenue_milli"] == sum(
         r["revenue_milli"] for r in per_pair)
+
+
+def test_fuzzy_name_level_equals_row_level(spark, sf_dir):
+    """The round-9 name-level rewrite of fuzzy_name_neighbors must be
+    an EXACT algebraic rewrite of the round-5 row-level blocked
+    self-join — every per-part count, best distance, and tie-broken
+    nearest id identical."""
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.io import read_table
+    from simpleetlpipeline_spark.plans.advanced import (
+        fuzzy_name_neighbors,
+    )
+
+    parts = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name",
+        F.split("p_name", " ")[0].alias("blk"),
+        F.length("p_name").alias("ln"))
+    a = parts.select(F.col("p_partkey").alias("a_id"),
+                     F.col("p_name").alias("a_name"), "blk",
+                     F.col("ln").alias("a_ln"))
+    b = parts.select(F.col("p_partkey").alias("b_id"),
+                     F.col("p_name").alias("b_name"), "blk",
+                     F.col("ln").alias("b_ln"))
+    pairs = (
+        a.join(b, "blk")
+        .filter((F.col("a_id") != F.col("b_id"))
+                & (F.abs(F.col("a_ln") - F.col("b_ln")) <= 2))
+        .withColumn("lev", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("lev") <= 2))
+    agg = (pairs.groupBy("a_id")
+           .agg(F.count(F.lit(1)).alias("n_neighbors"),
+                F.min(F.struct("lev", "b_id")).alias("m")))
+    row_level = {
+        r["p_partkey"]: (r["n_neighbors"], r["best_lev"],
+                         r["nearest_id"])
+        for r in (
+            parts.select(F.col("p_partkey").alias("a_id"))
+            .join(agg, "a_id", "left")
+            .select(F.col("a_id").alias("p_partkey"),
+                    F.coalesce("n_neighbors", F.lit(0))
+                    .alias("n_neighbors"),
+                    F.coalesce(F.col("m.lev"), F.lit(-1)).cast("int")
+                    .alias("best_lev"),
+                    F.coalesce(F.col("m.b_id"), F.lit(-1))
+                    .alias("nearest_id"))
+        ).collect()}
+    name_level = {
+        r["p_partkey"]: (r["n_neighbors"], r["best_lev"],
+                         r["nearest_id"])
+        for r in fuzzy_name_neighbors(spark, sf_dir).collect()}
+    assert name_level == row_level

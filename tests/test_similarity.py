@@ -283,3 +283,37 @@ def test_hybrid_rrf_plan_and_fusion_semantics(spark, sf_dir):
         assert r["rrf_nano"] == math.floor(legs * 1e9)
     ranks = [r["rrf_nano"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_array_oracle_matches_fold_oracle(sf_dir):
+    """The round-9 fast oracle kernel (DOUBLE[64] array_inner_product)
+    must be bit-identical, AFTER the shared 4dp floor, to the
+    in-order list_reduce fold the linear oracles still use — pair set
+    AND floored similarity values."""
+    import duckdb
+
+    from simpleetlpipeline_spark.functions.similarity import (
+        NEARDUP_THRESHOLD,
+        _COS_ARR_SQL,
+        _COS_SQL,
+        _VECS_ARR_SQL,
+        _VECS_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')")
+    fold = con.execute(f"""
+        WITH v AS ({_VECS_SQL})
+        SELECT a.vec_id, b.vec_id, {_COS_SQL} AS s
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_COS_SQL} >= {NEARDUP_THRESHOLD}
+        ORDER BY 1, 2""").fetchall()
+    arr = con.execute(f"""
+        WITH v AS ({_VECS_ARR_SQL})
+        SELECT a.vec_id, b.vec_id, {_COS_ARR_SQL} AS s
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE {_COS_ARR_SQL} >= {NEARDUP_THRESHOLD}
+        ORDER BY 1, 2""").fetchall()
+    assert fold == arr and len(fold) > 0

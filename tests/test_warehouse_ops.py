@@ -216,3 +216,26 @@ def test_scd2_duplicate_update_batch_raises(spark):
     with pytest.raises((SparkRuntimeException, Py4JJavaError)) as e:
         out.collect()
     assert "duplicate update rows" in str(e.value)
+
+
+def test_compaction_invariant_lifecycle(spark, sf_dir):
+    """The gate entry's full merge→compact→time-travel cycle: three
+    snapshot rows, compaction never grows the file count, and the
+    compacted snapshot carries byte-identical content aggregates to
+    the merged one (compaction moves bytes, never rows)."""
+    from simpleetlpipeline_spark.plans.relational import (
+        compaction_invariant,
+    )
+
+    rows = {r["snapshot"]: r
+            for r in compaction_invariant(spark, sf_dir).collect()}
+    assert set(rows) == {"v1_seed", "v2_merged", "v2_compacted"}
+    assert all(r["files_ok"] for r in rows.values())
+    v2, v2c = rows["v2_merged"], rows["v2_compacted"]
+    for col in ("n_rows", "n_keys", "sum_bal_cents",
+                "min_key", "max_key"):
+        assert v2[col] == v2c[col], col
+    # the merge really did both paths: inserts grew the table and the
+    # negated insert keys moved min_key below zero
+    assert v2["n_rows"] > rows["v1_seed"]["n_rows"]
+    assert v2["min_key"] < 0 <= rows["v1_seed"]["min_key"]

@@ -15,7 +15,10 @@ non-linear would be noise, not signal.
 Excluded by design (documented, not silent caps):
 - embedding_neardup — exact all-pairs, quadratic by construction and
   size-guarded; embedding_neardup_lsh is its scale path and IS
-  measured.
+  measured. (A LINEAR ratio flag would be meaningless for a
+  deliberately quadratic baseline; since round 9 the entry is still
+  hash-VERIFIED at sf1 by the correctness sweep — ~79s Spark / 8s
+  oracle — it is only this linearity report that excludes it.)
 - etl_pipeline_run — generator-driven with its own sf knob; measured
   by bench.py's etl_records_per_sec instead.
 

@@ -123,12 +123,12 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    # SPARK_GRAFT_ORACLE_SKIP=a,b,c — for the sf1-scale sweep, where
-    # three entries are excluded BY DESIGN (their oracles are the
-    # quadratic ground-truth forms: exact all-pairs cosine for
-    # embedding_neardup / semantic_dedup_clusters, the 8-block
-    # levenshtein self-join for fuzzy_name_neighbors). The exclusion
-    # is recorded in CORRECTNESS_sf1.json's `skipped` section.
+    # SPARK_GRAFT_ORACLE_SKIP=a,b,c — escape hatch for scale sweeps.
+    # As of round 9 the sf1 sweep needs NO skips: the three former
+    # quadratic-oracle exclusions were rewritten linear-or-fast
+    # (fuzzy_name_neighbors name-level on both sides;
+    # embedding_neardup / semantic_dedup_clusters oracles on native
+    # DOUBLE[64] array_inner_product + unrolled label propagation).
     skip = {s for s in os.environ.get(
         "SPARK_GRAFT_ORACLE_SKIP", "").split(",") if s}
     fetch = os.environ.get("SPARK_GRAFT_ORACLE_FETCH", "exact")
