@@ -44,13 +44,27 @@ MINHASH_SEED = 42
 def word_ngrams_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of lowercased text.
 
-    Built entirely from higher-order array functions (JVM-side):
-    tokens -> sliding windows via transform over an index sequence.
-    """
+    Built entirely from higher-order array functions (JVM-side).
+    Round-9 rewrite: the old form sliced the token array inside a
+    transform(sequence(...)) lambda, and HOF lambdas are interpreted
+    with no subexpression sharing — every window re-ran the full
+    split() of the text, O(n_tokens x text_len) per document (the
+    same blowup class as text.adjacent_pairs_col; at sf1 it owned
+    the n-gram dedup family's tail). The zip_with chain evaluates
+    each shifted slice ONCE per row: gram i = concat of
+    heads_0[i..], heads_1[i], ..., heads_{n-1}[i].
+
+    Short-doc semantics preserved exactly: documents with fewer
+    than n tokens still yield their single partial gram (zip_with
+    pads the shorter side with NULL and concat_ws skips NULLs,
+    exactly like the old truncated slice)."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    m = F.greatest(F.size(toks) - n, F.lit(0)) + F.lit(1)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(grams)
 
 

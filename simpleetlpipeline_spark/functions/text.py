@@ -45,6 +45,30 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def adjacent_pairs_col(toks: Column) -> Column:
+    """array<struct<tok_a, tok_b>> of ADJACENT token pairs, O(n).
+
+    The round-5 form indexed the token array inside a
+    transform(sequence(...)) lambda — but Spark's higher-order
+    functions are interpreted (CodegenFallback) and share no
+    subexpressions with the enclosing projection, so EVERY
+    ``element_at(toks, i)`` re-evaluated the full split() of the
+    document text: O(n_tokens x text_len) per document. Invisible at
+    sf0.1 (~1s across the corpus), a 40-90x blowup at sf1
+    (bpe_merge_pairs 59s, bigram_doc_logprob 123s; both ~1.5s after
+    this rewrite — round-9 measurement). zip_with evaluates each
+    ARGUMENT exactly once per row: pair i = (heads[i], tails[i])
+    over two slices of the already-materialized token array.
+
+    Empty/1-token docs yield an empty array (the old
+    sequence(1, 0) sentinel rows are gone by construction)."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")))
+
+
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document statistics + quality score.
 
@@ -352,14 +376,10 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str,
 
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
-    pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
     return (
-        docs.select(F.explode(pairs).alias("pair"))
-        .filter(F.col("pair").contains(" "))   # drop the n<2 sentinel
+        docs.select(F.explode(adjacent_pairs_col(toks)).alias("p"))
+        .select(F.concat_ws(" ", "p.tok_a", "p.tok_b").alias("pair"))
+        .filter(F.col("pair").contains(" "))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
@@ -637,16 +657,8 @@ def bigram_pmi(spark: SparkSession, sf_dir: str,
 
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
-    pair_structs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("tok_a"),
-                F.element_at(toks, i + 1).alias("tok_b")),
-        )).otherwise(F.array())
     pairs = (
-        docs.select(F.explode(pair_structs).alias("p"))
+        docs.select(F.explode(adjacent_pairs_col(toks)).alias("p"))
         .select("p.tok_a", "p.tok_b")
         .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
         .groupBy("tok_a", "tok_b")
@@ -820,16 +832,8 @@ def bigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
-    pair_structs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("tok_a"),
-                F.element_at(toks, i + 1).alias("tok_b")),
-        )).otherwise(F.array())
     doc_pairs = (
-        docs.select("doc_id", F.explode(pair_structs).alias("p"))
+        docs.select("doc_id", F.explode(adjacent_pairs_col(toks)).alias("p"))
         .select("doc_id", "p.tok_a", "p.tok_b")
         .filter((F.col("tok_a") != "") & (F.col("tok_b") != ""))
     )

@@ -117,9 +117,31 @@ def fan_out(df: DataFrame) -> DataFrame:
     defaultParallelism splits and this is a no-op; the guard matters
     because an unconditional repartition would be a full shuffle of
     the corpus.
+
+    The split COUNT alone is not evidence of spread (round-9 bug):
+    file-source byte-range splits land wherever maxPartitionBytes /
+    openCostInBytes put them, but a parquet task only reads row
+    groups whose START falls in its range — a small file with one
+    row group can arrive as 32 "splits" of which 31 are EMPTY, and
+    every mapInPandas/HOF kernel downstream silently runs on one
+    core (measured: the whole text/media family went serial at sf1
+    under openCostInBytes=64K). So a scan also counts as coarse
+    when its splits are paper-thin: under ~1 MB of input bytes per
+    split there cannot be a row group per split, and the frame is
+    tiny enough that one extra round-robin shuffle is noise.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    parts = df.rdd.getNumPartitions()
+    if parts < target:
+        return df.repartition(target)
+    try:
+        from urllib.parse import urlparse
+
+        n_bytes = sum(
+            os.path.getsize(urlparse(f).path) for f in df.inputFiles())
+    except OSError:
+        return df
+    if n_bytes and n_bytes < parts << 20:
         return df.repartition(target)
     return df
 

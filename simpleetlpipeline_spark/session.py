@@ -51,6 +51,29 @@ _RUNTIME_CONF = {
     # otherwise break unix_micros, watermarks, and numeric casts.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Scan-split size for THIS single-node profile: the default
+    # 128 MB gives a 100 MB-scale local table exactly ONE scan task,
+    # serializing every read on one of the 32 cores (measured round
+    # 9: the whole sf1 ladder's worst "non-linear" ratios were this
+    # fixture artifact, not plan defects — see README). 16 MB keeps
+    # a 113 MB fact scan at ~8 parallel splits while leaving
+    # kB-scale dims at one split. On a real cluster the 128 MB
+    # default is right (tables span many files and HDFS/S3 blocks);
+    # this is the local[32] bench profile's knob, not a 100 TB
+    # recommendation — splits can only land on parquet row-group
+    # boundaries, so it composes with writers that emit row groups
+    # smaller than the split size (tools/make_sf1.py writes 8 MB
+    # blocks for exactly this reason).
+    "spark.sql.files.maxPartitionBytes": str(16 << 20),
+    # Companion knob: openCostInBytes models per-file open latency
+    # when packing many small files into one scan split. The 4 MB
+    # default is an object-store number; against the 16 MB split
+    # size above it caps packing at ~4 files per task, which turned
+    # the binaryFile ingest scan (media_ingest_rollup: thousands of
+    # kB-scale files) into thousands of near-empty tasks. 64 KB
+    # reflects a local FS open and keeps small-file packing dense;
+    # on a real cluster retune both knobs together.
+    "spark.sql.files.openCostInBytes": str(64 << 10),
 }
 
 

@@ -154,7 +154,16 @@ def main() -> None:
         tmp = os.path.join(out, f".{name}.tmpdir")
         dst = os.path.join(out, f"{name}.parquet")
         df = up(read_table(spark, src, name))
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # 8 MB row groups (default 128 MB): a single-file table with
+        # ONE giant row group cannot be split — every scan of the
+        # round-8 fixture's 113 MB lineitem ran as a single task,
+        # which is what the old sf1 "ratio ~7" tail actually
+        # measured. Many row groups + the session's 16 MB
+        # maxPartitionBytes give the 10x fixture the parallel-scan
+        # behavior any real at-scale table has.
+        (df.coalesce(1).write.mode("overwrite")
+         .option("parquet.block.size", str(8 << 20))
+         .parquet(tmp))
         part = next(p for p in os.listdir(tmp)
                     if p.startswith("part-") and p.endswith(".parquet"))
         if os.path.isdir(dst):
