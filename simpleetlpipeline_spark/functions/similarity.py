@@ -1033,7 +1033,13 @@ def _cc_label_prop_sql(rounds: int = 24) -> str:
     under-converged unroll CANNOT pass silently, because surplus
     components disagree with Spark's exact union-find output and
     the hash compare reds (exactly how the 8-round draft was caught
-    at sf0.1). Every CTE is MATERIALIZED — DuckDB inlines CTEs by
+    at sf0.1). Belt-and-braces (round-9 ADVICE): the final SELECT
+    also appends an explicit sentinel row
+    ('ORACLE_NOT_CONVERGED_RAISE_ROUNDS') whenever l{rounds} still
+    differs from l{rounds-1}, so a future longer-diameter fixture
+    produces a DIAGNOSABLE red naming the fix instead of a
+    confusing surplus-component hash mismatch. Every CTE is
+    MATERIALIZED — DuckDB inlines CTEs by
     default, and each round references its predecessor twice, which
     would make the inlined expansion (and its parquet re-scans)
     exponential."""
@@ -1054,7 +1060,13 @@ def _cc_label_prop_sql(rounds: int = 24) -> str:
     SELECT CAST(l AS BIGINT) AS keep_vec_id,
            CAST(count(*) AS BIGINT) AS cluster_size,
            string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
-    FROM l{rounds} GROUP BY l""")
+    FROM l{rounds} GROUP BY l
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           'ORACLE_NOT_CONVERGED_RAISE_ROUNDS'
+    WHERE EXISTS (
+        SELECT 1 FROM l{rounds} x JOIN l{rounds - 1} y ON y.n = x.n
+        WHERE x.l <> y.l)""")
 
 
 ORACLE_SQL["semantic_dedup_clusters"] = f"""

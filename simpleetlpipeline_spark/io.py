@@ -129,6 +129,13 @@ def fan_out(df: DataFrame) -> DataFrame:
     when its splits are paper-thin: under ~1 MB of input bytes per
     split there cannot be a row group per split, and the frame is
     tiny enough that one extra round-robin shuffle is noise.
+
+    Counter-guard (round-9 ADVICE): the empty-split pathology only
+    arises when a single file is sliced into multiple byte-range
+    splits (splits read only row groups whose START they contain).
+    When the scan has at least as many FILES as splits, each split
+    holds >= 1 whole file and cannot be empty — many genuinely tiny
+    files already spread fine, so skip the extra shuffle there.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     parts = df.rdd.getNumPartitions()
@@ -137,11 +144,12 @@ def fan_out(df: DataFrame) -> DataFrame:
     try:
         from urllib.parse import urlparse
 
+        files = df.inputFiles()
         n_bytes = sum(
-            os.path.getsize(urlparse(f).path) for f in df.inputFiles())
+            os.path.getsize(urlparse(f).path) for f in files)
     except OSError:
         return df
-    if n_bytes and n_bytes < parts << 20:
+    if n_bytes and n_bytes < parts << 20 and len(files) < parts:
         return df.repartition(target)
     return df
 

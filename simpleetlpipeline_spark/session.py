@@ -51,19 +51,24 @@ _RUNTIME_CONF = {
     # otherwise break unix_micros, watermarks, and numeric casts.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    # Scan-split size for THIS single-node profile: the default
+}
+
+#: LOCAL-MASTER-ONLY scan knobs (never applied to a cluster session —
+#: round-9 ADVICE: the 128 MB default is right on a real cluster, so
+#: baking these into the shared conf would hand every non-bench
+#: deployment ~8x oversplit scans and object-store-hostile open
+#: costs).
+_LOCAL_SCAN_CONF = {
+    # Scan-split size for the single-node profile: the default
     # 128 MB gives a 100 MB-scale local table exactly ONE scan task,
     # serializing every read on one of the 32 cores (measured round
     # 9: the whole sf1 ladder's worst "non-linear" ratios were this
     # fixture artifact, not plan defects — see README). 16 MB keeps
     # a 113 MB fact scan at ~8 parallel splits while leaving
-    # kB-scale dims at one split. On a real cluster the 128 MB
-    # default is right (tables span many files and HDFS/S3 blocks);
-    # this is the local[32] bench profile's knob, not a 100 TB
-    # recommendation — splits can only land on parquet row-group
-    # boundaries, so it composes with writers that emit row groups
-    # smaller than the split size (tools/make_sf1.py writes 8 MB
-    # blocks for exactly this reason).
+    # kB-scale dims at one split. Splits can only land on parquet
+    # row-group boundaries, so it composes with writers that emit
+    # row groups smaller than the split size (tools/make_sf1.py
+    # writes 8 MB blocks for exactly this reason).
     "spark.sql.files.maxPartitionBytes": str(16 << 20),
     # Companion knob: openCostInBytes models per-file open latency
     # when packing many small files into one scan split. The 4 MB
@@ -71,14 +76,15 @@ _RUNTIME_CONF = {
     # size above it caps packing at ~4 files per task, which turned
     # the binaryFile ingest scan (media_ingest_rollup: thousands of
     # kB-scale files) into thousands of near-empty tasks. 64 KB
-    # reflects a local FS open and keeps small-file packing dense;
-    # on a real cluster retune both knobs together.
+    # reflects a local FS open and keeps small-file packing dense.
     "spark.sql.files.openCostInBytes": str(64 << 10),
 }
 
 
-def _runtime_conf() -> dict[str, str]:
+def _runtime_conf(local: bool = True) -> dict[str, str]:
     conf = dict(_RUNTIME_CONF)
+    if local:
+        conf.update(_LOCAL_SCAN_CONF)
     # Shuffle (and streaming state-store) partition count sized to the
     # actual parallelism instead of the 200 default — also applied to
     # externally-built sessions, where stateful streaming would
@@ -175,10 +181,17 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
 
     The correctness driver hands us its own SparkSession; timezone
     and AQE flags are runtime-mutable, so pin them for deterministic
-    query semantics. Also ships this package to executor workers
-    (see _ship_package).
+    query semantics. The local-only scan knobs (_LOCAL_SCAN_CONF)
+    are applied ONLY when the session's master is local[*] — a
+    cluster session keeps Spark's 128 MB/4 MB defaults, which are
+    correct for HDFS/S3-backed multi-file tables. Also ships this
+    package to executor workers (see _ship_package).
     """
-    for k, v in _runtime_conf().items():
+    try:
+        master = spark.conf.get("spark.master", "") or ""
+    except Exception:
+        master = ""
+    for k, v in _runtime_conf(local=master.startswith("local")).items():
         try:
             spark.conf.set(k, v)
         except Exception:

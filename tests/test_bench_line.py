@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import json
 
-from bench import LINE_BUDGET, bounded_line
+from bench import LINE_BUDGET, bounded_line, noise_fields
 
 
 def _result(queries: dict) -> dict:
@@ -17,7 +17,45 @@ def _result(queries: dict) -> dict:
         "queries": queries,
         "sf": 0.1,
         "etl_records_per_sec": 123456.7,
+        "repeat": 1,
+        "best_of": 2,
+        # worst-case noise block (every scalar present) so the
+        # budget test charges its real byte cost
+        "noise": noise_fields(
+            {"loadavg": 12.34, "cpu_total": 100_000_000,
+             "cpu_idle": 50_000_000, "cpu_steal": 1_000_000},
+            {"loadavg": 23.45, "cpu_total": 100_999_999,
+             "cpu_idle": 50_400_000, "cpu_steal": 1_050_000},
+            {"q": [1.2345, 0.1234]}),
     }
+
+
+def test_noise_fields_contract():
+    """Round-9 verdict task #1: the artifact must self-adjudicate
+    host noise — steal fraction, pre-run loadavg, and best-of-2
+    gain each independently trip noise_suspect."""
+    quiet = {"loadavg": 0.1, "cpu_total": 0, "cpu_idle": 0,
+             "cpu_steal": 0}
+
+    def end(steal=0, busy=0, total=1000):
+        return {"loadavg": 0.1, "cpu_total": total,
+                "cpu_idle": total - busy - steal, "cpu_steal": steal}
+
+    calm = noise_fields(quiet, end(steal=1, busy=100), {"q": [1.0, 0.99]})
+    assert calm["noise_suspect"] is False
+    assert calm["cpu_steal_frac"] == 0.001
+
+    stolen = noise_fields(quiet, end(steal=50, busy=100), {})
+    assert stolen["noise_suspect"] is True
+
+    loaded = noise_fields({"loadavg": 9.0}, {"loadavg": 0.1}, {})
+    assert loaded["noise_suspect"] is True
+
+    shaved = noise_fields(quiet, end(steal=1, busy=100),
+                          {"a": [2.0, 1.0], "b": [1.0, 1.0]})
+    assert shaved["retry_gain_frac"] == round(1.0 / 3.0, 4)
+    assert shaved["noise_suspect"] is True
+    assert shaved["retry_improved"] == 1
 
 
 def test_current_catalog_fits_budget():

@@ -84,6 +84,15 @@ def _frame_rows(df) -> list[tuple]:
                 # across engines) instead of misreporting the query as
                 # an engine error.
                 vals.append(v.tolist())
+            elif isinstance(v, np.generic):
+                # Numpy SCALARS unwrap via .item() (int64 -> int,
+                # float64/float32 -> float) — must come AFTER the
+                # ndarray branch (ndarray is not np.generic, but
+                # checking here keeps the order explicit). Without
+                # this, np.float32 cells would str-compare exactly
+                # and lose the 1e-9 tolerance, and np.int64 would
+                # ride on str() equivalence by accident.
+                vals.append(v.item())
             elif (isinstance(v, datetime.date)
                   and not isinstance(v, datetime.datetime)):
                 vals.append(pd.Timestamp(v))
