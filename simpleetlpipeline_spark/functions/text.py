@@ -1962,4 +1962,77 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
                  "merged string, pair_freq long")
 
 
-QUERIES["bpe_train_merges"] = bpe_train_merges  # rows-only (iterative)
+QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
+def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """DuckDB twin of bpe_train_merges (round-9 verdict task #3:
+    the trainer is deterministic given the corpus, so it IS
+    hash-oracle-able — the loop just has to be UNROLLED, like the
+    label-propagation CC oracle).
+
+    Cross-paradigm by construction: Spark rewrites symbol ARRAYS in
+    an Arrow-batched pandas kernel; the oracle carries each word as
+    a chr(1)-delimited STRING — every symbol wrapped as \\x01sym\\x01
+    and concatenated — so one round's merge of pair (a,b) is a
+    single SQL replace() of '\\x01a\\x01\\x01b\\x01' with
+    '\\x01ab\\x01'. replace() substitutes left-to-right,
+    non-overlapping, resuming AFTER the replacement — exactly the
+    greedy scan semantics of the pandas merge_one loop (each match
+    consumes both wrapped symbols including their guards, so a
+    freshly-merged symbol can never fuse with the next match, and
+    symbols never contain chr(1), so matches align to symbol
+    boundaries). Pair counting splits the string back to a list
+    (trim guards, split on the doubled delimiter) and unnests
+    adjacent zips; the argmax keeps the engine's tie-break
+    (freq DESC, then lexicographically smallest pair, binary
+    collation on both engines). Every CTE is MATERIALIZED: each
+    round references its predecessor twice and DuckDB inlines CTEs
+    by default (the exponential-expansion hazard documented on
+    _cc_label_prop_sql)."""
+    g = "chr(1)"
+    gg = f"{g} || {g}"
+    ctes = [
+        """words AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)),
+                                             '\\s+')) AS w
+            FROM documents)
+        WHERE w <> '' GROUP BY w)""",
+        f"""v0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', {g} || '\\1' || {g}, 'g') AS s,
+               freq
+        FROM words)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"v{r - 1}"
+        ctes.append(f"""m{r} AS MATERIALIZED (
+        SELECT a, b, sum(freq) AS pf
+        FROM (
+            SELECT z[1] AS a, z[2] AS b, freq
+            FROM (
+                SELECT unnest(list_zip(syms[1:len(syms) - 1],
+                                       syms[2:len(syms)])) AS z,
+                       freq
+                FROM (SELECT string_split(trim(s, {g}), {gg}) AS syms,
+                             freq
+                      FROM {prev})
+                WHERE len(syms) >= 2))
+        GROUP BY a, b
+        ORDER BY pf DESC, a ASC, b ASC LIMIT 1)""")
+        if r < rounds:
+            ctes.append(f"""v{r} AS MATERIALIZED (
+        SELECT replace(s, {g} || m.a || {gg} || m.b || {g},
+                       {g} || m.a || m.b || {g}) AS s, freq
+        FROM {prev}, m{r} m)""")
+    unions = "\n    UNION ALL ".join(
+        f"""SELECT {r} AS rank, a AS "left", b AS "right",
+               a || b AS merged, CAST(pf AS BIGINT) AS pair_freq
+        FROM m{r}""" for r in range(1, rounds + 1))
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT CAST(rank AS INTEGER) AS rank,"
+              f" \"left\", \"right\", merged, pair_freq"
+              f" FROM ({unions}) ORDER BY rank")
+
+
+ORACLE_SQL["bpe_train_merges"] = _bpe_train_sql()

@@ -1762,14 +1762,28 @@ def user_value_ewma(spark: SparkSession, sf_dir: str,
     across users, per-group memory = one user's history (the same
     bound sessionization carries); a pathologically hot key would
     pre-chunk by time and chain the carry — not needed at any
-    testdata skew. Rows-only under the gate (no SQL twin by
-    nature); the recursion is value-checked in pytest against the
-    explicit loop."""
+    testdata skew.
+
+    HASH-ORACLED since round 10 (round-9 verdict task #3): the
+    recursion y_t = a*x_t + (1-a)*y_{t-1} has the closed form
+    y_n = (1-a)^(n-1)*x_1 + Σ_{t=2..n} a*(1-a)^(n-t)*x_t, which IS
+    SQL-expressible (row_number weights + a windowed sum), so the
+    DuckDB twin evaluates the closed form while Spark runs the
+    pandas recursion — a genuine cross-derivation check, not an
+    echo. The two folds differ in the last float bits, so the
+    published ewma_value is floored to cents on BOTH sides (the
+    verify-skill .xx5 gotcha's floor idiom); null values would make
+    pandas' ewm skip semantics diverge from the weighted sum, so
+    both sides filter them (testdata has none — the filter is a
+    contract, not a workaround)."""
     ensure_session_conf(spark)
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value")
+    ev = (read_table(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id", "value")
+          .filter(F.col("value").isNotNull()))
 
     def fold(pdf):
+        import math
+
         import pandas as pd
 
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
@@ -1778,7 +1792,7 @@ def user_value_ewma(spark: SparkSession, sf_dir: str,
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_events": [len(pdf)],
             "last_value": [float(pdf["value"].iloc[-1])],
-            "ewma_value": [float(ewma)],
+            "ewma_value": [math.floor(float(ewma) * 100.0) / 100.0],
         })
 
     out_schema = ("user_id long, n_events long, "
@@ -1787,7 +1801,28 @@ def user_value_ewma(spark: SparkSession, sf_dir: str,
             .orderBy("user_id"))
 
 
-QUERIES["user_value_ewma"] = user_value_ewma  # rows-only: sequential fold
+QUERIES["user_value_ewma"] = user_value_ewma
+
+ORACLE_SQL["user_value_ewma"] = f"""
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(any_value(n) AS BIGINT) AS n_events,
+           CAST(max(CASE WHEN rn = n THEN value END) AS DOUBLE)
+               AS last_value,
+           floor(sum(value * CASE WHEN rn = 1
+                       THEN pow(1.0 - {EWMA_ALPHA}, n - 1)
+                       ELSE {EWMA_ALPHA} * pow(1.0 - {EWMA_ALPHA}, n - rn)
+                     END) * 100.0) / 100.0 AS ewma_value
+    FROM ordered
+    GROUP BY user_id
+    ORDER BY user_id
+"""
 
 
 TOPK_PER_USER = 3

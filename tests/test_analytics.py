@@ -115,9 +115,12 @@ def test_user_value_ewma_matches_explicit_recursion(spark, tmp_path):
     out = {r["user_id"]: r for r in
            user_value_ewma(spark, str(tmp_path), alpha=0.5).collect()}
 
+    import math
+
     y = 10.0
     for x in (20.0, 30.0):
         y = 0.5 * x + 0.5 * y
-    assert abs(out[7]["ewma_value"] - y) < 1e-12
+    # published value is floored to cents (the hash-oracle contract)
+    assert abs(out[7]["ewma_value"] - math.floor(y * 100) / 100) < 1e-12
     assert out[7]["n_events"] == 3 and out[7]["last_value"] == 30.0
     assert out[8]["ewma_value"] == 5.0 and out[8]["n_events"] == 1
