@@ -509,20 +509,65 @@ ORACLE_SQL["table_stats_profile"] = """
 #     round-9 notes); the three former sf1-skip oracles
 #     (fuzzy_name_neighbors, embedding_neardup,
 #     semantic_dedup_clusters) additionally hash-verified at sf1.
+# Eleventh-wave rotation (round 10, per the round-9 verdict's tasks
+# #2/#5):
+#   * The 29 round-9 rotate-ins ALL STAY for their second green (the
+#     >=2-rounds bar the tenth wave's own policy note anticipated),
+#     as do date_axis_canary (permanent), int128_fetch_probe (one
+#     round of green history as the re-armed BIGINT contract), and
+#     the family representatives cdc_latest_state (CDC/SCD),
+#     user_erasure_audit (governance/privacy), hll_audience_overlap
+#     (sketches), streaming_user_totals_stateful (streaming) —
+#     retiring any of those four would leave its family with zero
+#     in-window representation.
+#   * 15 retirees, EVERY one holding the >=2-rounds-full-green bar
+#     (r8+r9, recomputed from the artifacts this session):
+#     monthly_sales_retract, revenue_cusum_changepoint (both
+#     double-attested post-rewrite — the r5-r7 red saga closes),
+#     order_value_ks_drift, calibration_reliability,
+#     order_value_equidepth, token_fertility_by_source,
+#     l_diversity_report, dp_noisy_nation_counts (privacy stays
+#     represented by user_erasure_audit), brand_triple_rules (the
+#     basket/recommender family stays via the three in-window
+#     copurchase entries), seasonal_naive_backtest (trend family
+#     gets THREE fresh entries below), frequent_event_trigrams,
+#     scd2_customer_history (cdc_latest_state keeps the family),
+#     snapshot_diff + table_stats_profile (warehouse family stays
+#     via compaction_invariant), cms_user_event_counts
+#     (hll_audience_overlap keeps sketches).
+#   * 15 rotate-ins from the 36-entry never-gated backlog (down to
+#     21): the whole remaining events tail (events_anomaly,
+#     events_dedup_batch — REWRITTEN this round to the epoch-micros
+#     bucket after the pre-rotation TZ rung caught its raw-TIMESTAMP
+#     output rendering through the process timezone —
+#     events_dow_hour_heatmap, events_value_histogram,
+#     event_pattern_conversions), the trend/seasonality family
+#     (daily_revenue_stl, revenue_trend_ols,
+#     monthly_seasonality_index), customer_retention_set_ops (the
+#     only set-ops entry), semantic_dedup_clusters,
+#     source_overlap_matrix, bpe_merge_pairs, ann_incremental_topk,
+#     order_percentile_ranks, revenue_attribution.
+#   * All 15 rotate-ins pre-verified this session at sf0.01 AND
+#     sf0.1 AND under SPARK_GRAFT_ORACLE_SHUFFLE=3 AND the
+#     pandas-fetch rung AND a TZ=America/Los_Angeles drive from
+#     /tmp; events_dedup_batch additionally hash-verified at sf1
+#     after its rewrite.
 GATE_PREFIX = (
     "date_axis_canary",
     "int128_fetch_probe",
-    "monthly_sales_retract",
-    "revenue_cusum_changepoint",
-    "order_value_ks_drift", "calibration_reliability",
-    "order_value_equidepth",
-    "token_fertility_by_source", "l_diversity_report",
-    "dp_noisy_nation_counts", "brand_triple_rules",
-    "seasonal_naive_backtest", "frequent_event_trigrams",
-    "scd2_customer_history", "cdc_latest_state",
-    "user_erasure_audit", "snapshot_diff", "table_stats_profile",
-    "cms_user_event_counts", "hll_audience_overlap",
+    "cdc_latest_state",
+    "user_erasure_audit",
+    "hll_audience_overlap",
     "streaming_user_totals_stateful",
+    "events_anomaly", "events_dedup_batch",
+    "events_dow_hour_heatmap", "events_value_histogram",
+    "event_pattern_conversions",
+    "daily_revenue_stl", "revenue_trend_ols",
+    "monthly_seasonality_index",
+    "customer_retention_set_ops",
+    "semantic_dedup_clusters", "source_overlap_matrix",
+    "bpe_merge_pairs", "ann_incremental_topk",
+    "order_percentile_ranks", "revenue_attribution",
     "events_wau", "events_cohort_retention",
     "events_funnel_windowed", "events_point_in_time_enrich",
     "events_key_skew", "events_stickiness", "events_hourly_gapfill",

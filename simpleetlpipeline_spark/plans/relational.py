@@ -807,20 +807,36 @@ ORACLE_SQL["order_percentile_ranks"] = """
 """
 
 
+#: 30-minute dedup window in micros (events_dedup_batch).
+DEDUP_WINDOW_US = 1_800_000_000
+
+
 def events_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming_event_dedup: within each 30-minute
     tumbling window, collapse repeated (user, event_type) activity to
     one canonical row (min event_id) plus the duplicate count — the
     backfill form of the same dedup the streaming state store runs
     live, so a replayed history and the live stream agree. One hash
-    aggregate; window bucketing is epoch-aligned arithmetic, no
-    session state."""
+    aggregate; no session state.
+
+    The bucket is published as RAW epoch micros (window_start_us),
+    not a TIMESTAMP: pyspark's collect() renders TIMESTAMP columns
+    through the PROCESS-local timezone (independent of the pinned
+    session timezone), so a raw-timestamp output reds under the
+    hostile-TZ ladder rung while the integer bucket is
+    tz-free-by-construction — the operators/dates.py idiom (caught
+    by the round-10 pre-rotation ladder). The bucketing itself is
+    pure integer arithmetic, equivalent to F.window('30 minutes')
+    .start for any timezone whose UTC offset is a 30-minute
+    multiple, and unlike F.window it cannot shift under a
+    Nepal-class (+5:45) session timezone."""
     ensure_session_conf(spark)
+    us = F.unix_micros(F.col("ts"))
     return (
         read_table(spark, sf_dir, "events")
         .groupBy(
-            F.window("ts", "30 minutes").getField("start")
-            .alias("window_start"),
+            (us - F.pmod(us, F.lit(DEDUP_WINDOW_US)))
+            .alias("window_start_us"),
             "user_id", "event_type")
         .agg(F.min("event_id").alias("event_id"),
              F.count(F.lit(1)).alias("n_occurrences"))
@@ -829,8 +845,9 @@ def events_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_dedup_batch"] = events_dedup_batch
 
-ORACLE_SQL["events_dedup_batch"] = """
-    SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+ORACLE_SQL["events_dedup_batch"] = f"""
+    SELECT epoch_us(ts) - epoch_us(ts) % {DEDUP_WINDOW_US}
+               AS window_start_us,
            user_id, event_type,
            min(event_id) AS event_id,
            count(*) AS n_occurrences
