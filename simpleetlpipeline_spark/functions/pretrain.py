@@ -374,11 +374,21 @@ def quality_bins(spark: SparkSession, sf_dir: str,
     For fixed THRESHOLD bins (no global ranks at all) use
     width_bucket-style arithmetic instead.
     """
+    from simpleetlpipeline_spark.cache import track
     from simpleetlpipeline_spark.functions.text import doc_stats
     from simpleetlpipeline_spark.operators.aggregates import (
         ntile_from_rank, two_pass_global_window)
 
-    stats = doc_stats(spark, sf_dir).select("doc_id", "quality_score")
+    # Persisted, deliberately: two_pass_global_window evaluates its
+    # input three times (min/max scalar pass, bucket-spine pass,
+    # final rank pass) — without the persist each pass re-tokenizes
+    # the whole corpus for the quality score (3x the linear term;
+    # the round-10 sf1-tail diagnosis). The cached projection is
+    # two columns (16 bytes/doc), exactly what you'd materialize on
+    # a real cluster before a global rank.
+    stats = track(
+        doc_stats(spark, sf_dir).select("doc_id", "quality_score")
+        .persist())
     ranked = two_pass_global_window(
         stats, "quality_score",
         [F.col("quality_score"), F.col("doc_id")],

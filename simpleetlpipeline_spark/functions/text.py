@@ -69,6 +69,128 @@ def adjacent_pairs_col(toks: Column) -> Column:
         lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")))
 
 
+def quality_score_col(toks: Column) -> Column:
+    """Quality heuristic as a pure column expression (single source
+    of truth for doc_stats AND the single-scan corpus_curate):
+    length factor min(1, n_tokens/50) times (1 - stopword_ratio),
+    truncated to 4dp."""
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
+    return (
+        F.floor(
+            F.least(F.lit(1.0), n_tokens / F.lit(50.0))
+            * (1 - stop_hits / n_tokens) * 10000
+        ) / 10000
+    )
+
+
+def _lang_argmax(hits: dict[str, Column]) -> Column:
+    """Argmax over per-language marker-hit columns, alphabetical
+    tiebreak, 'unknown' when no marker hits."""
+    best = F.greatest(*hits.values())
+    detected = F.lit("unknown")
+    # reverse alphabetical when-chain => earliest alphabetical lang
+    # wins ties (each later `when` overrides in build order).
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        detected = F.when(
+            (hits[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(detected)
+    return detected
+
+
+def detected_lang_col(toks: Column) -> Column:
+    """Heuristic language-ID as a pure column expression: stopword-
+    marker hit counts per language, argmax with alphabetical
+    tiebreak ('unknown' when no marker hits). Narrow (no shuffle),
+    but each hit count is an interpreted higher-order filter —
+    prefer doc_token_profile when several counts are needed over a
+    large corpus."""
+    # NB: higher-order-function lambdas must be unary — PySpark binds
+    # extra (default) parameters to the element index, so closures are
+    # captured via a factory instead of default args.
+    def _marker_pred(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    hits = {
+        lang: F.size(F.filter(toks, _marker_pred(markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    return _lang_argmax(hits)
+
+
+def doc_token_profile(docs: DataFrame,
+                      extra: dict[str, Column] | None = None) -> DataFrame:
+    """Per-document token profile — n_tokens, stopword hits,
+    per-language marker hits, detected_lang, quality_score — via
+    explode + codegen'd IN-set aggregation instead of per-row
+    higher-order filter() lambdas.
+
+    Why (round-10 sf1-tail diagnosis): Spark's array higher-order
+    functions are interpreted (CodegenFallback) and share no
+    subexpressions, so six filter(toks, isin) counts evaluate
+    ~7 µs/doc of interpreted scan per expression — 3.4 s of pure
+    per-token CPU across the sf1 corpus, the LINEAR term that
+    dominated corpus_curate/pretrain_prepare_report/quality_bins at
+    scale. This form stays inside whole-stage codegen end to end:
+    scan -> split once -> explode -> hash-agg keyed on doc_id whose
+    partial (map-side) combine collapses the token fan-out BEFORE
+    the shuffle, so the exchange carries one small row per document
+    no matter the corpus size. Measured sf1: 3.4 s -> 1.5 s for the
+    six-count profile, identical values.
+
+    `extra` carries precomputed per-doc columns (e.g. an md5
+    fingerprint) through the aggregation as ADDITIONAL GROUP KEYS
+    (they are functionally dependent on doc_id, so grouping is
+    unchanged) — they ride the codegen pipeline, never a second
+    scan or join. Keys, NOT max() aggregates, deliberately: a
+    string-typed aggregate buffer (max(md5)) is ineligible for
+    HashAggregate and silently demotes the whole plan to
+    SortAggregate — a full sort of the exploded token stream, 28 s
+    vs 1.5 s at sf1 (measured round 10); string GROUP KEYS live in
+    the UnsafeRow key and keep HashAggregate."""
+    extra = extra or {}
+    # Two-step select, deliberately: expressions in the SAME select
+    # as an explode() are planned in the Project ABOVE the Generate
+    # and re-evaluate once per EXPLODED row — md5(text) per token is
+    # 50M hashes of the full document at sf1 (~28 s, measured).
+    # Aliasing the token array and the per-doc expressions first
+    # pins them below the Generate (once per document); the
+    # exploded stream then carries only the small computed columns,
+    # and column pruning drops `text` before the fan-out.
+    pre = docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in extra.items()],
+        tokens_col(F.col("text")).alias("__toks"))
+    ex = pre.select(
+        "doc_id", *extra,
+        F.size("__toks").cast("long").alias("__nt"),
+        F.explode_outer("__toks").alias("__t"))
+    hit_aggs = [
+        F.sum(F.when(F.col("__t").isin(*markers), 1).otherwise(0))
+        .cast("long").alias(f"hits_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    prof = ex.groupBy("doc_id", *extra).agg(
+        F.max("__nt").alias("n_tokens"),
+        F.sum(F.when(F.col("__t").isin(*STOPWORDS), 1).otherwise(0))
+        .cast("long").alias("n_stopwords"),
+        *hit_aggs)
+    n, stop = F.col("n_tokens"), F.col("n_stopwords")
+    quality = (
+        F.floor(
+            F.least(F.lit(1.0), n / F.lit(50.0))
+            * (1 - stop / n) * 10000
+        ) / 10000
+    )
+    hits = {lang: F.col(f"hits_{lang}") for lang in LANG_MARKERS}
+    return prof.select(
+        "doc_id", *extra, "n_tokens", "n_stopwords",
+        *[f"hits_{lang}" for lang in LANG_MARKERS],
+        quality.alias("quality_score"),
+        _lang_argmax(hits).alias("detected_lang"))
+
+
 def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document statistics + quality score.
 
@@ -84,12 +206,7 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long")
     chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
     stop_ratio = F.floor(stop_hits / n_tokens * 10000) / 10000
-    quality = (
-        F.floor(
-            F.least(F.lit(1.0), n_tokens / F.lit(50.0))
-            * (1 - stop_hits / n_tokens) * 10000
-        ) / 10000
-    )
+    quality = quality_score_col(toks)
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
@@ -123,30 +240,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_session_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    # NB: higher-order-function lambdas must be unary — PySpark binds
-    # extra (default) parameters to the element index, so closures are
-    # captured via a factory instead of default args.
-    def _marker_pred(markers: tuple[str, ...]):
-        return lambda t: t.isin(*markers)
-
-    hits = {
-        lang: F.size(F.filter(toks, _marker_pred(markers))).cast("long")
-        for lang, markers in LANG_MARKERS.items()
-    }
-    df = docs.select("doc_id", "lang", *[hits[x].alias(f"hits_{x}") for x in hits])
-    best = F.greatest(*[F.col(f"hits_{x}") for x in LANG_MARKERS])
-    detected = F.lit("unknown")
-    # reverse alphabetical when-chain => earliest alphabetical lang
-    # wins ties (each later `when` overrides in build order).
-    for lang in sorted(LANG_MARKERS, reverse=True):
-        detected = F.when(
-            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(detected)
-    return df.select(
+    return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        detected.alias("detected_lang"),
+        detected_lang_col(tokens_col(F.col("text")))
+        .alias("detected_lang"),
     )
 
 

@@ -11,9 +11,44 @@ from pyspark.sql import functions as F
 from simpleetlpipeline_spark.functions import multimodal as M
 
 
-def test_decode_media_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        M.decode_media(b"\x89PNG...", "image")
+def test_decode_media_rejects_compressed_containers():
+    """Formats needing codec libraries refuse explicitly (no
+    plausible-but-wrong decode); BMP/WAV are the real tier."""
+    with pytest.raises(ValueError, match="unsupported media container"):
+        M.decode_media(b"\x89PNG..." + b"\x00" * 60, "image")
+
+
+def test_decode_bmp_wav_roundtrip():
+    """Real-decode tier: encode -> decode recovers exact pixel and
+    sample bytes, including row-stride padding and bottom-up order
+    (pixels come back TOP-row-major) and the WAV RIFF chunk walk."""
+    import numpy as np
+
+    data = bytes(range(32, 32 + M.BMP_W * M.BMP_H * 3))
+    img = M.decode_media(M._encode_bmp(data))
+    assert img["kind"] == "image"
+    assert (img["width"], img["height"]) == (M.BMP_W, M.BMP_H)
+    assert img["pixels"].reshape(-1).tobytes() == data
+
+    # short payload zero-pads
+    assert int(M.decode_media(
+        M._encode_bmp(b"ab"))["pixels"].sum()) == ord("a") + ord("b")
+
+    wav = M.decode_media(M._encode_wav(bytes(range(40, 104))))
+    assert wav["kind"] == "audio"
+    assert wav["sample_rate"] == M.WAV_RATE
+    assert wav["n_channels"] == 1
+    assert np.array_equal(
+        wav["samples"][:64],
+        np.arange(40, 104, dtype=np.int16))
+
+    # non-PCM WAV refuses rather than mis-decoding
+    import struct
+
+    blob = bytearray(M._encode_wav(b"xy"))
+    struct.pack_into("<H", blob, 20, 3)  # fmt 3 = IEEE float
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        M.decode_wav(bytes(blob))
 
 
 def test_media_table_schema(spark, sf_dir):
