@@ -2,9 +2,10 @@
 
 The flagship composition for the 100 TB framing: the quality filter,
 language filter, exact dedup, and near-dup removal that a large-scale
-training-data pipeline chains in front of tokenization — built
-entirely from this engine's oracled operators (text.doc_stats,
-text.lang_id, text.doc_fingerprint, dedup.dedup_clusters).
+training-data pipeline chains in front of tokenization — the same
+arithmetic as the oracled doc_stats/lang_id/doc_fingerprint
+operators, evaluated in one pass via text.doc_token_profile (plus
+dedup.dedup_clusters for the near-dup variant).
 
 corpus_curate        — deterministic, fully SQL-expressible stages
                        (quality >= threshold, detected 'en', keep the
