@@ -315,12 +315,20 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event rollup — the idiomatic upgrade of the
     reference's 24h monitoring aggregate (main.py:820-851) using
     window() bucketing (streaming-compatible shape).
+
+    The bucket is published as raw epoch micros (window_start_us),
+    not TIMESTAMP: pyspark collect() renders TIMESTAMP through the
+    PROCESS-local timezone regardless of the pinned session
+    timezone, the render-layer class the round-10 hostile-TZ rung
+    caught on events_dedup_batch (banned catalog-wide by
+    tests/test_oracle_types.py).
     """
     ensure_session_conf(spark)
     return (
         read_table(spark, sf_dir, "events")
         .groupBy(
-            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            F.unix_micros(F.window("ts", "1 hour").getField("start"))
+            .alias("window_start_us"),
             "event_type",
         )
         .agg(
@@ -375,8 +383,10 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sessions.groupBy("user_id", "session_id")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            # raw epoch micros, not TIMESTAMP (the collect()
+            # process-TZ render class — see events_hourly)
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
@@ -512,7 +522,7 @@ ORACLE_SQL = {
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
     "events_hourly": """
-        SELECT date_trunc('hour', ts) AS window_start,
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
                event_type,
                count(*) AS n_events,
                round(sum(value), 2) AS total_value
@@ -542,8 +552,8 @@ ORACLE_SQL = {
             FROM flagged
         )
         SELECT user_id, session_id,
-               min(ts) AS session_start,
-               max(ts) AS session_end,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) AS session_end_us,
                count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM sess

@@ -219,7 +219,10 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("user_id").agg(last)
         .select("user_id",
-                F.col("last.ts").alias("last_ts"),
+                # raw epoch micros, not TIMESTAMP (collect() renders
+                # TIMESTAMP via the process timezone — the class
+                # banned by tests/test_oracle_types.py)
+                F.unix_micros(F.col("last.ts")).alias("last_ts_us"),
                 F.col("last.event_id").alias("event_id"),
                 F.col("last.event_type").alias("event_type"),
                 F.col("last.value").alias("event_value"))
@@ -311,8 +314,8 @@ ORACLE_SQL = {
         LIMIT {COPURCHASE_TOP_N}
     """,
     "latest_event_per_user": """
-        SELECT user_id, ts AS last_ts, event_id, event_type,
-               value AS event_value
+        SELECT user_id, epoch_us(ts) AS last_ts_us, event_id,
+               event_type, value AS event_value
         FROM events
         QUALIFY row_number() OVER (
             PARTITION BY user_id

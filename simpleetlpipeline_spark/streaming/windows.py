@@ -120,7 +120,11 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.col("window.start").alias("window_start"),
+            # raw epoch micros, not TIMESTAMP: pyspark collect()
+            # renders TIMESTAMP via the process-local timezone (the
+            # class banned by tests/test_oracle_types.py)
+            F.unix_micros(F.col("window.start"))
+            .alias("window_start_us"),
             "event_type", "n_events", "total_value",
         )
     )
@@ -138,7 +142,8 @@ def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .select(F.col("window.start").alias("window_start"),
+        .select(F.unix_micros(F.col("window.start"))
+                .alias("window_start_us"),
                 "n_events", "total_value")
     )
     return run_stream_to_df(agg)
@@ -155,8 +160,10 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
         .select(
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
+            F.unix_micros(F.col("session_window.start"))
+            .alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end"))
+            .alias("session_end_us"),
             "user_id", "n_events", "total_value",
         )
     )
@@ -266,7 +273,7 @@ ORACLE_SQL = {
         GROUP BY 1
     """,
     "streaming_events_hourly": """
-        SELECT date_trunc('hour', ts) AS window_start,
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
                event_type,
                count(*) AS n_events,
                round(sum(value), 2) AS total_value
@@ -282,7 +289,7 @@ ORACLE_SQL = {
             UNION ALL
             SELECT tb - INTERVAL 30 MINUTE AS window_start, value FROM buckets
         )
-        SELECT window_start,
+        SELECT epoch_us(window_start) AS window_start_us,
                count(*) AS n_events,
                round(sum(value), 2) AS total_value
         FROM contrib
@@ -301,8 +308,9 @@ ORACLE_SQL = {
                                   ROWS UNBOUNDED PRECEDING) AS sid
             FROM ordered
         )
-        SELECT min(ts) AS session_start,
-               max(ts) + INTERVAL 30 MINUTE AS session_end,
+        SELECT epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts) + INTERVAL 30 MINUTE)
+                   AS session_end_us,
                user_id,
                count(*) AS n_events,
                round(sum(value), 2) AS total_value

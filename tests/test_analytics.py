@@ -72,7 +72,7 @@ def test_validation_rules_report_only(spark, sf_dir):
 
 def test_sessionization_invariants(spark, sf_dir):
     rows = QUERIES["events_sessionization"](spark, sf_dir).collect()
-    assert all(r["session_start"] <= r["session_end"] for r in rows)
+    assert all(r["session_start_us"] <= r["session_end_us"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
     # session ids are dense per user starting at 1
     by_user = {}

@@ -166,3 +166,37 @@ def test_pandas_fetch_emulation_still_detects_int128(spark, duck, sf_dir):
                  "retract_delta_canary", "cusum_daily_canary",
                  "hybrid_rrf_search"):
         assert compare(name), f"{name} diverges under dataframe fetch"
+
+
+def test_no_timestamp_outputs_in_spark_schemas(spark, sf_dir):
+    """Render-layer ban (round 10): pyspark collect() converts a
+    TIMESTAMP output to a naive datetime via the PYTHON PROCESS
+    timezone — independent of the pinned session timezone — while
+    DuckDB fetches naive UTC, so any raw-timestamp output hash-reds
+    the moment the harness process runs outside UTC (caught live by
+    the round-10 hostile-TZ rung on events_dedup_batch). Publish
+    raw epoch micros (unix_micros / epoch_us) or calendar labels
+    derived via operators/dates.py instead. DATE outputs stay legal:
+    both engines fetch them as calendar days with no tz conversion
+    (multi-round driver-green history on DATE columns).
+
+    Streaming entries are covered by tests/test_streaming.py (they
+    execute a real stream per construction, too slow to rebuild
+    here); the construction-side-effect trio is skipped as in the
+    sibling bans."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from simpleetlpipeline_spark.plans.catalog import QUERIES
+
+    skip = {"etl_pipeline_run", "user_erasure_audit",
+            "bpe_train_merges"}
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name in skip or name.startswith("streaming_"):
+            continue
+        bad = [f.name for f in fn(spark, sf_dir).schema.fields
+               if isinstance(f.dataType,
+                             (TimestampType, TimestampNTZType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"raw TIMESTAMP outputs: {offenders}"

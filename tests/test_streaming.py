@@ -12,11 +12,11 @@ from simpleetlpipeline_spark.streaming import windows as W
 
 def test_streaming_hourly_equals_batch(spark, sf_dir):
     got = {
-        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in W.streaming_events_hourly(spark, sf_dir).collect()
     }
     want = {
-        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in BATCH["events_hourly"](spark, sf_dir).collect()
     }
     assert got == want
@@ -36,7 +36,7 @@ def test_streaming_sliding_double_counts(spark, sf_dir):
 def test_streaming_sessions_invariants(spark, sf_dir):
     rows = W.streaming_user_sessions(spark, sf_dir).collect()
     assert rows
-    assert all(r["session_start"] < r["session_end"] for r in rows)
+    assert all(r["session_start_us"] < r["session_end_us"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
 
 
