@@ -561,3 +561,41 @@ def test_parameterized_oracle_parity(spark, sf_dir):
         assert len(srows) == len(drows) and srows, sql
         for rs, rd in zip(srows, drows):
             assert [str(v) for v in rs] == [str(v) for v in rd]
+
+
+def test_doc_token_profile_matches_narrow_operators(spark, sf_dir):
+    """Cross-implementation parity: the explode+codegen-agg profile
+    (round 10's scale path) must agree exactly with the narrow
+    column-expression operators it replaces in corpus pipelines —
+    doc_stats quality arithmetic and lang_id's argmax — on every
+    document. Any drift between the two evaluation strategies
+    (HOF filter counts vs IN-set aggregation) is a correctness bug,
+    not a perf trade."""
+    from pyspark.sql import functions as F
+
+    from simpleetlpipeline_spark.functions.text import (
+        doc_stats,
+        doc_token_profile,
+        lang_id,
+    )
+    from simpleetlpipeline_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    prof = {r["doc_id"]: r for r in doc_token_profile(
+        docs, extra={"md5_fingerprint":
+                     F.md5(F.col("text").cast("binary"))}).collect()}
+    stats = {r["doc_id"]: r for r in doc_stats(spark, sf_dir).collect()}
+    langs = {r["doc_id"]: r for r in lang_id(spark, sf_dir).collect()}
+    md5s = {r["doc_id"]: r["md5_fingerprint"]
+            for r in docs.select(
+                "doc_id",
+                F.md5(F.col("text").cast("binary"))
+                .alias("md5_fingerprint")).collect()}
+
+    assert set(prof) == set(stats) == set(langs)
+    for did, p in prof.items():
+        assert p["n_tokens"] == stats[did]["n_tokens"]
+        assert p["n_stopwords"] == stats[did]["n_stopwords"]
+        assert p["quality_score"] == stats[did]["quality_score"]
+        assert p["detected_lang"] == langs[did]["detected_lang"]
+        assert p["md5_fingerprint"] == md5s[did]
