@@ -406,8 +406,14 @@ def pretrain_prepare_report(spark: SparkSession, sf_dir: str,
     # codegen IN-set agg, md5 carried through the aggregation),
     # replacing the former doc_stats ⋈ lang_id ⋈ doc_fingerprint
     # three-scan, two-shuffle join block.
+    from simpleetlpipeline_spark.cache import track
+
     docs = read_table(spark, sf_dir, "documents")
-    enriched = (
+    # Persisted: the funnel aggregate and the dedup/split branch
+    # both consume this frame — without the persist each branch
+    # re-runs the profile's corpus pass. The cached projection is a
+    # few small columns per document.
+    enriched = track(
         doc_token_profile(
             docs,
             extra={"md5_fingerprint":
@@ -415,7 +421,8 @@ def pretrain_prepare_report(spark: SparkSession, sf_dir: str,
         .select("doc_id", "n_tokens", "md5_fingerprint",
                 (F.col("quality_score") >= QUALITY_THRESHOLD)
                 .alias("q_ok"),
-                (F.col("detected_lang") == KEEP_LANG).alias("l_ok")))
+                (F.col("detected_lang") == KEEP_LANG).alias("l_ok"))
+        .persist())
     funnel = enriched.agg(
         F.count(F.lit(1)).alias("n_input"),
         F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).alias("n_quality"),

@@ -170,7 +170,27 @@ def register_jsonl_events(spark) -> None:
     Python-source filter pushdown ships behind a conf flag (off by
     default in Spark 4.1); a reader that implements pushFilters()
     hard-errors without it, so registration turns it on (runtime-
-    settable SQL conf)."""
+    settable SQL conf).
+
+    Pickle-by-value registration (round 10): the STREAMING data
+    source is deserialized inside python_streaming_source_runner —
+    a driver-side Python process the JVM spawns whose sys.path does
+    NOT include the harness cwd or addPyFile zips (unlike executor
+    workers), so a by-reference cloudpickle of these classes raises
+    ModuleNotFoundError whenever the harness runs outside the repo
+    root (caught by the round-10 full-catalog TZ drive from /tmp).
+    Registering this module for pickle-by-value makes the payload
+    self-contained — nothing in the class bodies references the
+    package, so the closure stays small. NB: it must be pyspark's
+    VENDORED cloudpickle (pyspark.cloudpickle) — registering with
+    the standalone cloudpickle package is a silent no-op because
+    CloudPickleSerializer never consults it (a 72-byte by-reference
+    payload instead of the ~21 KB by-value one)."""
+    from pyspark import cloudpickle
+
+    import simpleetlpipeline_spark.sources as _self
+
+    cloudpickle.register_pickle_by_value(_self)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlEventsDataSource)
 
