@@ -255,30 +255,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     10 docs, not the corpus), so cost is linear in corpus size.
     Shingle explode -> equi-join on shingle -> per-pair common count
     -> |A∩B| / (|A|+|B|-|A∩B|).
-    """
-    ensure_session_conf(spark)
-    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
-        "doc_id", word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
-    sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
 
-    corpus = docs.select(
-        F.col("doc_id").alias("b_id"), F.explode("grams").alias("g"))
+    One gram evaluation per side (round 10): the gram-set sizes ride
+    the explode as GROUP KEYS instead of a separate `sizes` frame
+    joined back — the former b_n join re-ran the whole corpus gram
+    chain (the chained-HOF hashing is the expensive term) and added
+    a corpus-scale join just to fetch an int. n_grams is computed in
+    the projection BELOW the Generate so it can't be re-planned
+    per-exploded-row."""
+    ensure_session_conf(spark)
+    pre = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
+    pre = pre.select(
+        "doc_id", "grams", F.size("grams").alias("n_grams"))
+
+    corpus = pre.select(
+        F.col("doc_id").alias("b_id"), F.col("n_grams").alias("b_n"),
+        F.explode("grams").alias("g"))
     probes = (
-        docs.filter(F.col("doc_id") < n_probes)
-        .select(F.col("doc_id").alias("a_id"), F.explode("grams").alias("g"))
+        pre.filter(F.col("doc_id") < n_probes)
+        .select(F.col("doc_id").alias("a_id"),
+                F.col("n_grams").alias("a_n"),
+                F.explode("grams").alias("g"))
     )
     common = (
         corpus.join(F.broadcast(probes), "g")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
+        .groupBy("a_id", "b_id", "a_n", "b_n")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    a_sz = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_grams").alias("a_n"))
-    b_sz = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_grams").alias("b_n"))
     jac = F.col("n_common") / (F.col("a_n") + F.col("b_n") - F.col("n_common"))
     return (
-        common.join(F.broadcast(a_sz), "a_id").join(b_sz, "b_id")
-        .withColumn("jaccard", F.floor(jac * 10000) / 10000)
+        common.withColumn("jaccard", F.floor(jac * 10000) / 10000)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_common", "jaccard")
     )

@@ -137,7 +137,15 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by high-cardinality doc_id, linear at any scale. Bigram
     identity uses the same 64-bit gram-hash equivalence as the dedup
     oracles (functions/dedup.py:word_ngram_hashes_col).
-    """
+
+    Single-pass since round 10: the per-doc scalars (ttr,
+    dup_bigram_frac, n_tokens) ride the explode aggregation as
+    GROUP KEYS instead of a second evaluation of the base
+    projection joined back on doc_id — that join cost a third
+    shuffle plus a duplicate tokenize/distinct/bigram-hash pass of
+    the corpus (the doc_token_profile pattern; keys not aggregates
+    so HashAggregate survives, child-projection placement so the
+    per-doc exprs are computed below the Generate)."""
     ensure_session_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
@@ -153,15 +161,17 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.greatest(n - 1, F.lit(1))) * 10000) / 10000)
         .alias("dup_bigram_frac"),
     )
-    top = (
-        base.select("doc_id", "n_tokens", F.explode("toks").alias("t"))
-        .groupBy("doc_id", "n_tokens", "t").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n_tokens").agg(F.max("c").alias("top_cnt"))
-        .select("doc_id",
-                (F.floor(F.col("top_cnt") / F.col("n_tokens") * 10000)
-                 / 10000).alias("top_token_frac"))
+    keys = ["doc_id", "n_tokens", "type_token_ratio",
+            "dup_bigram_frac"]
+    out = (
+        base.select(*keys, F.explode("toks").alias("t"))
+        .groupBy(*keys, "t").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(*keys).agg(F.max("c").alias("top_cnt"))
+        .withColumn(
+            "top_token_frac",
+            F.floor(F.col("top_cnt") / F.col("n_tokens") * 10000)
+            / 10000)
     )
-    out = base.drop("toks").join(top, "doc_id")
     repetitive = (
         (F.col("top_token_frac") > REP_MAX_TOP_FRAC)
         | (F.col("type_token_ratio") < REP_MIN_TTR)

@@ -1320,36 +1320,52 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-ratios via BIGINT div (F1 from the direct integer identity
     2*tp / (2*tp + fp + fn) — no float P/R intermediates).
 
-    Shape: ONE documents scan computes (score_m4, gopher_pass) per
-    doc, a map-side-combined aggregate collapses to the <= 10k x 2
-    (score, label) SPINE, and the 10-threshold grid cross-joins the
-    spine — the corpus never replicates per threshold (the naive
-    explode-per-threshold form pushes T x corpus rows through the
-    shuffle)."""
+    Shape: ONE documents scan computes the per-token counts for BOTH
+    rules via explode + codegen'd IN-set aggregation (round 10: the
+    original five interpreted higher-order filter() counts were the
+    dominant linear term at sf1 — the doc_token_profile diagnosis),
+    a second map-side-combined aggregate collapses the per-doc rows
+    to the <= 10k x 2 (score, label) SPINE, and the 10-threshold
+    grid cross-joins the spine — the corpus never replicates per
+    threshold (the naive explode-per-threshold form pushes T x
+    corpus rows through the shuffle)."""
     ensure_session_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
 
+    # One explode pass feeds BOTH rules' token counts; the per-doc
+    # scalar (whitespace-stripped length) rides as a group key.
+    total_len = F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                          r"\s+", ""))
+    pre = docs.select(
+        "doc_id", total_len.alias("__len"),
+        tokens_col(F.col("text")).alias("__toks"))
+    t = F.col("__t")
+    nonempty = t != ""
+    per_doc = (
+        pre.select("doc_id", "__len", F.explode_outer("__toks").alias("__t"))
+        .groupBy("doc_id", "__len")
+        .agg(F.count(F.lit(1)).alias("n_q"),
+             F.sum(F.when(t.isin(*STOPWORDS), 1).otherwise(0))
+             .alias("stop_q"),
+             F.sum(F.when(nonempty, 1).otherwise(0)).alias("n_g"),
+             F.sum(F.when(t.isin(*_GOPHER_STOPWORDS), 1).otherwise(0))
+             .alias("n_stop_g"),
+             F.sum(F.when(
+                 nonempty
+                 & (F.length(F.translate(t, "0123456789", "")) == 0),
+                 1).otherwise(0)).alias("n_num")))
+
     # doc_stats' quality formula, verbatim, as the exact 4dp integer.
-    toks_q = tokens_col(F.col("text"))
-    n_q = F.size(toks_q).cast("long")
-    stop_q = F.size(
-        F.filter(toks_q, lambda t: t.isin(*STOPWORDS))).cast("long")
+    n_q, stop_q = F.col("n_q"), F.col("stop_q")
     score_m4 = F.floor(
         F.least(F.lit(1.0), n_q / F.lit(50.0))
         * (1 - stop_q / n_q) * 10000).cast("long")
 
     # gopher_quality_flags' pass rule, verbatim.
-    toks_g = F.filter(tokens_col(F.col("text")), lambda t: t != "")
-    n_g = F.size(toks_g)
-    total_len = F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))),
-                                          r"\s+", ""))
-    n_stop_g = F.size(F.filter(
-        toks_g, lambda t: t.isin(*_GOPHER_STOPWORDS)))
-    n_num = F.size(F.filter(
-        toks_g, lambda t: F.length(F.translate(t, "0123456789", "")) == 0))
-    mean_len = F.floor(total_len / n_g * 10000) / 10000
-    stop_frac = F.floor(n_stop_g / n_g * 10000) / 10000
-    num_frac = F.floor(n_num / n_g * 10000) / 10000
+    n_g = F.col("n_g")
+    mean_len = F.floor(F.col("__len") / n_g * 10000) / 10000
+    stop_frac = F.floor(F.col("n_stop_g") / n_g * 10000) / 10000
+    num_frac = F.floor(F.col("n_num") / n_g * 10000) / 10000
     gopher_pass = (
         (n_g >= GOPHER_MIN_WORDS) & (n_g <= GOPHER_MAX_WORDS)
         & (mean_len >= GOPHER_MIN_MEAN_LEN)
@@ -1357,8 +1373,8 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (stop_frac >= GOPHER_MIN_STOPWORD_FRAC)
         & (num_frac <= GOPHER_MAX_NUMERIC_FRAC))
 
-    spine = (docs.select(score_m4.alias("score_m4"),
-                         gopher_pass.alias("is_pass"))
+    spine = (per_doc.select(score_m4.alias("score_m4"),
+                            gopher_pass.alias("is_pass"))
              .groupBy("score_m4", "is_pass")
              .agg(F.count(F.lit(1)).alias("n")))
     grid = (spark.range(1)
