@@ -42,7 +42,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.operators.dates import ts_lit
-from simpleetlpipeline_spark.functions.dedup import word_ngram_hashes_col
 from simpleetlpipeline_spark.functions.similarity import as_double_vec
 from simpleetlpipeline_spark.functions.text import tokens_col
 from simpleetlpipeline_spark.io import fan_out, read_table
@@ -149,15 +148,34 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    bigrams = word_ngram_hashes_col(F.col("text"), 2)
     n = F.size(toks).cast("long")
+    # Distinct-bigram count in ONE interpreted pass (round 10):
+    # word_ngram_hashes_col costs three higher-order passes per doc
+    # (transform-hash + zip_with + null-filter), and interpreted HOF
+    # passes were this query's dominant linear term at sf1. Hashing
+    # the token-string pairs directly in a single zip_with leaves
+    # exactly one trailing null (zip_with pads the 1-shorter slice),
+    # and array_distinct counts null once — so
+    # size(array_distinct(g)) - 1 IS the distinct non-null bigram
+    # count, no filter pass needed. Hash-function change is
+    # unobservable: only counts are published, and 64-bit pair-hash
+    # equality coincides with bigram equality modulo 2^-64 exactly
+    # as before. Short docs (<2 tokens) have one whole-doc gram in
+    # the word_ngram_hashes_col convention -> dup fraction 0.
+    pair_hashes = F.zip_with(
+        toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+        lambda a, b: F.when(a.isNull() | b.isNull(),
+                            F.lit(None)).otherwise(F.xxhash64(a, b)))
+    n_distinct_bigrams = F.when(
+        n >= 2, F.size(F.array_distinct(pair_hashes)) - 1
+    ).otherwise(F.lit(1))
     base = docs.select(
         "doc_id", toks.alias("toks"), n.alias("n_tokens"),
         (F.floor(F.size(F.array_distinct(toks)) / n * 10000) / 10000)
         .alias("type_token_ratio"),
         # distinct gram hashes / total grams; short docs (1 bigram)
         # trivially 1.0 -> dup fraction 0
-        (F.floor((1 - F.size(bigrams)
+        (F.floor((1 - n_distinct_bigrams
                   / F.greatest(n - 1, F.lit(1))) * 10000) / 10000)
         .alias("dup_bigram_frac"),
     )
