@@ -777,18 +777,25 @@ ORACLE_SQL["media_decode_report"] = f"""
                 ELSE {WAV_N_SAMPLES} END AS BIGINT) AS n_units,
            CAST(CASE WHEN doc_id % 2 = 0 THEN {_BMP_BYTES}
                 ELSE {_WAV_BYTES} END AS BIGINT) AS payload_bytes,
-           CAST(list_sum(list_transform(
+           CAST(coalesce(list_sum(list_transform(
                     range(1, least(CASE WHEN doc_id % 2 = 0
                                         THEN {_BMP_PX}
                                         ELSE {WAV_N_SAMPLES} END,
                                    length(text)) + 1),
-                    i -> unicode(substr(text, CAST(i AS INT), 1))))
+                    i -> unicode(substr(text, CAST(i AS INT), 1)))), 0)
                AS BIGINT) AS content_sum,
-           CAST(list_sum(list_transform(
+           CAST(coalesce(list_sum(list_transform(
                     range(1, least(CASE WHEN doc_id % 2 = 0
                                         THEN 3 ELSE 1 END,
                                    length(text)) + 1),
-                    i -> unicode(substr(text, CAST(i AS INT), 1))))
+                    i -> unicode(substr(text, CAST(i AS INT), 1)))), 0)
                AS BIGINT) AS first_unit
     FROM documents
 """
+# coalesce(..., 0): list_sum over range(1, 1) (empty text) is NULL in
+# DuckDB while the Spark side sums zero-padded pixels/samples to 0.
+# The unicode(substr(...)) byte model additionally assumes an ASCII
+# corpus (codepoint == byte) — asserted for the fixture by
+# tests/test_multimodal.py::test_documents_fixture_is_ascii, so a
+# non-ASCII corpus regeneration fails loudly there instead of
+# hash-redding here.

@@ -128,67 +128,90 @@ REP_MAX_DUP_BIGRAM = 0.5
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition profile.
 
-    type_token_ratio and dup_bigram_frac come from array HOFs on the
-    tokenized doc (docs are <=100 tokens; O(n) JVM work per row, no
-    shuffle). top_token_frac needs a per-doc mode, which HOFs would
-    make O(n^2) interpreted — instead explode -> count(doc_id, token)
-    -> max per doc: two hash aggregates with map-side combine, both
-    keyed by high-cardinality doc_id, linear at any scale. Bigram
-    identity uses the same 64-bit gram-hash equivalence as the dedup
-    oracles (functions/dedup.py:word_ngram_hashes_col).
+    SHUFFLE-FREE since round 11: the per-doc mode count (top_cnt)
+    is the maximum run length of the SORTED token array — equal
+    tokens are adjacent after array_sort — so one codegen'd sort
+    plus one O(n) F.aggregate run-length fold replaces the round-10
+    explode -> count(doc, token) -> max-per-doc pair of hash
+    aggregates. That pair shuffled one row per TOKEN (n_docs x
+    ~n_tokens rows, doc_id plus three per-doc doubles riding as
+    group keys) through two exchanges; at sf1 that shuffle was the
+    catalog's worst super-linear term (ratio 5.57). The narrow form
+    is a pure per-row projection: zero exchanges, perfectly linear,
+    and exact string-equality semantics (no hash equivalence), so
+    the DuckDB oracle — which computes the true mode via
+    unnest+count — is unchanged. Bigram identity still uses 64-bit
+    pair hashes (counts published, not grams; dedup.py convention).
 
-    Single-pass since round 10: the per-doc scalars (ttr,
-    dup_bigram_frac, n_tokens) ride the explode aggregation as
-    GROUP KEYS instead of a second evaluation of the base
-    projection joined back on doc_id — that join cost a third
-    shuffle plus a duplicate tokenize/distinct/bigram-hash pass of
-    the corpus (the doc_token_profile pattern; keys not aggregates
-    so HashAggregate survives, child-projection placement so the
-    per-doc exprs are computed below the Generate)."""
+    Docs are <=100 tokens, so the interpreted aggregate fold is a
+    bounded ~100-step lambda per row — the same budget the existing
+    zip_with bigram pass already spends (the round-10 lesson:
+    interpreted HOF passes are a LINEAR per-row cost; the thing to
+    kill at scale is the shuffle, not the lambda)."""
     ensure_session_conf(spark)
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    n = F.size(toks).cast("long")
+
+    # Mode count = longest equal-run in the sorted array. The fold
+    # state is (prev token, current run, best run); a NULL initial
+    # prev never equals a real token, so the first element opens a
+    # run of 1 through the otherwise branch.
+    def _run_step(acc, x):
+        run = (F.when(x == acc.getField("prev"),
+                      acc.getField("run") + 1)
+               .otherwise(F.lit(1).cast("long")))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"))
+
+    top_cnt = F.aggregate(
+        F.array_sort(F.col("toks")),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("long").alias("run"),
+                 F.lit(0).cast("long").alias("best")),
+        _run_step,
+        lambda acc: acc.getField("best"))
+
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        # empty docs carry no mode; the oracle's unnest+join drops
+        # them too (the fixture has none — contract, not workaround)
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.col("toks"),
+            top_cnt.alias("top_cnt"))
+    )
+    n = F.col("n_tokens")
+    toks2 = F.col("toks")
     # Distinct-bigram count in ONE interpreted pass (round 10):
-    # word_ngram_hashes_col costs three higher-order passes per doc
-    # (transform-hash + zip_with + null-filter), and interpreted HOF
-    # passes were this query's dominant linear term at sf1. Hashing
-    # the token-string pairs directly in a single zip_with leaves
+    # hashing the token-string pairs in a single zip_with leaves
     # exactly one trailing null (zip_with pads the 1-shorter slice),
     # and array_distinct counts null once — so
     # size(array_distinct(g)) - 1 IS the distinct non-null bigram
-    # count, no filter pass needed. Hash-function change is
-    # unobservable: only counts are published, and 64-bit pair-hash
-    # equality coincides with bigram equality modulo 2^-64 exactly
-    # as before. Short docs (<2 tokens) have one whole-doc gram in
+    # count, no filter pass needed. 64-bit pair-hash equality
+    # coincides with bigram equality modulo 2^-64; only counts are
+    # published. Short docs (<2 tokens) have one whole-doc gram in
     # the word_ngram_hashes_col convention -> dup fraction 0.
     pair_hashes = F.zip_with(
-        toks, F.slice(toks, 2, F.greatest(n - 1, F.lit(1))),
+        toks2, F.slice(toks2, 2, F.greatest(n - 1, F.lit(1))),
         lambda a, b: F.when(a.isNull() | b.isNull(),
                             F.lit(None)).otherwise(F.xxhash64(a, b)))
     n_distinct_bigrams = F.when(
         n >= 2, F.size(F.array_distinct(pair_hashes)) - 1
     ).otherwise(F.lit(1))
-    base = docs.select(
-        "doc_id", toks.alias("toks"), n.alias("n_tokens"),
-        (F.floor(F.size(F.array_distinct(toks)) / n * 10000) / 10000)
+    out = base.select(
+        "doc_id", "n_tokens",
+        (F.floor(F.size(F.array_distinct(toks2)) / n * 10000) / 10000)
         .alias("type_token_ratio"),
         # distinct gram hashes / total grams; short docs (1 bigram)
         # trivially 1.0 -> dup fraction 0
         (F.floor((1 - n_distinct_bigrams
                   / F.greatest(n - 1, F.lit(1))) * 10000) / 10000)
         .alias("dup_bigram_frac"),
-    )
-    keys = ["doc_id", "n_tokens", "type_token_ratio",
-            "dup_bigram_frac"]
-    out = (
-        base.select(*keys, F.explode("toks").alias("t"))
-        .groupBy(*keys, "t").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(*keys).agg(F.max("c").alias("top_cnt"))
-        .withColumn(
-            "top_token_frac",
-            F.floor(F.col("top_cnt") / F.col("n_tokens") * 10000)
-            / 10000)
+        (F.floor(F.col("top_cnt") / n * 10000) / 10000)
+        .alias("top_token_frac"),
     )
     repetitive = (
         (F.col("top_token_frac") > REP_MAX_TOP_FRAC)

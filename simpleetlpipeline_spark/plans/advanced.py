@@ -1771,8 +1771,14 @@ def user_value_ewma(spark: SparkSession, sf_dir: str,
     DuckDB twin evaluates the closed form while Spark runs the
     pandas recursion — a genuine cross-derivation check, not an
     echo. The two folds differ in the last float bits, so the
-    published ewma_value is floored to cents on BOTH sides (the
-    verify-skill .xx5 gotcha's floor idiom); null values would make
+    published ewma_value is floored to cents on BOTH sides via a
+    two-step guard — snap to 1e-4 first (floor(x*10000 + 0.5);
+    spelled with floor rather than round() because Python rounds
+    half to even while DuckDB rounds half away from zero), THEN
+    floor the snapped value to cents — so a true EWMA within float
+    error of an exact cent boundary lands on the same side in both
+    engines unless the folds differ by ~1e-4, far outside the
+    observed last-bit drift; null values would make
     pandas' ewm skip semantics diverge from the weighted sum, so
     both sides filter them (testdata has none — the filter is a
     contract, not a workaround)."""
@@ -1792,7 +1798,9 @@ def user_value_ewma(spark: SparkSession, sf_dir: str,
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_events": [len(pdf)],
             "last_value": [float(pdf["value"].iloc[-1])],
-            "ewma_value": [math.floor(float(ewma) * 100.0) / 100.0],
+            "ewma_value": [math.floor(
+                math.floor(float(ewma) * 10000.0 + 0.5) / 100.0)
+                / 100.0],
         })
 
     out_schema = ("user_id long, n_events long, "
@@ -1815,10 +1823,11 @@ ORACLE_SQL["user_value_ewma"] = f"""
            CAST(any_value(n) AS BIGINT) AS n_events,
            CAST(max(CASE WHEN rn = n THEN value END) AS DOUBLE)
                AS last_value,
-           floor(sum(value * CASE WHEN rn = 1
+           floor(floor(sum(value * CASE WHEN rn = 1
                        THEN pow(1.0 - {EWMA_ALPHA}, n - 1)
                        ELSE {EWMA_ALPHA} * pow(1.0 - {EWMA_ALPHA}, n - rn)
-                     END) * 100.0) / 100.0 AS ewma_value
+                     END) * 10000.0 + 0.5) / 100.0) / 100.0
+               AS ewma_value
     FROM ordered
     GROUP BY user_id
     ORDER BY user_id

@@ -848,8 +848,15 @@ def events_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_dedup_batch"] = events_dedup_batch
 
+# Floored modulo, spelled ((x % W) + W) % W: DuckDB's bare % truncates
+# toward zero (-7 % 2 = -1) while Spark's F.pmod floors, so the naive
+# `epoch_us(ts) % W` oracle diverges for any pre-1970 timestamp. The
+# double-mod form is pure int64 arithmetic (no float round-trip) and
+# agrees with pmod for all inputs, not just the post-epoch fixture.
 ORACLE_SQL["events_dedup_batch"] = f"""
-    SELECT epoch_us(ts) - epoch_us(ts) % {DEDUP_WINDOW_US}
+    SELECT epoch_us(ts)
+               - ((epoch_us(ts) % {DEDUP_WINDOW_US} + {DEDUP_WINDOW_US})
+                  % {DEDUP_WINDOW_US})
                AS window_start_us,
            user_id, event_type,
            min(event_id) AS event_id,

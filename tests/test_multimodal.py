@@ -51,6 +51,22 @@ def test_decode_bmp_wav_roundtrip():
         M.decode_wav(bytes(blob))
 
 
+def test_documents_fixture_is_ascii(spark, sf_dir):
+    """media_decode_report's DuckDB oracle models text bytes as
+    unicode codepoints (codepoint == byte) and empty text as a
+    zero content_sum, so the documents corpus must stay non-empty
+    ASCII; a regenerated non-ASCII fixture should fail HERE, not as
+    an unexplained hash-red in the driver gate."""
+    from simpleetlpipeline_spark.io import read_table
+
+    bad = (
+        read_table(spark, sf_dir, "documents")
+        .filter((F.length("text") == 0)
+                | (F.octet_length("text") != F.length("text")))
+        .count())
+    assert bad == 0
+
+
 def test_media_table_schema(spark, sf_dir):
     df = M.media_table(spark, sf_dir)
     assert dict(df.dtypes) == {
