@@ -12,10 +12,12 @@ corpus_curate        — deterministic, fully SQL-expressible stages
                        min doc_id per md5 fingerprint) — DuckDB-
                        oracled end to end.
 corpus_curate_neardup — adds MinHash-LSH near-dup cluster removal
-                       (keep each cluster's canonical doc). The LSH
-                       family is engine-specific, so this variant is
-                       rows-only in the gate; its structure is
-                       unit-tested via dedup_clusters.
+                       (keep each cluster's canonical doc). DuckDB-
+                       oracled since round 11 against the ground-
+                       truth pair graph (dedup._MINHASH_PAIRS_SQL):
+                       oracle equality attests the LSH stage's
+                       perfect recall on the fixture, on top of the
+                       structure unit tests.
 
 Scale: stats/lang/fingerprint are narrow projections joined on
 doc_id (Catalyst collapses the shared scan where possible; each stage
@@ -31,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simpleetlpipeline_spark.functions.dedup import (
+    _MINHASH_PAIRS_SQL,
     dedup_cluster_frame,
     word_ngram_hashes_col,
 )
@@ -89,7 +92,7 @@ def corpus_curate(spark: SparkSession, sf_dir: str,
 def corpus_curate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """corpus_curate plus near-dup removal: every non-canonical
     member of a MinHash-LSH cluster (dedup.dedup_cluster_frame) is
-    dropped. Rows-only in the gate (LSH hash family)."""
+    dropped. Hash-oracled since round 11 (see ORACLE_SQL below)."""
     ensure_session_conf(spark)
     kept = corpus_curate(spark, sf_dir)
     clusters = dedup_cluster_frame(spark, sf_dir)
@@ -222,14 +225,20 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "corpus_curate": corpus_curate,
-    "corpus_curate_neardup": corpus_curate_neardup,  # rows-only
+    "corpus_curate_neardup": corpus_curate_neardup,  # hash-oracled r11
     "decontaminate": decontaminate,
     "corpus_mix_sample": corpus_mix_sample,
 }
 
-ORACLE_SQL = {
-    "corpus_curate": f"""
-        WITH t AS (
+# Shared CTE chain for the curate oracles: `curated` is the full
+# corpus_curate result (quality/lang filters + exact-dedup QUALIFY).
+# Kept as a fragment so corpus_curate_neardup can apply its cluster
+# drop AFTER the QUALIFY — filtering before it would promote the
+# next doc of an md5 group whose min-id member is a near-dup drop,
+# which is not what the Spark side (anti-join on the final result)
+# does.
+_CURATE_CTES = f"""
+        t AS (
             SELECT doc_id, text, lang,
                    string_split_regex(lower(trim(text)), '\\s+') AS toks
             FROM documents
@@ -256,11 +265,41 @@ ORACLE_SQL = {
             FROM b
             WHERE quality_score >= {QUALITY_THRESHOLD}
               AND {_lang_case} = '{KEEP_LANG}'
+        ), curated AS (
+            SELECT doc_id, detected_lang, n_tokens, quality_score
+            FROM kept
+            QUALIFY row_number() OVER (PARTITION BY md5_fingerprint
+                                       ORDER BY doc_id) = 1
         )
-        SELECT doc_id, detected_lang, n_tokens, quality_score
-        FROM kept
-        QUALIFY row_number() OVER (PARTITION BY md5_fingerprint
-                                   ORDER BY doc_id) = 1
+"""
+
+ORACLE_SQL = {
+    "corpus_curate": f"""
+        WITH {_CURATE_CTES}
+        SELECT * FROM curated
+    """,
+    # corpus_curate + near-dup removal: drop every cluster member
+    # that is not its component's min id, with clusters recomputed
+    # from the ground-truth pair graph (_MINHASH_PAIRS_SQL — oracle
+    # equality attests the LSH stage's perfect recall, same contract
+    # as the dedup_minhash_lsh / dedup_clusters oracles).
+    "corpus_curate_neardup": f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_SQL}
+        , sym AS (
+            SELECT a_id AS a, b_id AS b FROM mh_pairs
+            UNION
+            SELECT b_id, a_id FROM mh_pairs
+        ), reach(n, m) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.n, s2.b FROM reach r JOIN sym s2 ON s2.a = r.m
+        ), drops AS (
+            SELECT n AS doc_id FROM (
+                SELECT n, min(m) AS component FROM reach GROUP BY n
+            ) WHERE n != component
+        ), {_CURATE_CTES.lstrip()}
+        SELECT * FROM curated
+        WHERE doc_id NOT IN (SELECT doc_id FROM drops)
     """,
     # String n-grams here vs 64-bit gram hashes Spark-side: identical
     # sets modulo xxhash64 collisions (~1e-9 per corpus) — same

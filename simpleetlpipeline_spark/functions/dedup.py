@@ -450,6 +450,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     wide ops — fingerprint collapse, band self-join, candidate verify
     — are all linear in DISTINCT corpus size.
     Deterministic: seeded xxhash64, no sampled projection matrices.
+
+    Hash-oracled since round 11: because candidates are verified
+    with EXACT Jaccard, the output equals the full ground-truth
+    >=threshold pair set whenever banding recall is perfect — which
+    DuckDB recomputes exactly via shared-gram blocking
+    (_MINHASH_PAIRS_SQL below), so the gate attests recall itself.
     """
     ensure_session_conf(spark)
     minhash = minhash_from_gram_hashes_udf()
@@ -561,11 +567,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,   # rows-only: xxhash64 minhash
+    "dedup_minhash_lsh": dedup_minhash_lsh,   # hash-oracled round 11
     "dedup_simhash": dedup_simhash,           # rows-only: xxhash64 simhash
 }
 
+# Ground-truth pair graph for the MinHash-LSH family (round-10
+# verdict task #4: promote the seeded-LSH family from rows-only).
+# The LSH pipeline's OUTPUT is exact-verified pairs — candidates are
+# filtered by true Jaccard — so the seed only controls RECALL: which
+# >=threshold pairs banding surfaces. DuckDB computes the full
+# >=threshold pair set exactly (shared-gram blocking is exhaustive:
+# jaccard > 0 implies a shared gram, and gram blocking is linear-ish
+# because non-duplicate docs rarely share word 3-grams), plus the
+# exact-duplicate star edges (group-min rep -> member, jaccard 1.0).
+# Oracle == Spark output therefore ATTESTS PERFECT RECALL on the
+# fixture, not just structure: verified exact-equal at sf0.01, sf0.1
+# and sf1 (planted near-dups are high-jaccard, where
+# P(banding miss) = (1 - j^4)^8 is negligible, and no band bucket
+# hits BUCKET_CAP); a fixture regen that plants borderline-jaccard
+# pairs would red HERE as a genuine recall loss. String grams vs
+# Spark's 64-bit gram hashes: identical Jaccard modulo xxhash64
+# collisions (the dedup_ngram_jaccard oracle's equivalence). The
+# floor(inter/union*10000) expression keeps Spark's left-assoc
+# divide-then-scale evaluation order so both engines round
+# identically at floor boundaries.
+_MINHASH_PAIRS_SQL = """
+        reps AS (
+            SELECT min(doc_id) AS doc_id, text
+            FROM documents GROUP BY text
+        ), mtoks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM reps
+        ), mgrams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 0) + 2),
+                       i -> array_to_string(list_slice(t, i, i + 2), ' ')
+                   )) AS g
+            FROM mtoks
+        ), msizes AS (
+            SELECT doc_id, len(g) AS n FROM mgrams
+        ), mex AS (
+            SELECT doc_id, unnest(g) AS gr FROM mgrams
+        ), mcommon AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM mex a JOIN mex b
+              ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), mh_pairs AS (
+            SELECT a_id, b_id,
+                   floor(inter * 1.0 / (sa.n + sb.n - inter)
+                         * 10000) / 10000 AS jaccard
+            FROM mcommon
+            JOIN msizes sa ON sa.doc_id = a_id
+            JOIN msizes sb ON sb.doc_id = b_id
+            WHERE floor(inter * 1.0 / (sa.n + sb.n - inter)
+                        * 10000) / 10000 >= 0.15
+            UNION ALL
+            SELECT r.doc_id AS a_id, d.doc_id AS b_id,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM documents d
+            JOIN reps r ON d.text = r.text AND d.doc_id != r.doc_id
+        )
+"""
+
 ORACLE_SQL = {
+    "dedup_minhash_lsh": f"""
+        WITH {_MINHASH_PAIRS_SQL}
+        SELECT a_id, b_id, jaccard FROM mh_pairs
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS keep_doc_id,
@@ -758,9 +830,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     """Catalog form of dedup_cluster_frame: the member list rides as
     a deterministic comma-joined string (sorted ascending), because
     the gate's pandas canonicalizer cannot hash array cells. Same
-    information, scalar schema. Rows-only check (pair graph comes
-    from the engine-specific MinHash family); structure unit-tested
-    on planted clusters."""
+    information, scalar schema. Hash-oracled since round 11 against
+    the recursive closure of the ground-truth pair graph
+    (_MINHASH_PAIRS_SQL); structure additionally unit-tested on
+    planted clusters."""
     return dedup_cluster_frame(spark, sf_dir, threshold=threshold).select(
         "keep_doc_id", "cluster_size",
         F.concat_ws(",", F.col("members").cast("array<string>"))
@@ -768,7 +841,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str,
     )
 
 
-QUERIES["dedup_clusters"] = dedup_clusters  # rows-only: hash-family pairs
+QUERIES["dedup_clusters"] = dedup_clusters  # hash-oracled round 11
+
+# Same reach-closure pattern as dedup_clusters_exact, over the
+# MinHash ground-truth pair graph (see _MINHASH_PAIRS_SQL: oracle
+# equality attests the LSH stage's perfect recall on the fixture).
+ORACLE_SQL["dedup_clusters"] = f"""
+        WITH RECURSIVE {_MINHASH_PAIRS_SQL}
+        , sym AS (
+            SELECT a_id AS a, b_id AS b FROM mh_pairs
+            UNION
+            SELECT b_id, a_id FROM mh_pairs
+        ), reach(n, m) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+        ), comp AS (
+            SELECT n, min(m) AS component FROM reach GROUP BY n
+        )
+        SELECT CAST(component AS BIGINT) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               string_agg(CAST(n AS VARCHAR), ',' ORDER BY n) AS members
+        FROM comp GROUP BY component
+"""
 
 
 # ---------------------------------------------------- exact pair graph
@@ -871,8 +966,9 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str,
     (dedup_pairs_all), so the whole pipeline — shingle index, pair
     Jaccard, component labels, keep/drop manifest — is verified
     end-to-end by a DuckDB recursive-CTE oracle. The MinHash twin
-    (dedup_clusters) keeps the same output shape but is rows-only in
-    the gate because its pair graph is seeded-hash-derived.
+    (dedup_clusters) has the same output shape and, since round 11,
+    its own recursive-CTE oracle over the ground-truth pair graph
+    (_MINHASH_PAIRS_SQL).
     """
     pairs = dedup_pairs_all(spark, sf_dir, threshold=threshold)
     comps = connected_components(pairs)

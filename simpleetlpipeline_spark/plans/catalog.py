@@ -2,9 +2,13 @@
 
 __spark_entry__.py re-exports this. Every oracle-checked operator
 appears in QUERIES with a matching ORACLE_SQL entry; genuinely
-non-SQL-expressible operators (LSH-approximate dedup, stateful
-streaming) appear in QUERIES only (driver records a rows-only
-check).
+non-SQL-expressible operators (seeded SRP/SimHash projections,
+stateful streaming, the driver-loop ETL run) appear in QUERIES only
+(driver records a rows-only check). The exact-verified MinHash
+family (dedup_minhash_lsh / dedup_clusters / corpus_curate_neardup)
+graduated to hash oracles in round 11 — its output is the
+ground-truth pair set whenever banding recall is perfect, which the
+oracle recomputes and thereby attests (dedup._MINHASH_PAIRS_SQL).
 """
 
 from __future__ import annotations
@@ -552,6 +556,70 @@ ORACLE_SQL["table_stats_profile"] = """
 #     pandas-fetch rung AND a TZ=America/Los_Angeles drive from
 #     /tmp; events_dedup_batch additionally hash-verified at sf1
 #     after its rewrite.
+# Twelfth-wave rotation (round 11, per the round-10 verdict's task
+# #1: drain the never-gated oracled backlog to ZERO):
+#   * STAYS (21): date_axis_canary (permanent), int128_fetch_probe
+#     (the re-armed BIGINT fetch contract), the four family
+#     representatives (cdc_latest_state, user_erasure_audit,
+#     hll_audience_overlap, streaming_user_totals_stateful), and all
+#     15 round-10 rotate-ins for their second green (the >=2-rounds
+#     bar): the events_* tail (events_anomaly, events_dedup_batch,
+#     events_dow_hour_heatmap, events_value_histogram,
+#     event_pattern_conversions), the trend family
+#     (daily_revenue_stl, revenue_trend_ols,
+#     monthly_seasonality_index), customer_retention_set_ops,
+#     semantic_dedup_clusters, source_overlap_matrix,
+#     bpe_merge_pairs, ann_incremental_topk, order_percentile_ranks,
+#     revenue_attribution.
+#   * RETAINED VETERANS (7, each with a named reason):
+#     doc_repetition — REWRITTEN this round (shuffle-free sorted-run
+#     mode count) so it stays for re-attestation of the changed code
+#     (the quality_bins precedent); compaction_invariant — warehouse
+#     lifecycle's only rep; fuzzy_name_neighbors — entity
+#     resolution's only rep; revenue_cube_nation_segment — the only
+#     grouping-sets entry; cf_holdout_hitrate — recommender-EVAL rep
+#     (the basket rotate-ins cover association mining, not holdout
+#     evaluation); bloom_semijoin_reduction — join-strategy rep;
+#     media_ingest_rollup — known-green multimodal anchor kept
+#     next to first-gated media_decode_report so a decode red with
+#     ingest green localizes to the decoder, not the binaryFile
+#     plumbing.
+#   * ROTATE-INS (22) — the ENTIRE never-gated oracled backlog, by
+#     exact recount from CORRECTNESS_r01-r10 (the verdict's list;
+#     the round-10 README said 21 — off-by-one, corrected):
+#     basket_lift_rules, bpe_train_merges,
+#     categorical_entropy_profile, copurchase_pairs,
+#     dedup_shared_windows, embedding_quantize,
+#     language_sampling_weights, large_volume_orders,
+#     linestatus_priority_mix, media_decode_report,
+#     negative_samples, open_orders_timeline, priority_sample_docs,
+#     revenue_concentration, segment_dedup, source_mix_report,
+#     surplus_stock_suppliers, token_char_correlation,
+#     token_weighted_sample, top_events_per_user, user_value_ewma,
+#     user_value_twap. After this wave EVERY oracled catalog entry
+#     has >=1 round of driver-gate history — the backlog is zero.
+#   * RETIREES (22), EVERY one holding the >=2-rounds-full-green bar
+#     (r9+r10, recomputed from the artifacts): events_wau,
+#     events_cohort_retention, events_funnel_windowed,
+#     events_point_in_time_enrich, events_key_skew,
+#     events_stickiness, events_hourly_gapfill (the behavioral
+#     family stays represented by the five r10 events entries +
+#     rotate-in top_events_per_user), copurchase_khop_reach,
+#     copurchase_degree_powerlaw (graph family stays via rotate-in
+#     copurchase_pairs), hybrid_rrf_search (ANN family stays via
+#     ann_incremental_topk), quality_filter_sweep, fd_audit,
+#     rolling_7d_revenue, customer_rfm_segments, ab_test_report,
+#     kmeans_assign (clustering stays via semantic_dedup_clusters),
+#     sequence_pack, shard_manifest, train_split_assign (pretrain
+#     family stays via the four sampling rotate-ins),
+#     bm25_doc_ranking, bigram_pmi, doc_chunk (text family stays
+#     via token_char_correlation + bpe_train_merges).
+#   * All 22 rotate-ins re-verified this session through the full
+#     ladder (sf0.01 default + pandas-fetch + hostile shuffle +
+#     TZ=America/Los_Angeles drive from /tmp + sf0.1) and the sf1
+#     sweep before rotation; user_value_ewma and media_decode_report
+#     additionally carry this round's oracle-hardening fixes
+#     (cent-boundary guard; empty-text coalesce).
 GATE_PREFIX = (
     "date_axis_canary",
     "int128_fetch_probe",
@@ -568,21 +636,21 @@ GATE_PREFIX = (
     "semantic_dedup_clusters", "source_overlap_matrix",
     "bpe_merge_pairs", "ann_incremental_topk",
     "order_percentile_ranks", "revenue_attribution",
-    "events_wau", "events_cohort_retention",
-    "events_funnel_windowed", "events_point_in_time_enrich",
-    "events_key_skew", "events_stickiness", "events_hourly_gapfill",
-    "copurchase_khop_reach", "copurchase_degree_powerlaw",
-    "cf_holdout_hitrate",
-    "hybrid_rrf_search", "quality_filter_sweep",
-    "fd_audit", "revenue_cube_nation_segment",
-    "rolling_7d_revenue", "customer_rfm_segments", "ab_test_report",
-    "bloom_semijoin_reduction",
+    "doc_repetition", "compaction_invariant",
+    "fuzzy_name_neighbors", "revenue_cube_nation_segment",
+    "cf_holdout_hitrate", "bloom_semijoin_reduction",
     "media_ingest_rollup",
-    "kmeans_assign", "sequence_pack", "shard_manifest",
-    "train_split_assign",
-    "bm25_doc_ranking", "bigram_pmi", "doc_chunk", "doc_repetition",
-    "fuzzy_name_neighbors",
-    "compaction_invariant",
+    "basket_lift_rules", "bpe_train_merges",
+    "categorical_entropy_profile", "copurchase_pairs",
+    "dedup_shared_windows", "embedding_quantize",
+    "language_sampling_weights", "large_volume_orders",
+    "linestatus_priority_mix", "media_decode_report",
+    "negative_samples", "open_orders_timeline",
+    "priority_sample_docs", "revenue_concentration",
+    "segment_dedup", "source_mix_report",
+    "surplus_stock_suppliers", "token_char_correlation",
+    "token_weighted_sample", "top_events_per_user",
+    "user_value_ewma", "user_value_twap",
 )
 
 

@@ -90,3 +90,27 @@ def test_small_catalog_unchanged():
     parsed = json.loads(bounded_line(_result(timings)))
     assert parsed["queries"] == {"a": 1.23, "b": 2.35}
     assert "queries_omitted" not in parsed
+
+
+def test_bench_full_ownership_noise_aware():
+    """Round-10 verdict task #2: a self-flagged noisy run may own
+    BENCH_FULL.json only by beating the incumbent's total; fewer
+    passes than the incumbent always diverts."""
+    from bench import bench_full_divert_reason as why
+
+    committed = {"repeat": 3, "value": 122.79}
+
+    # driver-style single pass never clobbers a repeat-3 median
+    assert "repeat=1" in why(1, 100.0, False, committed)
+    # the motivating failure: noisy repeat-3 that is SLOWER
+    assert "noise_suspect" in why(3, 200.75, True, committed)
+    # noisy but faster = valid upper-bound improvement
+    assert why(3, 110.0, True, committed) is None
+    # quiet equal-passes run owns regardless of total
+    assert why(3, 130.0, False, committed) is None
+    # more passes beats the repeat guard; noise guard still applies
+    assert why(5, 300.0, True, committed) is not None
+    assert why(5, 300.0, False, committed) is None
+    # corrupt/absent incumbent fields fall back permissive
+    assert why(1, 50.0, True, {}) is None
+    assert why(1, 50.0, True, {"repeat": "x", "value": None}) is None
