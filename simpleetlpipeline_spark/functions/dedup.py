@@ -1499,8 +1499,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
     (cap first, then restrict the probe side) so capping decisions —
     and therefore recall — are bit-identical to dedup_minhash_lsh.
 
-    Rows-only entry (seeded-hash family, like dedup_minhash_lsh):
-    verified by the equivalence pytest, not a SQL oracle."""
+    Hash-oracled since round 11: by the slice equivalence above,
+    under the same perfect-recall contract as dedup_minhash_lsh the
+    output IS the ground-truth pair graph restricted to pairs
+    touching a batch document — one WHERE clause on
+    _MINHASH_PAIRS_SQL (plus the equivalence pytest)."""
     ensure_session_conf(spark)
     minhash = minhash_from_gram_hashes_udf()
     raw = fan_out(read_table(spark, sf_dir, "documents"))
@@ -1563,4 +1566,10 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
     return pairs
 
 
-QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental  # rows-only
+QUERIES["dedup_minhash_incremental"] = dedup_minhash_incremental
+
+ORACLE_SQL["dedup_minhash_incremental"] = f"""
+        WITH {_MINHASH_PAIRS_SQL}
+        SELECT a_id, b_id, jaccard FROM mh_pairs
+        WHERE a_id % {INCR_MOD} = 0 OR b_id % {INCR_MOD} = 0
+"""

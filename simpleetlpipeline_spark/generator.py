@@ -126,32 +126,59 @@ def gen_orders(spark: SparkSession, n: int = 1500,
                n_customers: int = 2000) -> DataFrame:
     """Reference main.py:313-347. ~15% get a total_amount that
     violates the ±0.01 consistency tolerance (reference's verified
-    behavior: 216/1500 dropped)."""
+    behavior: 216/1500 dropped).
+
+    Two-phase select, and this is load-bearing (round-11 bug fix):
+    every F.rand() DRAW is materialized as a column in the first
+    projection, and all derived columns (tax from subtotal, the
+    consistent/broken totals) are computed from those columns in
+    the second. In the old single-select form each column slot held
+    its OWN instance of the shared rand expression, and an instance
+    inside a when() branch only advances its stream on rows where
+    the branch is taken — so the discount slot's copy of the
+    subtotal stream desynced from the subtotal column after the
+    first 70%-probability branch skip, and ~99.8% of totals came
+    out inconsistent instead of the intended ~15% (caught while
+    building the etl_pipeline_run DuckDB oracle; invisible to the
+    parity goldens, which run on the reference's committed CSVs).
+    Catalyst does not collapse the two Projects because inlining a
+    multiply-referenced nondeterministic column is unsound — which
+    is exactly the guarantee the split relies on."""
     ids = spark.range(1, n + 1).withColumnRenamed("id", "order_id")
-    subtotal = F.round(_rand(21) * 990 + 10, 2)
+    draws = ids.select(
+        "order_id",
+        _rand(21).alias("r_sub"), _rand(22).alias("r_ship"),
+        _rand(23).alias("r_disc"), _rand(24).alias("r_break"),
+        _rand(26).alias("r_date"), _rand(27).alias("r_status"),
+        _rand(28).alias("r_shipm"), _rand(29).alias("r_pay"),
+        _rand(30).alias("r_broken"),
+    )
+    subtotal = F.round(F.col("r_sub") * 990 + 10, 2)
     tax = F.round(subtotal * 0.08, 2)
-    shipping = F.round(_rand(22) * 20, 2)
+    shipping = F.round(F.col("r_ship") * 20, 2)
     discount = F.round(
-        F.when(_rand(23) < 0.3, subtotal * 0.1).otherwise(0.0), 2)
+        F.when(F.col("r_disc") < 0.3, subtotal * 0.1).otherwise(0.0), 2)
     consistent_total = F.round(subtotal + tax + shipping - discount, 2)
-    broken_total = F.round(consistent_total + 0.02 + _rand(24) * 5, 2)
-    return ids.select(
+    broken_total = F.round(
+        consistent_total + 0.02 + F.col("r_break") * 5, 2)
+    return draws.select(
         "order_id",
         (F.pmod(F.xxhash64("order_id", F.lit(25)), F.lit(n_customers)) + 1)
         .alias("customer_id"),
         F.date_sub(F.lit(ANCHOR_DATE).cast("date"),
-                   (F.floor(_rand(26) * 730)).cast("int")).alias("order_date"),
-        _weighted(_rand(27), ("Completed", 0.6), ("Pending", 0.15),
+                   (F.floor(F.col("r_date") * 730)).cast("int"))
+        .alias("order_date"),
+        _weighted(F.col("r_status"), ("Completed", 0.6), ("Pending", 0.15),
                   ("Shipped", 0.15), ("Cancelled", 0.1)).alias("order_status"),
-        _weighted(_rand(28), ("Standard", 0.6), ("Express", 0.3),
+        _weighted(F.col("r_shipm"), ("Standard", 0.6), ("Express", 0.3),
                   ("Overnight", 0.1)).alias("shipping_method"),
-        _weighted(_rand(29), ("Credit Card", 0.5), ("PayPal", 0.3),
+        _weighted(F.col("r_pay"), ("Credit Card", 0.5), ("PayPal", 0.3),
                   ("Bank Transfer", 0.2)).alias("payment_method"),
         subtotal.alias("subtotal"),
         tax.alias("tax_amount"),
         shipping.alias("shipping_cost"),
         discount.alias("discount_amount"),
-        F.when(_rand(30) < 0.15, broken_total)
+        F.when(F.col("r_broken") < 0.15, broken_total)
         .otherwise(consistent_total).alias("total_amount"),
     )
 
@@ -172,14 +199,29 @@ def gen_order_items(spark: SparkSession, n_orders: int = 1500,
     # Dense global row_number would need a single-partition sort;
     # (order_id*8 + seq) is unique (seq<=5), deterministic, and
     # computable without any shuffle at any scale.
+    #
+    # Same two-phase draw/derive split as gen_orders (round-11 bug
+    # fix): line_total's copies of the price/discount rand streams
+    # desynced from the published columns via the 40%-probability
+    # when() branch, breaking ~all line consistency instead of the
+    # intended ~40%. Draws live in their own projection ABOVE the
+    # explode-carrying one (the explode trap: expressions in the
+    # same select as explode() evaluate per exploded row — here
+    # that's wanted, one draw per ITEM, but they must still be
+    # drawn exactly once).
+    draws = base.select(
+        "order_id", "seq",
+        _rand(33).alias("r_price"), _rand(34).alias("r_disc"),
+        _rand(36).alias("r_drift"),
+    )
     item_id = F.col("order_id") * 8 + F.col("seq")
     qty = (F.pmod(F.xxhash64("order_id", "seq", F.lit(32)), F.lit(10)) + 1)
-    price = F.round(_rand(33) * 495 + 5, 2)
-    disc_raw = _rand(34) * 25
+    price = F.round(F.col("r_price") * 495 + 5, 2)
+    disc_raw = F.col("r_disc") * 25
     disc_rounded = F.round(disc_raw, 2)
     consistent = F.round(qty * price * (1 - disc_rounded / 100), 2)
     drifted = F.round(qty * price * (1 - disc_raw / 100), 2)
-    return base.select(
+    return draws.select(
         item_id.alias("item_id"),
         "order_id",
         (F.pmod(F.xxhash64("order_id", "seq", F.lit(35)), F.lit(n_products)) + 1)
@@ -187,7 +229,7 @@ def gen_order_items(spark: SparkSession, n_orders: int = 1500,
         qty.cast("int").alias("quantity"),
         price.alias("unit_price"),
         disc_rounded.alias("discount_percent"),
-        F.when(_rand(36) < 0.4, drifted).otherwise(consistent)
+        F.when(F.col("r_drift") < 0.4, drifted).otherwise(consistent)
         .alias("line_total"),
     )
 

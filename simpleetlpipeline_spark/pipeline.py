@@ -376,18 +376,41 @@ def run_generated_pipeline(spark: SparkSession, source_dir: str,
     return metrics
 
 
+#: Where etl_pipeline_run leaves the generated source CSVs for its
+#: DuckDB oracle to replay (see catalog.py's oracle). A fixed path
+#: rather than per-sf: the oracle is one static SQL string, and the
+#: gate/sweep protocols run Spark-then-DuckDB per entry, so at read
+#: time the dir always holds the CSVs THIS run just wrote. Each run
+#: overwrites it (concurrent sessions would race — the harnesses are
+#: sequential; worst case is one red sweep row, not corruption).
+ETL_ORACLE_SRC_DIR = "/tmp/spark_graft_etl_src/current"
+
+
 def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog entry: one full generate → extract/transform/load →
     rollup cycle into a throwaway warehouse, returning the
-    deterministic columns of the lineage table (seeded generator, so
-    counts/scores/checksums are stable across runs). Non-SQL-
-    expressible end to end (driver loop + writes) → rows-only check.
+    deterministic count/score columns of the lineage table.
+
+    HASH-ORACLED since round 11 (round-10 verdict task #4): the
+    generated source CSVs persist at ETL_ORACLE_SRC_DIR and the
+    DuckDB twin replays the whole transform chain from them —
+    read_csv, trim, the all-null drop, the email/positive/
+    non-negative/±0.01-tolerance filters, the country map — and
+    recomputes records_processed/inserted/failed plus the
+    reference's quality-score formula per table. Replaying from the
+    CSVs (not from pinned constants) keeps the oracle valid even
+    though F.rand()-based generation depends on the session's
+    partitioning of spark.range. The lineage CHECKSUM column is the
+    one thing the oracle cannot recompute (it is a sum of Spark
+    xxhash64 row hashes, a JVM-internal function), so it is not
+    published here; it stays on the warehouse lineage table under
+    pytest (test_metadata_lineage) and the S8 parity goldens.
     """
     import re
     import tempfile
 
     td = tempfile.mkdtemp(prefix="etl_run_")
-    src = os.path.join(td, "src")
+    src = ETL_ORACLE_SRC_DIR
     cfg = ETLConfig(warehouse_dir=os.path.join(td, "wh"))
 
     # Scale the synthetic volume with the requested sf so the bench
@@ -410,7 +433,7 @@ def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(cfg.warehouse_dir, "etl_metadata"))
     out = meta.select(
         "table_name", "records_processed", "records_inserted",
-        "records_failed", "data_quality_score", "checksum")
+        "records_failed", "data_quality_score")
     # The lineage result is one row per table; materialize it so the
     # throwaway warehouse can be deleted (repeated bench/driver runs
     # otherwise accumulate scratch dirs in /tmp).

@@ -55,7 +55,160 @@ def _etl_pipeline_run(spark, sf_dir):
     return etl_pipeline_run(spark, sf_dir)
 
 
-QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # rows-only (driver loop)
+QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # hash-oracled round 11
+
+# DuckDB replay of the full extract->transform->load chain from the
+# source CSVs the Spark run just wrote (pipeline.ETL_ORACLE_SRC_DIR;
+# Spark runs before the oracle in every harness). Per table:
+# records_processed = raw CSV count, records_inserted = count after
+# the reference transform chain (trim / all-null drop / email /
+# positive / non-negative / ±0.01 tolerance filters, replayed with
+# the SAME left-assoc double arithmetic so IEEE rounding matches
+# bit-for-bit), records_failed = the difference, and
+# data_quality_score = the reference formula
+# round(max(0, (cells - nulls - dup_rows*ncols)/cells*100), 2) with
+# nulls and duplicate rows recomputed from the transformed rows.
+# Replaying from the CSVs keeps the oracle valid even though
+# F.rand()-based generation varies with the session's partitioning.
+_ETL_SRC = "/tmp/spark_graft_etl_src/current"
+
+_ETL_CSV_COLS = {
+    "customers": {
+        "customer_id": "BIGINT", "first_name": "VARCHAR",
+        "last_name": "VARCHAR", "email": "VARCHAR", "phone": "VARCHAR",
+        "registration_date": "DATE", "country": "VARCHAR",
+        "city": "VARCHAR", "customer_segment": "VARCHAR",
+        "total_orders": "INTEGER", "total_spent": "DOUBLE",
+    },
+    "products": {
+        "product_id": "BIGINT", "product_name": "VARCHAR",
+        "category": "VARCHAR", "subcategory": "VARCHAR",
+        "brand": "VARCHAR", "unit_price": "DOUBLE",
+        "cost_price": "DOUBLE", "stock_quantity": "INTEGER",
+        "weight_kg": "DOUBLE", "supplier_id": "INTEGER",
+        "is_active": "BOOLEAN",
+    },
+    "orders": {
+        "order_id": "BIGINT", "customer_id": "BIGINT",
+        "order_date": "DATE", "order_status": "VARCHAR",
+        "shipping_method": "VARCHAR", "payment_method": "VARCHAR",
+        "subtotal": "DOUBLE", "tax_amount": "DOUBLE",
+        "shipping_cost": "DOUBLE", "discount_amount": "DOUBLE",
+        "total_amount": "DOUBLE",
+    },
+    "order_items": {
+        "item_id": "BIGINT", "order_id": "BIGINT",
+        "product_id": "BIGINT", "quantity": "INTEGER",
+        "unit_price": "DOUBLE", "discount_percent": "DOUBLE",
+        "line_total": "DOUBLE",
+    },
+}
+
+
+def _etl_read(table: str) -> str:
+    cols = ", ".join(f"'{c}': '{t}'"
+                     for c, t in _ETL_CSV_COLS[table].items())
+    return (f"read_csv('{_ETL_SRC}/{table}.csv/*.csv', "
+            f"header=true, columns={{{cols}}})")
+
+
+def _etl_not_all_null(table: str) -> str:
+    """F1 (drop rows where EVERY column is null) as a keep-predicate."""
+    return "(" + " OR ".join(
+        f"{c} IS NOT NULL" for c in _ETL_CSV_COLS[table]) + ")"
+
+
+#: Transformed-row projections (the reference transform chains) and
+#: their post-filter keep predicates, per table. trim() on string
+#: columns mirrors P1; the projected values feed the duplicate-row
+#: count so value transforms (country map, clamp, constants) must be
+#: replayed, not just the filters.
+_ETL_TRANSFORMED = {
+    "customers": (
+        """
+        SELECT customer_id, trim(first_name) AS first_name,
+               trim(last_name) AS last_name, trim(email) AS email,
+               trim(phone) AS phone, registration_date,
+               CASE trim(country)
+                    WHEN 'US' THEN 'USA'
+                    WHEN 'United States' THEN 'USA'
+                    WHEN 'UK' THEN 'United Kingdom'
+                    WHEN 'Britain' THEN 'United Kingdom'
+                    ELSE trim(country) END AS country,
+               trim(city) AS city,
+               trim(customer_segment) AS customer_segment,
+               CAST(0 AS INTEGER) AS total_orders,
+               CAST(0.0 AS DOUBLE) AS total_spent
+        """,
+        "contains(trim(email), '@')",
+    ),
+    "products": (
+        """
+        SELECT product_id, trim(product_name) AS product_name,
+               trim(category) AS category,
+               trim(subcategory) AS subcategory,
+               trim(brand) AS brand, unit_price, cost_price,
+               greatest(0, stock_quantity) AS stock_quantity,
+               weight_kg, supplier_id, is_active
+        """,
+        "unit_price > 0 AND cost_price > 0",
+    ),
+    "orders": (
+        """
+        SELECT order_id, customer_id, order_date,
+               trim(order_status) AS order_status,
+               trim(shipping_method) AS shipping_method,
+               trim(payment_method) AS payment_method,
+               subtotal, tax_amount, shipping_cost, discount_amount,
+               total_amount
+        """,
+        "subtotal >= 0 AND tax_amount >= 0 AND shipping_cost >= 0"
+        " AND total_amount >= 0"
+        " AND abs(total_amount - (subtotal + tax_amount + shipping_cost"
+        " - discount_amount)) < 0.01",
+    ),
+    "order_items": (
+        """
+        SELECT item_id, order_id, product_id, quantity, unit_price,
+               discount_percent, line_total
+        """,
+        "quantity > 0 AND unit_price >= 0 AND line_total >= 0"
+        " AND abs(line_total - quantity * unit_price"
+        " * (1 - discount_percent / 100)) < 0.01",
+    ),
+}
+
+
+def _etl_table_metrics(table: str) -> str:
+    cols = list(_ETL_CSV_COLS[table])
+    ncols = len(cols)
+    proj, keep = _ETL_TRANSFORMED[table]
+    nonnull_cells = " + ".join(f"count({c})" for c in cols)
+    tuple_cols = ", ".join(cols)
+    return f"""
+        SELECT '{table}' AS table_name,
+               (SELECT count(*) FROM {_etl_read(table)})
+                   AS records_processed,
+               count(*) AS records_inserted,
+               (SELECT count(*) FROM {_etl_read(table)}) - count(*)
+                   AS records_failed,
+               CASE WHEN count(*) = 0 THEN 0.0
+                    ELSE round(greatest(0.0,
+                        (({nonnull_cells})
+                         - (count(*) - count(DISTINCT ({tuple_cols})))
+                           * {ncols})
+                        / (count(*) * {ncols}) * 100), 2)
+               END AS data_quality_score
+        FROM (
+            {proj}
+            FROM {_etl_read(table)}
+            WHERE {_etl_not_all_null(table)} AND ({keep})
+        )
+    """
+
+
+ORACLE_SQL["etl_pipeline_run"] = " UNION ALL ".join(
+    _etl_table_metrics(t) for t in _ETL_CSV_COLS)
 
 from simpleetlpipeline_spark.operators.quality import (  # noqa: E402
     K_ANONYMITY_K,
