@@ -579,8 +579,15 @@ ORACLE_SQL = {
                     AS DOUBLE) AS token_share
         FROM per
     """,
-    "kmeans_assign": f"""
-        WITH e AS (
+}
+
+# Composable CTE chain for the seeded 2-round Lloyd replay, shared by
+# the kmeans_assign oracle and (round 11) the kmeans_cluster_purity
+# oracle — purity is a pure aggregation over the same deterministic
+# assignment, so once the assignment is SQL-replayable the evaluation
+# report is too.
+_KMEANS_CTES = f"""
+        e AS (
             SELECT vec_id, label,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
@@ -613,19 +620,56 @@ ORACLE_SQL = {
             -- empty clusters keep their init centroid
             SELECT i.cluster, coalesce(m1.v, i.v) AS v
             FROM init i LEFT JOIN m1 ON m1.cluster = i.cluster
+        ), assigned AS (
+            SELECT vec_id, label, CAST(cluster AS INTEGER) AS cluster
+            FROM (
+                SELECT e.vec_id, e.label, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_reduce(
+                               list_transform(range(1, len(e.v) + 1),
+                                   j -> (e.v[j] - c.v[j])
+                                        * (e.v[j] - c.v[j])),
+                               (acc, x) -> acc + x) ASC,
+                               c.cluster ASC) AS rn
+                FROM e CROSS JOIN cents c
+            ) WHERE rn = 1
         )
-        SELECT vec_id, label, CAST(cluster AS INTEGER) AS cluster FROM (
-            SELECT e.vec_id, e.label, c.cluster,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY list_reduce(
-                           list_transform(range(1, len(e.v) + 1),
-                               j -> (e.v[j] - c.v[j]) * (e.v[j] - c.v[j])),
-                           (acc, x) -> acc + x) ASC, c.cluster ASC) AS rn
-            FROM e CROSS JOIN cents c
-        ) WHERE rn = 1
-    """,
-}
+"""
+
+ORACLE_SQL["kmeans_assign"] = f"""
+    WITH {_KMEANS_CTES}
+    SELECT vec_id, label, cluster FROM assigned
+"""
+
+# Majority ties break to the LOWEST label (Spark's
+# max(struct(n, -label)) idiom == ORDER BY n DESC, label ASC).
+ORACLE_SQL["kmeans_cluster_purity"] = f"""
+    WITH {_KMEANS_CTES}
+    , by_pair AS (
+        SELECT cluster, label, CAST(count(*) AS BIGINT) AS n
+        FROM assigned GROUP BY 1, 2
+    ), per_cluster AS (
+        SELECT cluster,
+               CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT)
+                   AS cluster_size,
+               CAST(label AS INTEGER) AS majority_label,
+               n AS majority_n,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY n DESC, label ASC) AS rn
+        FROM by_pair
+    ), pc AS (
+        SELECT cluster, cluster_size, majority_label, majority_n,
+               floor(majority_n * 1.0 / cluster_size * 10000) / 10000
+                   AS purity
+        FROM per_cluster WHERE rn = 1
+    )
+    SELECT cluster, cluster_size, majority_label, majority_n, purity,
+           (SELECT floor(sum(majority_n) * 1.0 / sum(cluster_size)
+                         * 10000) / 10000 FROM pc) AS overall_purity
+    FROM pc
+    ORDER BY cluster
+"""
 
 ORACLE_SQL["shard_manifest"] = f"""
     SELECT ((doc_id * {_SHARD_HASH_A}) % {_SHARD_HASH_MOD})
@@ -909,10 +953,12 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks before trusting cluster-based curation (SemDeDup-style
     pruning of an impure clustering silently drops the wrong docs).
 
-    Rows-only in the gate (it composes the iteratively-assigned
-    kmeans clusters); the planted-blobs pytest pins purity 1.0 on
-    separable data. All ratio inputs are integers; purity floors at
-    4dp with majority ties to the lowest label.
+    Hash-oracled since round 11: the assignment it composes is the
+    SQL-replayable seeded Lloyd (kmeans_assign's oracle), so the
+    purity report shares that replay via _KMEANS_CTES; the
+    planted-blobs pytest additionally pins purity 1.0 on separable
+    data. All ratio inputs are integers; purity floors at 4dp with
+    majority ties to the lowest label.
 
     Scale: one (cluster, label) hash aggregate over the assignment
     frame, then |clusters| rows — evaluation is free relative to
@@ -941,7 +987,7 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster"))
 
 
-QUERIES["kmeans_cluster_purity"] = kmeans_cluster_purity  # rows-only
+QUERIES["kmeans_cluster_purity"] = kmeans_cluster_purity  # oracled r11
 
 
 NEG_K = 3
