@@ -153,3 +153,29 @@ def test_observed_profile_matches_check_data_quality(spark):
     assert got.null_counts == want.null_counts
     assert got.quality_score == want.quality_score
     assert got.content_hash == want.content_hash
+
+
+def test_generator_consistency_fractions(spark):
+    """Regression guard for the round-11 rand-stream desync bug:
+    derived columns (tax, consistent/broken totals, line totals)
+    must be computed from the SAME draw their published siblings
+    carry. When a copy of a shared F.rand() expression sits inside a
+    when() branch it advances only on rows where the branch is
+    taken, desyncing the streams — which collapsed the
+    tolerance-passing fraction from the intended ~85%/~72% to ~0.2%.
+    The bands below fail on any desync (which drives the fraction
+    toward the branch base rates) while staying loose enough for
+    partitioning-induced variation (F.rand depends on the
+    partitioning of spark.range, so exact counts are NOT stable —
+    fractions under two different partitionings are asserted)."""
+    for nparts_hint in (None, 3):
+        orders = generator.gen_orders(spark, 4000, 5000)
+        items = generator.gen_order_items(spark, 4000, 1000)
+        if nparts_hint:
+            orders = orders.repartition(nparts_hint)
+            items = items.repartition(nparts_hint)
+        o_frac = transforms.transform_orders(orders).count() / 4000
+        n_items = items.count()
+        i_frac = transforms.transform_order_items(items).count() / n_items
+        assert 0.78 <= o_frac <= 0.92, o_frac
+        assert 0.55 <= i_frac <= 0.88, i_frac
