@@ -262,11 +262,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     chain (the chained-HOF hashing is the expensive term) and added
     a corpus-scale join just to fetch an int. n_grams is computed in
     the projection BELOW the Generate so it can't be re-planned
-    per-exploded-row."""
+    per-exploded-row.
+
+    Round 11: gram hashing moved to the Arrow-vectorized rolling
+    kernel (rolling_window_hashes_udf) — the chained zip_with form
+    costs ngram interpreted per-token passes over the whole corpus
+    and was this query's dominant linear term at sf1. One
+    interpreted pass (per-token xxhash64) remains; the window
+    combine and per-doc distinct run vectorized in numpy. Gram-hash
+    equality still coincides with gram-string equality modulo 2^-64
+    (different hash family, same contract — only equality and
+    distinct counts are consumed, and probe/corpus share the
+    family), so the string-gram DuckDB oracle is unchanged."""
     ensure_session_conf(spark)
+    roll = rolling_window_hashes_udf(ngram)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     pre = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
-        word_ngram_hashes_col(F.col("text"), ngram).alias("grams"))
+        roll(F.transform(toks, lambda t: F.xxhash64(t))).alias("grams"))
     pre = pre.select(
         "doc_id", "grams", F.size("grams").alias("n_grams"))
 
