@@ -42,6 +42,8 @@ from simpleetlpipeline_spark.session import ensure_session_conf
 
 N_PROBES = 10          # probe set = vec_id < N_PROBES
 TOP_K = 10
+EMB_DIM = 64           # embeddings table contract (oracles hard-code
+                       # range(1, 65)); schemas.py pins the width
 LSH_PLANES = 16        # default sign bits (tiny-corpus floor)
 LSH_BANDS = 4          # bands; candidates agree on >=1 band
 LSH_SEED = 7
@@ -721,14 +723,24 @@ def _centroid_cells(vecs: DataFrame) -> DataFrame:
     """Coarse quantizer for IVF: per-label mean vectors (labels are
     the deterministic stand-in for trained k-means centroids; a real
     deployment would fit centroids on a sample and broadcast them the
-    same way)."""
+    same way).
+
+    Shape: ONE hash aggregate with EMB_DIM positional `avg` buffers
+    (the dim is a schema contract, so the unroll is static). The
+    previous formulation posexploded to |corpus| x EMB_DIM rows and
+    paid two shuffles plus a collect_list+array_sort reassembly; at
+    100 TB that explode multiplies shuffle volume by the dim for no
+    information gain — the per-position partial aggregates carry the
+    same state in one pass. Values are bit-identical per position
+    (same rows, same avg machinery), verified by the unchanged
+    ann_ivf_topk value-hash oracle."""
     cents = (
-        vecs.select("label", F.posexplode("e").alias("dim", "v"))
-        .groupBy("label", "dim").agg(F.avg("v").alias("v"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "v"))).alias("dv"))
-        .select(F.col("label").alias("cell"),
-                F.transform("dv", lambda s: s.getField("v")).alias("c"))
+        vecs.groupBy(F.col("label").alias("cell"))
+        .agg(*[F.avg(F.col("e")[i]).alias(f"_c{i}")
+               for i in range(EMB_DIM)])
+        .select("cell",
+                F.array(*[F.col(f"_c{i}")
+                          for i in range(EMB_DIM)]).alias("c"))
         .withColumn("c_nrm", l2_norm(F.col("c")))
     )
     return cents
@@ -1464,6 +1476,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str,
     that every method returns all probes. Scale: each method's
     top-k frame is |probes| x k; the join+agg here is trivial
     against the index costs themselves.
+
+    Bench note (r10 1.29s -> r11 3.84s explained): this entry's cost
+    IS the sum of the three index pipelines it evaluates (exact +
+    IVF + LSH, ~5s standalone at sf0.1). The r10 bench sample timed
+    standalone ann_topk / ann_ivf_topk / ann_lsh_topk rows BEFORE
+    this entry, and their cache.track-governed persists (released
+    only at end of run) were substituted plan-keyed into this
+    entry's identical sub-plans — so r10's 1.29s measured only the
+    join+agg tail. The r11 sample dropped those rows and this entry
+    paid its honest standalone cost. Same effect in BENCH_FULL.json
+    (full catalog in order: 1.5s). Work done is identical; what
+    moved is which row the shared stages were billed to.
     """
     ensure_session_conf(spark)
     from simpleetlpipeline_spark.cache import track
