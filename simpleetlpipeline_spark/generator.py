@@ -123,7 +123,8 @@ def gen_products(spark: SparkSession, n: int = 500) -> DataFrame:
 
 
 def gen_orders(spark: SparkSession, n: int = 1500,
-               n_customers: int = 2000) -> DataFrame:
+               n_customers: int = 2000,
+               num_partitions: int | None = None) -> DataFrame:
     """Reference main.py:313-347. ~15% get a total_amount that
     violates the ±0.01 consistency tolerance (reference's verified
     behavior: 216/1500 dropped).
@@ -143,8 +144,17 @@ def gen_orders(spark: SparkSession, n: int = 1500,
     parity goldens, which run on the reference's committed CSVs).
     Catalyst does not collapse the two Projects because inlining a
     multiply-referenced nondeterministic column is unsound — which
-    is exactly the guarantee the split relies on."""
-    ids = spark.range(1, n + 1).withColumnRenamed("id", "order_id")
+    is exactly the guarantee the split relies on.
+
+    num_partitions pins the parallelism of the source range (default:
+    the session's). F.rand streams are seeded PER PARTITION, so the
+    generated rows — and which of them pass the tolerance filters —
+    legitimately vary with this value; the consistency-fraction
+    regression test generates under two different values to assert
+    the draw/derived-column sync holds under any partitioning."""
+    ids = (spark.range(1, n + 1, 1, num_partitions)
+           if num_partitions else spark.range(1, n + 1)
+           ).withColumnRenamed("id", "order_id")
     draws = ids.select(
         "order_id",
         _rand(21).alias("r_sub"), _rand(22).alias("r_ship"),
@@ -184,12 +194,18 @@ def gen_orders(spark: SparkSession, n: int = 1500,
 
 
 def gen_order_items(spark: SparkSession, n_orders: int = 1500,
-                    n_products: int = 500) -> DataFrame:
+                    n_products: int = 500,
+                    num_partitions: int | None = None) -> DataFrame:
     """Reference main.py:349-375: 1-5 items per order; ~40% of line
     totals computed from an unrounded discount (the reference's CSV
-    rounding bug, verified to drop 1879/4474 items)."""
+    rounding bug, verified to drop 1879/4474 items).
+
+    num_partitions: see gen_orders — pins the source-range
+    parallelism so tests can vary the per-partition rand streams."""
     base = (
-        spark.range(1, n_orders + 1).withColumnRenamed("id", "order_id")
+        (spark.range(1, n_orders + 1, 1, num_partitions)
+         if num_partitions else spark.range(1, n_orders + 1))
+        .withColumnRenamed("id", "order_id")
         .select("order_id",
                 F.explode(F.sequence(
                     F.lit(1),

@@ -377,13 +377,39 @@ def run_generated_pipeline(spark: SparkSession, source_dir: str,
 
 
 #: Where etl_pipeline_run leaves the generated source CSVs for its
-#: DuckDB oracle to replay (see catalog.py's oracle). A fixed path
-#: rather than per-sf: the oracle is one static SQL string, and the
-#: gate/sweep protocols run Spark-then-DuckDB per entry, so at read
-#: time the dir always holds the CSVs THIS run just wrote. Each run
-#: overwrites it (concurrent sessions would race — the harnesses are
-#: sequential; worst case is one red sweep row, not corruption).
-ETL_ORACLE_SRC_DIR = "/tmp/spark_graft_etl_src/current"
+#: DuckDB oracle to replay (catalog.py imports this as the single
+#: source of truth for the oracle SQL's read_csv paths). A fixed,
+#: deterministic path rather than per-sf or per-run: the oracle is
+#: one static SQL string, and the gate/sweep protocols run
+#: Spark-then-DuckDB per entry — possibly in DIFFERENT processes —
+#: so the path must be derivable from the environment alone. It is
+#: per-user (shared-host hygiene: no cross-user clobber, and the
+#: 0700 parent created by _ensure_etl_src_parent blocks symlink
+#: planting by other users). Each run overwrites it (concurrent
+#: sessions of ONE user would race — the harnesses are sequential;
+#: worst case is one red sweep row, not corruption). The CSVs are
+#: deliberately NOT cleaned up on exit: the oracle may replay them
+#: from a later process, and the dir is bounded (one run's worth,
+#: overwritten in place).
+def _etl_src_dir() -> str:
+    import getpass
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_etl_src_{getpass.getuser()}",
+                        "current")
+
+
+ETL_ORACLE_SRC_DIR = _etl_src_dir()
+
+
+def _ensure_etl_src_parent() -> None:
+    """Create ETL_ORACLE_SRC_DIR's parent 0700 before Spark writes
+    under it (Spark's own mkdirs honor the umask, which is usually
+    looser)."""
+    parent = os.path.dirname(ETL_ORACLE_SRC_DIR)
+    os.makedirs(parent, mode=0o700, exist_ok=True)
+    os.chmod(parent, 0o700)
 
 
 def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,6 +436,7 @@ def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     td = tempfile.mkdtemp(prefix="etl_run_")
+    _ensure_etl_src_parent()
     src = ETL_ORACLE_SRC_DIR
     cfg = ETLConfig(warehouse_dir=os.path.join(td, "wh"))
 

@@ -70,7 +70,12 @@ QUERIES["etl_pipeline_run"] = _etl_pipeline_run  # hash-oracled round 11
 # nulls and duplicate rows recomputed from the transformed rows.
 # Replaying from the CSVs keeps the oracle valid even though
 # F.rand()-based generation varies with the session's partitioning.
-_ETL_SRC = "/tmp/spark_graft_etl_src/current"
+# Single source of truth for the path is pipeline.ETL_ORACLE_SRC_DIR
+# (per-user, deterministic across processes — the gate may run the
+# Spark side and the DuckDB side in different interpreters).
+from simpleetlpipeline_spark.pipeline import (  # noqa: E402
+    ETL_ORACLE_SRC_DIR as _ETL_SRC,
+)
 
 _ETL_CSV_COLS = {
     "customers": {

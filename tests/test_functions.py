@@ -336,6 +336,44 @@ def test_dedup_pairs_all_finds_planted_pair(spark, monkeypatch):
     assert clusters[1]["members"] == "1,2"
 
 
+def test_ngram_jaccard_planted_pair_matches_string_oracle(spark,
+                                                          monkeypatch):
+    """Regression guard for the round-11 rolling-hash rewrite of
+    dedup_ngram_jaccard: a planted near-dup of a PROBE doc (doc_id <
+    n_probes) must surface with the exact word-3-gram Jaccard a
+    string-gram computation gives — the sf-fixture sweep comparison
+    is 0-rows-vs-0-rows, so without this a kernel regression that
+    suppressed all pairs would still pass (round-11 advice)."""
+    import simpleetlpipeline_spark.functions.dedup as dd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu")
+    near = base + " nu xi"                       # shares most 3-grams
+    rows = [(3, base, "en", "web"), (42, near, "en", "web")]
+    rows += [(i, f"unrelated filler{i} words{i * 3} about{i * 7} "
+                 f"topic{i * 11} end{i * 13}", "en", "web")
+             for i in (0, 1, 2, 4, 5, 6, 50, 51)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    monkeypatch.setattr(dd, "read_table", lambda _s, _d, _n: df)
+    out = {(r["a_id"], r["b_id"]): r
+           for r in dd.dedup_ngram_jaccard(spark, "unused").collect()}
+    assert out, "planted near-dup must produce a nonzero pair set"
+
+    def grams(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    import math
+    ga, gb = grams(base), grams(near)
+    n_common = len(ga & gb)
+    want_jac = math.floor(n_common / len(ga | gb) * 10000) / 10000
+    got = out[(3, 42)]
+    assert got["n_common"] == n_common
+    assert got["jaccard"] == want_jac
+    assert set(out) == {(3, 42)}, "filler docs must not pair"
+
+
 def test_dedup_pairs_all_df_cap_drops_stop_shingles(spark, monkeypatch):
     """A shingle present in > df_cap docs must not generate pairs."""
     import simpleetlpipeline_spark.functions.dedup as dd

@@ -167,13 +167,18 @@ def test_generator_consistency_fractions(spark):
     toward the branch base rates) while staying loose enough for
     partitioning-induced variation (F.rand depends on the
     partitioning of spark.range, so exact counts are NOT stable —
-    fractions under two different partitionings are asserted)."""
-    for nparts_hint in (None, 3):
-        orders = generator.gen_orders(spark, 4000, 5000)
-        items = generator.gen_order_items(spark, 4000, 1000)
-        if nparts_hint:
-            orders = orders.repartition(nparts_hint)
-            items = items.repartition(nparts_hint)
+    fractions under two different partitionings are asserted).
+
+    The partitioning is varied at the SOURCE (spark.range
+    num_partitions), not by a repartition() above the draws: an
+    exchange over the finished projections replays identical
+    per-partition rand streams and would assert the same data
+    twice (round-11 advice)."""
+    for nparts in (None, 3):
+        orders = generator.gen_orders(spark, 4000, 5000,
+                                      num_partitions=nparts)
+        items = generator.gen_order_items(spark, 4000, 1000,
+                                          num_partitions=nparts)
         o_frac = transforms.transform_orders(orders).count() / 4000
         n_items = items.count()
         i_frac = transforms.transform_order_items(items).count() / n_items

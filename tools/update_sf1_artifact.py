@@ -37,6 +37,11 @@ def fingerprint(d: str) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or not sys.argv[1].strip():
+        raise SystemExit(
+            "usage: update_sf1_artifact.py \"<one-line note describing "
+            "THIS sweep (what changed since the last attestation)>\"")
+    note = sys.argv[1].strip()
     log_path = os.path.join(REPO, "CORRECTNESS_sf1.log")
     text = open(log_path).read()
     passes = re.findall(r"^PASS (\S+)", text, re.M)
@@ -64,20 +69,15 @@ def main() -> None:
         "verified_rows_only": n_rows,
         "failures": len(fails),
         "skipped": {m: "NOT IN LOG — investigate" for m in missing},
+        # The sweep note must describe THE SWEEP THIS ARTIFACT RECORDS
+        # (round-11 advice: a stale note misattributes the
+        # attestation), so it is a required CLI argument, not a
+        # baked-in string: tools/update_sf1_artifact.py "<note>".
         "notes": {
-            "history": prev["notes"]["history"].replace(
-                "round-9", "round-10"),
-            "round10_sweep": (
-                "FULL catalog sweep, zero skips, zero failures, after "
-                "the round-10 rewrites: doc_token_profile-based "
-                "corpus_curate/pretrain_prepare_report, one-shuffle "
-                "source_overlap_matrix, persisted quality_bins, the "
-                "raw-TIMESTAMP→epoch-micros render hardening (6 "
-                "entries), the two rows-only→oracle promotions "
-                "(user_value_ewma cents-floored closed form; "
-                "bpe_train_merges 8-round unrolled string-replace "
-                "twin), and the new media_decode_report real-decode "
-                "round-trip."),
+            "history": ("per-round attestation notes live in this "
+                        "file's git history; the sweep note below "
+                        "describes the run this artifact records."),
+            "sweep": note,
         },
         "env": prev["env"],
     }
