@@ -514,17 +514,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str,
-                  max_hamming: int = 10) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprints, candidates blocked on
-    equality of one of four 16-bit bands (any pair within Hamming
-    distance 3 shares a band by pigeonhole; wider distances are
-    caught probabilistically), verified by exact popcount distance.
+                  max_hamming: int = 10,
+                  threshold: float = 0.15) -> DataFrame:
+    """SimHash near-dup with exact verify: 64-bit fingerprints,
+    candidates blocked on equality of one of four 16-bit bands (any
+    pair within Hamming distance 3 shares a band by pigeonhole;
+    wider distances are caught probabilistically), pruned by popcount
+    distance <= max_hamming, then VERIFIED with exact word-3-gram
+    Jaccard >= threshold — the textbook simhash deployment (banding
+    and hamming are the cheap candidate path; the exact verify is
+    what gets published).
+
+    Round 12: the verify stage replaced publishing raw hamming
+    pairs. Raw 64-bit fingerprints of short documents sit within
+    hamming 10 of each other by CHANCE (74k coincidence pairs at
+    sf0.1 against 249 true near-dups) — at 100 TB that output is
+    noise, and it was also engine-specific, barring any check
+    sharper than rows-only. With candidates exact-verified, the
+    output is a SUBSET of the ground-truth >=threshold pair set with
+    exact jaccard values (pytest pins both). It stays rows-only, NOT
+    equality-oracled: banding recall is measurably imperfect —
+    222/249 true pairs at sf0.1, every miss band-caused (true
+    near-dups reach hamming 12; the 4 x 16-bit scheme only
+    guarantees h<=3 by pigeonhole, and closing that gap needs ~13
+    five-bit bands whose n^2/32 candidate volume is a scale
+    non-starter). That approximation trade-off is the method;
+    asserting equality would claim recall simhash does not have.
+    Hamming stays internal: a one-ALU-op prune on the raw candidate
+    stream before the dedup shuffle and the gram verify.
 
     Duplicate-skew safety mirrors dedup_minhash_lsh: exact copies
     collapse to one representative per distinct text before hashing
     (identical texts share all four bands, so an uncollapsed hot
     document would go quadratic in its copy count), re-expanded as
-    star edges with hamming 0; residual near-identical skew is
+    star edges with jaccard 1.0; residual near-identical skew is
     bounded by the BUCKET_CAP band-membership cap. The groups
     aggregate feeds both the simhash pipeline and the star join —
     one exchange, reused by both branches of the union.
@@ -536,12 +559,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     raw = fan_out(read_table(spark, sf_dir, "documents"))
     groups = collapse_exact_groups(raw, "doc_id", "text")
     star = star_pairs(raw, groups, "doc_id", "text").withColumn(
-        "hamming", F.lit(0))
+        "jaccard", F.lit(1.0))
+    # One pass over the reps computes BOTH the token hashes feeding
+    # the fingerprint and the gram sets feeding the exact verify;
+    # persisted because the verify joins it on both sides.
     docs = groups.select(
         "doc_id",
         F.transform(tokens_col(F.col("text")),
                     lambda t: F.xxhash64(t)).alias("hs"),
-    ).select("doc_id", simhash("hs").alias("sh"))
+        word_ngram_hashes_col(F.col("text")).alias("grams"),
+    ).select("doc_id", simhash("hs").alias("sh"), "grams")
+    docs = docs.persist()
 
     bands = docs.select(
         "doc_id", "sh",
@@ -562,26 +590,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     right = bands.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"),
                          "band", "bucket")
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
-    # popcount-filter BEFORE the distinct: the verify predicate is one
+    # popcount-filter BEFORE the distinct: the prune predicate is one
     # ALU op, so applying it on the raw (duplicated) candidate stream
     # shrinks the dedup shuffle instead of paying it twice.
-    return (
+    candidates = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a_id", "b_id", "hamming")
+        .filter(hamming <= max_hamming)
+        .select("a_id", "b_id")
         .distinct()
-        .unionByName(star.select("a_id", "b_id",
-                                 F.col("hamming").cast("int")))
     )
+    a = docs.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a_g"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("grams").alias("b_g"))
+    inter = F.size(F.array_intersect("a_g", "b_g"))
+    union = F.size("a_g") + F.size("b_g") - inter
+    pairs = track(
+        candidates.join(a, "a_id").join(b, "b_id")
+        .withColumn("jaccard", F.floor(inter / union * 10000) / 10000)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+        .unionByName(star)
+        .persist()
+    )
+    pairs.count()
+    docs.unpersist()
+    return pairs
 
 
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,   # hash-oracled round 11
-    "dedup_simhash": dedup_simhash,           # rows-only: xxhash64 simhash
+    "dedup_simhash": dedup_simhash,  # rows-only: banding recall < 1 (measured)
 }
 
 # Ground-truth pair graph for the MinHash-LSH family (round-10
@@ -651,6 +691,18 @@ ORACLE_SQL = {
         WITH {_MINHASH_PAIRS_SQL}
         SELECT a_id, b_id, jaccard FROM mh_pairs
     """,
+    # dedup_simhash deliberately has NO oracle entry (rows-only): the
+    # round-12 attempt to share the ground-truth pair graph MEASURED
+    # the banding's recall at 222/249 true pairs at sf0.1 (27 misses,
+    # all band-caused — true near-dups reach hamming 12, beyond the
+    # 4 x 16-bit pigeonhole guarantee of h<=3, and fixing that by
+    # pigeonhole needs ~13 five-bit bands whose candidate volume is
+    # n^2/32 — a scale non-starter). Equality-oracling it would
+    # assert recall the method does not have; instead pytest pins
+    # output ⊆ ground truth with matching exact-Jaccard values
+    # (test_simhash_subset_of_ground_truth) plus planted-pair and
+    # star-edge structure — the same classification as the
+    # embedding-LSH family, whose recall is also measurably < 1.
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS keep_doc_id,

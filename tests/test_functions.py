@@ -151,7 +151,9 @@ def test_band_candidates_bucket_cap_bounds_hot_bucket(spark):
 
 def test_simhash_duplicate_heavy_star(spark):
     """Exact copies must collapse before band blocking and come back
-    as hamming-0 star edges on the group minimum."""
+    as jaccard-1.0 star edges on the group minimum, and coincidence
+    candidates (unrelated short docs within hamming 10 by chance)
+    must NOT survive the exact verify."""
     from simpleetlpipeline_spark.functions import dedup as D
     import tempfile, os
     n = 500
@@ -165,7 +167,55 @@ def test_simhash_duplicate_heavy_star(spark):
     grp = [r for r in out
            if r["a_id"] < 10_000 and r["b_id"] < 10_000]
     assert len(grp) == n - 1
-    assert all(r["a_id"] == 0 and r["hamming"] == 0 for r in grp)
+    assert all(r["a_id"] == 0 and r["jaccard"] == 1.0 for r in grp)
+    assert len(out) == n - 1, "no unverified coincidence pairs"
+
+
+def test_simhash_banding_surfaces_planted_neardup(spark):
+    """A true near-dup (one token changed) must survive the banding +
+    hamming prune + exact-Jaccard verify with the string-gram value —
+    the recall property the shared ground-truth oracle attests."""
+    from simpleetlpipeline_spark.functions import dedup as D
+    import math
+    import tempfile, os
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, base + " phi")]
+    rows += [(100 + i, f"distinct filler{i} tokens{i * 3} about{i * 7} "
+                       f"thing{i * 11} end{i * 13}") for i in range(12)]
+    with tempfile.TemporaryDirectory() as td:
+        _docs(spark, rows).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {(r["a_id"], r["b_id"]): r["jaccard"]
+               for r in D.dedup_simhash(spark, td).collect()}
+    toks = base.split()
+    ga = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    toks2 = (base + " phi").split()
+    gb = {" ".join(toks2[i:i + 3]) for i in range(len(toks2) - 2)}
+    want = math.floor(len(ga & gb) / len(ga | gb) * 10000) / 10000
+    assert out.get((1, 2)) == want
+
+
+def test_simhash_subset_of_ground_truth(spark, sf_dir):
+    """dedup_simhash's exact-verified output must be a SUBSET of the
+    ground-truth pair set (dedup_minhash_lsh, whose equality oracle
+    attests it IS the ground truth on the fixtures) with identical
+    exact-Jaccard values, and must carry every exact-duplicate star
+    edge (identical texts share all four bands — banding cannot miss
+    them). This is the honest invariant for an approximate method
+    whose banding recall is measurably < 1 (222/249 at sf0.1, misses
+    all band-caused); an equality oracle would assert recall simhash
+    does not have."""
+    from simpleetlpipeline_spark.functions import dedup as D
+
+    truth = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in D.dedup_minhash_lsh(spark, sf_dir).collect()}
+    got = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in D.dedup_simhash(spark, sf_dir).collect()}
+    assert got, "fixture near-dups must surface"
+    assert set(got) <= set(truth), "false positive vs exact verify"
+    assert all(truth[p] == j for p, j in got.items())
+    stars = {p for p, j in truth.items() if j == 1.0}
+    assert stars <= set(got), "exact-duplicate star edges are guaranteed"
 
 
 def test_lang_id_detects_markers(spark, sf_dir):
