@@ -778,6 +778,30 @@ ORACLE_SQL["table_stats_profile"] = """
 #     sweep before rotation; user_value_ewma and media_decode_report
 #     additionally carry this round's oracle-hardening fixes
 #     (cent-boundary guard; empty-text coalesce).
+# Thirteenth-wave rotation (round 12, r11 verdict tasks #1/#4): the
+# six round-11 oracle promotions — dedup_minhash_lsh, dedup_clusters,
+# dedup_minhash_incremental, corpus_curate_neardup,
+# kmeans_cluster_purity, etl_pipeline_run, i.e. the ENTIRE
+# never-gated backlog (the verdict's recount: 4 strictly never-gated
+# plus second-look slots for dedup_minhash_lsh/dedup_clusters under
+# their NEW ground-truth-pair-graph oracles) — take the slots of six
+# retiring veterans, each holding 3 rounds of full driver green
+# (r9+r10+r11, recomputed from the artifacts) and each leaving a
+# family representative in-window: doc_repetition (text family stays
+# via token_char_correlation/bpe_train_merges/language_sampling_
+# weights), fuzzy_name_neighbors (similarity via
+# semantic_dedup_clusters + ann_incremental_topk),
+# revenue_cube_nation_segment (revenue analytics via
+# revenue_concentration/revenue_attribution), cf_holdout_hitrate
+# (recsys via negative_samples + copurchase_pairs),
+# bloom_semijoin_reduction (sketches via hll_audience_overlap),
+# media_ingest_rollup (multimodal via media_decode_report).
+# compaction_invariant stays: sole layout/maintenance-family rep.
+# The 22 twelfth-wave rotate-ins all stay for their second green;
+# the 15 two-green r10 rotate-ins and the diagnostic anchors
+# (date_axis_canary permanent, int128_fetch_probe, cdc_latest_state,
+# user_erasure_audit, hll_audience_overlap,
+# streaming_user_totals_stateful) stay put.
 GATE_PREFIX = (
     "date_axis_canary",
     "int128_fetch_probe",
@@ -794,10 +818,13 @@ GATE_PREFIX = (
     "semantic_dedup_clusters", "source_overlap_matrix",
     "bpe_merge_pairs", "ann_incremental_topk",
     "order_percentile_ranks", "revenue_attribution",
-    "doc_repetition", "compaction_invariant",
-    "fuzzy_name_neighbors", "revenue_cube_nation_segment",
-    "cf_holdout_hitrate", "bloom_semijoin_reduction",
-    "media_ingest_rollup",
+    "compaction_invariant",
+    # Thirteenth-wave rotate-ins (round 12): the six round-11 oracle
+    # promotions — the whole never-gated backlog — take the slots of
+    # the six retiring 3-green veterans.
+    "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_minhash_incremental", "corpus_curate_neardup",
+    "kmeans_cluster_purity", "etl_pipeline_run",
     "basket_lift_rules", "bpe_train_merges",
     "categorical_entropy_profile", "copurchase_pairs",
     "dedup_shared_windows", "embedding_quantize",
