@@ -100,6 +100,10 @@ def test_no_driver_collect_in_query_construction(spark, sf_dir):
                            # same eager pair-graph materialization
                            # contract as dedup_minhash_lsh
                            "dedup_minhash_incremental",
+                           # round 12: exact-verified like minhash,
+                           # same eager pair-graph count so the
+                           # corpus-sized gram cache releases
+                           "dedup_simhash",
                            # collects d^2 exact cross-moments for the
                            # driver-side eigh (k x d state tier)
                            "embedding_pca_report",
