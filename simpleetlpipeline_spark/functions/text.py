@@ -2012,13 +2012,27 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
     vocabulary-tier, orders of magnitude smaller than the corpus and
     the exact structure production BPE trainers iterate on. Each
     round is a pair explode + map-side-combined hash agg over that
-    small frame, a 1-row TakeOrdered collect (the learned merge — a
-    scalar, the sanctioned per-round driver hop the k-means/pagerank
-    loops also make), and one Arrow-batched pandas_udf pass applying
-    the merge to the symbol arrays (adjacent-pair rewriting is
-    sequential within a word — exactly the per-row kernel tier).
-    Round frames are persisted and the previous round unpersisted,
-    so lineage stays one round deep.
+    small frame and a 1-row TakeOrdered collect (the learned merge —
+    a scalar, the sanctioned per-round driver hop the
+    k-means/pagerank loops also make).
+
+    Merge application runs entirely in the JVM (round-12 rewrite,
+    optimization guide §4.1): each word is carried as a
+    chr(1)-delimited symbol string (every symbol wrapped as
+    \\x01sym\\x01 — the SAME representation the DuckDB oracle twin
+    uses), so applying merge (a,b) is one literal `replace()` of
+    '\\x01a\\x01\\x01b\\x01' with '\\x01ab\\x01'. Java's replace
+    scans left-to-right non-overlapping and resumes AFTER the
+    replacement — exactly the greedy semantics of the previous
+    Arrow-batched pandas kernel (each match consumes both wrapped
+    symbols including their guards, so a freshly-merged symbol can
+    never fuse with the next match; symbols never contain chr(1)).
+    This removed the per-round ArrowEvalPython stage (8 Python
+    round-trips over the whole vocab) and the per-round
+    persist/unpersist churn: only the base symbol table is
+    persisted, and round r re-applies the r-1 learned replaces —
+    narrow constant-cost string maps over the cached vocab-tier
+    frame, no shuffle (measured 4.5s -> ~1.8s at sf0.1).
 
     Rows-only entry (an iterative argmax loop is not expressible as
     one SQL statement): correctness is pinned by
@@ -2026,70 +2040,45 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
     a from-scratch pure-Python BPE trainer on the same corpus must
     produce the identical merge table.
     """
-    import pandas as pd
-
     from simpleetlpipeline_spark.cache import track
 
     ensure_session_conf(spark)
+    g = "\x01"
     words = (read_table(spark, sf_dir, "documents")
              .select(F.explode(tokens_col(F.col("text"))).alias("w"))
              .filter(F.col("w") != "")
              .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
-    vocab = track(
-        words.select(F.split(F.col("w"), "").alias("sym"), "freq")
+    base = track(
+        words.select(
+            F.regexp_replace(F.col("w"), "(.)", f"{g}$1{g}").alias("s"),
+            "freq")
         .persist())
 
     learned = []
-    released: list = []
+    vocab = base
     for rank in range(1, rounds + 1):
-        n = F.size("sym")
-        pairs = (vocab.filter(n >= 2)
+        syms = F.split(F.col("s").substr(
+            F.lit(2), F.length("s") - 2), g + g)
+        n = F.size(syms)
+        pairs = (vocab.select(syms.alias("sym"), "freq")
+                 .filter(n >= 2)
                  .select(F.explode(F.arrays_zip(
-                     F.slice("sym", 1, n - 1).alias("a"),
-                     F.slice("sym", 2, n - 1).alias("b"))).alias("p"),
-                     "freq")
+                     F.slice("sym", 1, F.size("sym") - 1).alias("a"),
+                     F.slice("sym", 2, F.size("sym") - 1).alias("b")))
+                     .alias("p"), "freq")
                  .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                  .agg(F.sum("freq").alias("pf")))
-        # This collect materializes the CURRENT vocab's persist as a
-        # side effect, so the previous round's cache can be released
-        # here — no dedicated count() job per round.
         top = (pairs.orderBy(F.desc("pf"), F.asc("a"), F.asc("b"))
                .limit(1).collect())
-        while released:
-            released.pop().unpersist()
         if not top:
             break
         a, b, pf = top[0]["a"], top[0]["b"], int(top[0]["pf"])
         learned.append((rank, a, b, a + b, pf))
-
-        def _apply(sym):  # pd.Series -> pd.Series (hints omitted: the
-            # decorator's hint inspection can't resolve a local import)
-            def merge_one(xs):
-                out, i = [], 0
-                while i < len(xs):
-                    if (i + 1 < len(xs)
-                            and xs[i] == a and xs[i + 1] == b):
-                        out.append(a + b)
-                        i += 2
-                    else:
-                        out.append(xs[i])
-                        i += 1
-                return out
-            return sym.map(merge_one)
-
-        # functional form: the decorator's type-hint inspection can't
-        # resolve the locally-imported pandas alias under
-        # `from __future__ import annotations`
-        apply_merge = F.pandas_udf(_apply, "array<string>")
-
-        prev = vocab
-        vocab = track(
-            prev.select(apply_merge("sym").alias("sym"), "freq")
-            .persist())
-        released.append(prev)  # freed after the next round's collect
-    vocab.unpersist()
-    while released:
-        released.pop().unpersist()
+        vocab = vocab.select(
+            F.replace(F.col("s"), F.lit(f"{g}{a}{g}{g}{b}{g}"),
+                      F.lit(f"{g}{a}{b}{g}")).alias("s"),
+            "freq")
+    base.unpersist()
     return spark.createDataFrame(
         learned, "rank int, left string, right string, "
                  "merged string, pair_freq long")

@@ -159,12 +159,12 @@ def salted_topk(df: DataFrame, keys: list[str], order_by: list[Column],
 
 def two_pass_global_window(df: DataFrame, key_col: str,
                            order_cols: list[Column] | None = None,
-                           value_col: str | None = None,
+                           value_col: str | list[str] | None = None,
                            n_buckets: int = 1024,
                            rank_out: str | None = "rank",
-                           cum_out: str | None = None,
+                           cum_out: str | list[str] | None = None,
                            total_rows_out: str | None = None,
-                           total_value_out: str | None = None,
+                           total_value_out: str | list[str] | None = None,
                            ) -> DataFrame:
     """Distributed global row_number / inclusive prefix sum — the
     two-pass replacement for an UNPARTITIONED window over a row-tier
@@ -200,15 +200,36 @@ def two_pass_global_window(df: DataFrame, key_col: str,
     row number), ``cum_out`` (inclusive prefix sum of value_col),
     ``total_rows_out`` / ``total_value_out`` (grand totals, the
     scalars ntile-style assignments need without a second pass).
+
+    ``value_col`` (with matching ``cum_out`` / ``total_value_out``)
+    also accepts a LIST of columns: every listed column's prefix sum
+    and total ride the SAME min/max scalar agg, spine aggregate and
+    within-bucket window — one pass over the frame instead of one
+    full two-pass stack per measure (round-12 optimization; the
+    order_value_ks_drift caller needed two cumulative sums and paid
+    the spine machinery twice).
     """
     from pyspark.sql import Window
 
     if order_cols is None:
         order_cols = [F.col(key_col)]
-    b_c, mn_c, mx_c, cnt_c, vs_c = (
-        "__b", "__mn", "__mx", "__cnt", "__vs")
-    off_c, voff_c, nt_c, vt_c = ("__off", "__voff", "__nt", "__vt")
-    for c in (b_c, mn_c, mx_c, off_c, voff_c, nt_c, vt_c):
+    value_cols = ([value_col] if isinstance(value_col, str)
+                  else list(value_col or []))
+    cum_outs = ([cum_out] if isinstance(cum_out, str)
+                else list(cum_out or []))
+    total_value_outs = (
+        [total_value_out] if isinstance(total_value_out, str)
+        else list(total_value_out or []))
+    if cum_outs and len(cum_outs) != len(value_cols):
+        raise ValueError("cum_out must match value_col arity")
+    if total_value_outs and len(total_value_outs) != len(value_cols):
+        raise ValueError("total_value_out must match value_col arity")
+    b_c, mn_c, mx_c, cnt_c = ("__b", "__mn", "__mx", "__cnt")
+    off_c, nt_c = ("__off", "__nt")
+    vs_cs = [f"__vs{i}" for i in range(len(value_cols))]
+    voff_cs = [f"__voff{i}" for i in range(len(value_cols))]
+    vt_cs = [f"__vt{i}" for i in range(len(value_cols))]
+    for c in (b_c, mn_c, mx_c, off_c, nt_c, *vs_cs, *voff_cs, *vt_cs):
         if c in df.columns:
             raise ValueError(f"two_pass_global_window temp column "
                              f"{c!r} collides with input")
@@ -233,8 +254,8 @@ def two_pass_global_window(df: DataFrame, key_col: str,
              .withColumn(b_c, bucket).drop(mn_c, mx_c))
 
     aggs = [F.count(F.lit(1)).alias(cnt_c)]
-    if value_col is not None:
-        aggs.append(F.sum(value_col).alias(vs_c))
+    for vc, vs_c in zip(value_cols, vs_cs):
+        aggs.append(F.sum(vc).alias(vs_c))
     counts = keyed.groupBy(b_c).agg(*aggs)
     spine_w = Window.orderBy(b_c)
     prev = spine_w.rowsBetween(Window.unboundedPreceding, -1)
@@ -244,7 +265,7 @@ def two_pass_global_window(df: DataFrame, key_col: str,
         F.col(b_c),
         F.coalesce(F.sum(cnt_c).over(prev), F.lit(0)).alias(off_c),
         F.sum(cnt_c).over(whole).alias(nt_c)]
-    if value_col is not None:
+    for vs_c, voff_c, vt_c in zip(vs_cs, voff_cs, vt_cs):
         spine_cols += [
             F.coalesce(F.sum(vs_c).over(prev),
                        F.lit(0).cast("long")).alias(voff_c),
@@ -259,18 +280,106 @@ def two_pass_global_window(df: DataFrame, key_col: str,
             rank_out,
             (F.col(off_c) + F.row_number().over(wb)).cast("long"))
         keep.append(rank_out)
-    if cum_out is not None:
+    for vc, voff_c, co in zip(value_cols, voff_cs, cum_outs):
         out = out.withColumn(
-            cum_out,
-            F.col(voff_c) + F.sum(value_col).over(
+            co,
+            F.col(voff_c) + F.sum(vc).over(
                 wb.rowsBetween(Window.unboundedPreceding, 0)))
-        keep.append(cum_out)
+        keep.append(co)
     if total_rows_out is not None:
         out = out.withColumn(total_rows_out, F.col(nt_c))
         keep.append(total_rows_out)
-    if total_value_out is not None:
-        out = out.withColumn(total_value_out, F.col(vt_c))
-        keep.append(total_value_out)
+    for vt_c, to in zip(vt_cs, total_value_outs):
+        out = out.withColumn(to, F.col(vt_c))
+        keep.append(to)
+    return out.select(*keep)
+
+
+def two_pass_global_ranks(df: DataFrame,
+                          specs: list[tuple[str, list[Column], str]],
+                          n_buckets: int = 1024,
+                          total_rows_out: str | None = None,
+                          ) -> DataFrame:
+    """Several INDEPENDENT distributed global row_numbers over the
+    same frame in one shared two-pass stack (round-12 optimization;
+    motivating caller: customer_rfm_segments' three RFM rankings,
+    which previously ran the full two_pass_global_window machinery
+    three times and re-joined each ranking on the entity key —
+    3 scalar aggs + 3 spines + 3 shuffle joins for one frame).
+
+    ``specs`` is a list of (key_col, order_cols, rank_out); each
+    produces the identical rank two_pass_global_window would (same
+    bucket function, same NULL/degenerate-span guards, same
+    within-bucket ordering), but:
+
+      * ONE scalar aggregate broadcasts min/max of ALL keys;
+      * ONE spine job: per-row (spec, bucket) pairs explode into a
+        tiny tagged frame, aggregated and offset in a single window
+        over <= len(specs) * n_buckets rows, broadcast once (each
+        per-spec join filters its tag out of the SAME broadcast);
+      * rank columns are appended by CHAINED per-bucket windows on
+        the main frame — no entity-key rejoin.
+
+    Scale shape is unchanged from the single-spec helper: nothing
+    unpartitioned ever sees more than the spine, and each window
+    task sorts ~N/n_buckets rows of one measure.
+    """
+    from pyspark.sql import Window
+
+    mm_aggs: list[Column] = []
+    for i, (key_col, _o, _r) in enumerate(specs):
+        mm_aggs += [F.min(key_col).cast("double").alias(f"__mn{i}"),
+                    F.max(key_col).cast("double").alias(f"__mx{i}")]
+    mm = df.agg(*mm_aggs)
+    keyed = df.crossJoin(F.broadcast(mm))
+    for i, (key_col, _o, _r) in enumerate(specs):
+        span = F.col(f"__mx{i}") - F.col(f"__mn{i}")
+        bucket = F.when(F.col(key_col).isNull(), F.lit(0)).otherwise(
+            F.when(span <= 0, F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col(key_col).cast("double")
+                             - F.col(f"__mn{i}")) / span * n_buckets),
+                    F.lit(n_buckets - 1)))).cast("int")
+        keyed = keyed.withColumn(f"__b{i}", bucket)
+    keyed = keyed.drop(*[c for i in range(len(specs))
+                         for c in (f"__mn{i}", f"__mx{i}")])
+
+    tagged = keyed.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("__tag"),
+                 F.col(f"__b{i}").alias("__tb"))
+        for i in range(len(specs))])).alias("e")) \
+        .select("e.__tag", "e.__tb")
+    counts = tagged.groupBy("__tag", "__tb").agg(
+        F.count(F.lit(1)).alias("__cnt"))
+    sw = Window.partitionBy("__tag").orderBy("__tb")
+    spine = counts.select(
+        "__tag", "__tb",
+        F.coalesce(
+            F.sum("__cnt").over(
+                sw.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(
+            sw.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)).alias("__nt"))
+
+    out = keyed
+    keep = list(df.columns)
+    for i, (_k, order_cols, rank_out) in enumerate(specs):
+        sl = (spine.filter(F.col("__tag") == i)
+              .select(F.col("__tb").alias(f"__sb{i}"),
+                      F.col("__off").alias(f"__off{i}"),
+                      F.col("__nt").alias(f"__nt{i}")))
+        out = out.join(F.broadcast(sl),
+                       F.col(f"__b{i}") == F.col(f"__sb{i}"))
+        wb = Window.partitionBy(f"__b{i}").orderBy(*order_cols)
+        out = out.withColumn(
+            rank_out,
+            (F.col(f"__off{i}") + F.row_number().over(wb))
+            .cast("long"))
+        keep.append(rank_out)
+    if total_rows_out is not None:
+        out = out.withColumn(total_rows_out, F.col("__nt0"))
+        keep.append(total_rows_out)
     return out.select(*keep)
 
 

