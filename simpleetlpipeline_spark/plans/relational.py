@@ -1483,7 +1483,17 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str,
     fixed IEEE chains floored at 4dp, ties broken on the rule key.
     Shape: one basket shuffle (posting-list pairs), the item-count
     table broadcast onto the pair frame twice, top-N as
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.
+
+    Round-12 note (optimization guide §1): a single-scan variant —
+    persist the basket arrays, derive the basket count from the
+    group count and the item counts from an explode of the cached
+    arrays — MEASURED SLOWER (1.46s -> 2.12s at sf0.1): the three
+    broadcast subtrees (item counts twice, basket count) launch as
+    concurrent jobs that race the not-yet-materialized cache, so
+    the basket shuffle ran up to 4x instead of 1x. Independent
+    cheap columnar scans for the broadcast sides beat a shared
+    cache that every broadcast job rebuilds; reverted."""
     ensure_session_conf(spark)
     baskets = (
         read_table(spark, sf_dir, "lineitem")
@@ -2382,50 +2392,69 @@ def brand_triple_rules(spark: SparkSession, sf_dir: str,
     BIGINT div of the basket count; confidence is an exact integer
     micro-ratio (sup*1e6 div pair_sup). No floats anywhere.
 
-    Shape & scale: one basket shuffle builds distinct (order, brand)
-    pairs; triples enumerate inside each basket via a bounded 3-way
-    self-join on the order key (the brand domain caps per-basket
-    fan-out at C(|brands|,3); with an unbounded item domain this is
-    where the A-priori frequent-pair prune would gate candidate
-    generation — the pair-support join below is exactly that
-    structure); one hash agg to candidate triples; the pair-support
-    join reuses the same basket frame. All joins are key-joins; the
-    final top-N is TakeOrderedAndProject."""
+    Shape & scale (round-12 rewrite, optimization guide §2.3/§2.4):
+    ONE basket shuffle builds the per-order sorted distinct brand
+    array (collect_set dedupes inside the aggregate, so no separate
+    distinct pass), persisted once; pairs and triples then
+    enumerate IN-ARRAY (nested positional transforms — the
+    copurchase_pairs posting-list trick lifted to level 3) as
+    narrow maps over the cached baskets, each followed by one hash
+    agg over the <=|brands|^3 candidate space. The previous form
+    shuffled the (order, brand) item table three times through a
+    3-way self-join on the order key and twice more for the
+    pair-support join; all of that collapses into the single basket
+    exchange. The brand domain caps per-basket fan-out at
+    C(|brands|,3); with an unbounded item domain this is where the
+    A-priori frequent-pair prune would gate candidate generation.
+    The pair-support table is <=C(|brands|,2) rows — broadcast
+    joined. Final top-N is TakeOrderedAndProject."""
     from simpleetlpipeline_spark.cache import track
 
     ensure_session_conf(spark)
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    items = track(
+    baskets = track(
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(F.broadcast(part),
               F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("o"),
-                F.col("p_brand").alias("br"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
         .persist())
-    n_baskets = items.select("o").distinct().agg(
-        F.count(F.lit(1)).alias("__nb"))
+    n_baskets = baskets.agg(F.count(F.lit(1)).alias("__nb"))
     min_sup = F.greatest(
         F.lit(2), F.expr(f"__nb * {support_milli} div 1000"))
-    a = items.select("o", F.col("br").alias("brand_a"))
-    b = items.select("o", F.col("br").alias("brand_b"))
-    c = items.select("o", F.col("br").alias("brand_c"))
+    bs, n = F.col("bs"), F.size("bs")
+    rest = lambda i: F.slice(  # noqa: E731 — elements after 0-based i
+        bs, i + 2, F.greatest(n - i - 1, F.lit(0)))
+    pair_structs = F.flatten(F.transform(
+        bs, lambda x, i: F.transform(
+            rest(i), lambda y: F.struct(x.alias("brand_a"),
+                                        y.alias("brand_b")))))
+    triple_structs = F.flatten(F.transform(
+        bs, lambda x, i: F.flatten(F.transform(
+            rest(i), lambda y, j: F.transform(
+                # y sits at 0-based index i+1+j; take everything after
+                F.slice(bs, i + j + 3,
+                        F.greatest(n - i - j - 2, F.lit(0))),
+                lambda z: F.struct(x.alias("brand_a"),
+                                   y.alias("brand_b"),
+                                   z.alias("brand_c")))))))
     triples = (
-        a.join(b, "o").filter(F.col("brand_a") < F.col("brand_b"))
-        .join(c, "o").filter(F.col("brand_b") < F.col("brand_c"))
+        baskets.select(F.explode(triple_structs).alias("t"))
+        .select("t.brand_a", "t.brand_b", "t.brand_c")
         .groupBy("brand_a", "brand_b", "brand_c")
         .agg(F.count(F.lit(1)).alias("support"))
         .crossJoin(F.broadcast(n_baskets))
         .filter(F.col("support") >= min_sup)
     )
     pair_sup = (
-        a.join(b, "o").filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.brand_a", "p.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("pair_support"))
     )
     return (
-        triples.join(pair_sup, ["brand_a", "brand_b"])
+        triples.join(F.broadcast(pair_sup), ["brand_a", "brand_b"])
         .select(
             "brand_a", "brand_b", "brand_c",
             F.col("support").cast("long").alias("support"),
