@@ -403,7 +403,12 @@ def star_pairs(df: DataFrame, groups: DataFrame, id_col: str,
     pairs) equals the closure over all-pairs. The join is an
     equi-join on the 64-bit fingerprint; only groups with n_copies>1
     participate, so on a mostly-distinct corpus the build side is
-    tiny (AQE broadcasts it)."""
+    tiny (AQE broadcasts it).
+
+    `groups` only needs (id_col, fp, n_copies) — callers pass their
+    already-persisted narrow frame carrying those columns so the
+    dup-rep side reads from cache instead of re-running the
+    exact-collapse subtree (round 12)."""
     dup_reps = (groups.filter(F.col("n_copies") > 1)
                 .select("fp", F.col(id_col).alias("a_id")))
     return (
@@ -418,16 +423,24 @@ def star_pairs(df: DataFrame, groups: DataFrame, id_col: str,
 def band_candidates(sig: DataFrame,
                     bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Candidate pairs from banded LSH: explode each signature into
-    (band, bucket) keys, cap bucket membership, self-equi-join on the
-    keys, distinct pairs.
+    (band, bucket) keys, cap bucket membership, enumerate pairs
+    IN-ARRAY per bucket posting list, distinct pairs.
 
-    The self-join is the operation that keeps LSH linear: it MUST
-    plan as an equi-join shuffled on (band, bucket) — 64-bit hash
-    keys, uniformly distributed — never a cartesian/nested-loop over
-    doc pairs (plan-shape guarded in test_plans.py). The membership
-    cap (see BUCKET_CAP) bounds the per-bucket fan-out at
-    C(bucket_cap, 2) so a near-identical flood cannot go quadratic
-    on one reducer.
+    Round 12 (guide §2.4): pair generation was a self-equi-join of
+    the capped band frame with itself — Catalyst cannot share a
+    subtree across a self-join's two sides, so the signature UDF,
+    band explode and cap window ran TWICE (once per side; the second
+    as a racing broadcast-thread job). Now the capped members
+    aggregate into ONE sorted posting array per (band, bucket) —
+    reusing the cap window's own hash partitioning, so no new
+    exchange — and pairs enumerate with nested array transforms
+    (a < b by the sort). Same pair set, one signature pass, and the
+    only wide ops left are the band-key exchange and the final
+    distinct. The membership cap (see BUCKET_CAP) bounds both the
+    posting array (spill-safe: the window caps BEFORE the collect,
+    so no aggregation buffer ever holds more than bucket_cap ids)
+    and the per-bucket fan-out at C(bucket_cap, 2), so a
+    near-identical flood cannot go quadratic on one reducer.
     """
     bands = sig.select(
         "doc_id",
@@ -444,12 +457,19 @@ def band_candidates(sig: DataFrame,
 
     bands = cap_bucket_members(bands, ["band", "bucket"], "doc_id",
                                bucket_cap)
-    left = bands.select(F.col("doc_id").alias("a_id"), "band", "bucket")
-    right = bands.select(F.col("doc_id").alias("b_id"), "band", "bucket")
+    members = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    pairs = F.flatten(F.transform(
+        F.col("m"),
+        lambda a, i: F.transform(
+            F.slice(F.col("m"), i + F.lit(2), F.size("m")),
+            lambda b: F.struct(a.alias("a_id"), b.alias("b_id")))))
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 
@@ -487,15 +507,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
     minhash = minhash_from_gram_hashes_udf()
     raw = fan_out(read_table(spark, sf_dir, "documents"))
     groups = collapse_exact_groups(raw, "doc_id", "text")
-    star = star_pairs(raw, groups, "doc_id", "text").withColumn(
-        "jaccard", F.lit(1.0))
-    # The shingled view is read three times (signature build + both
-    # sides of the exact verify); persist it so the gram computation
-    # runs once. MEMORY_AND_DISK: gram arrays spill instead of OOM at
-    # large corpus sizes.
+    # The shingled view is read FOUR times (signature build, both
+    # sides of the exact verify, and the star join's dup-rep side);
+    # persist it so the gram computation — and, round 12, the
+    # exact-collapse shuffle feeding it — runs once. fp/n_copies ride
+    # along (16 bytes/row) so star_pairs reads its dup reps from this
+    # cache instead of re-running the whole collapse subtree (scan +
+    # groupBy(text) exchange) a second time. MEMORY_AND_DISK: gram
+    # arrays spill instead of OOM at large corpus sizes.
     docs = groups.select(
-        "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"))
+        "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"),
+        "fp", "n_copies")
     docs = docs.persist()
+    # Materialize the cache BEFORE the consumers launch: pairs.count()
+    # spawns the candidate join, both verify sides and the star
+    # broadcast as CONCURRENT jobs, and concurrent first-readers of an
+    # unbuilt cache each recompute the scan+collapse+gram subtree
+    # (profiled round 12: 9 full-corpus passes -> 1). One narrow count
+    # job orders the fill ahead of them.
+    docs.count()
+    star = star_pairs(raw, docs, "doc_id", "text").withColumn(
+        "jaccard", F.lit(1.0))
     sig = docs.select("doc_id", "grams", minhash("grams").alias("sig"))
 
     candidates = band_candidates(sig)
@@ -571,18 +603,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     simhash = simhash_from_hashes_udf()
     raw = fan_out(read_table(spark, sf_dir, "documents"))
     groups = collapse_exact_groups(raw, "doc_id", "text")
-    star = star_pairs(raw, groups, "doc_id", "text").withColumn(
-        "jaccard", F.lit(1.0))
     # One pass over the reps computes BOTH the token hashes feeding
     # the fingerprint and the gram sets feeding the exact verify;
-    # persisted because the verify joins it on both sides.
+    # persisted because the verify joins it on both sides. fp and
+    # n_copies ride along (round 12) so star_pairs reads its dup reps
+    # from this cache instead of re-running the collapse subtree.
     docs = groups.select(
         "doc_id",
         F.transform(tokens_col(F.col("text")),
                     lambda t: F.xxhash64(t)).alias("hs"),
         word_ngram_hashes_col(F.col("text")).alias("grams"),
-    ).select("doc_id", simhash("hs").alias("sh"), "grams")
+        "fp", "n_copies",
+    ).select("doc_id", simhash("hs").alias("sh"), "grams",
+             "fp", "n_copies")
     docs = docs.persist()
+    # Eager fill before concurrent consumers (see dedup_minhash_lsh).
+    docs.count()
+    star = star_pairs(raw, docs, "doc_id", "text").withColumn(
+        "jaccard", F.lit(1.0))
 
     bands = docs.select(
         "doc_id", "sh",
@@ -598,19 +636,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     bands = cap_bucket_members(bands, ["band", "bucket"], "doc_id",
                                BUCKET_CAP)
 
-    left = bands.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"),
-                        "band", "bucket")
-    right = bands.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"),
-                         "band", "bucket")
-    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
-    # popcount-filter BEFORE the distinct: the prune predicate is one
-    # ALU op, so applying it on the raw (duplicated) candidate stream
-    # shrinks the dedup shuffle instead of paying it twice.
+    # Round 12: in-array pair enumeration over per-bucket posting
+    # lists replaces the band self-join (see band_candidates — the
+    # join re-ran the simhash kernel once per side). The popcount
+    # prune stays BEFORE the distinct, now as an in-array filter:
+    # one ALU op per raw candidate, so the dedup shuffle only
+    # carries surviving pairs.
+    members = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh")))
+             .alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    cand = F.flatten(F.transform(
+        F.col("m"),
+        lambda a, i: F.filter(
+            F.transform(
+                F.slice(F.col("m"), i + F.lit(2), F.size("m")),
+                lambda b: F.struct(
+                    a["doc_id"].alias("a_id"),
+                    b["doc_id"].alias("b_id"),
+                    F.bit_count(a["sh"].bitwiseXOR(b["sh"]))
+                    .alias("hd"))),
+            lambda p: p["hd"] <= F.lit(max_hamming))))
     candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(hamming <= max_hamming)
-        .select("a_id", "b_id")
+        members.select(F.explode(cand).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
     a = docs.select(F.col("doc_id").alias("a_id"), F.col("grams").alias("a_g"))
@@ -1579,12 +1630,14 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
     the INDEX — at 100 TB both live as persisted bucketed tables and
     this job never rescans base content; here they are recomputed
     from the base scan (linear hash work, no pairwise cost) because
-    the testdata ships no committed index. The candidate join probes
-    batch band keys against the full key set — shuffle volume is
-    O(batch x bands) on the probe side; base-x-base pairs never
-    form. Bucket caps apply to the SAME full key frame as the full run
-    (cap first, then restrict the probe side) so capping decisions —
-    and therefore recall — are bit-identical to dedup_minhash_lsh.
+    the testdata ships no committed index. Candidates enumerate
+    in-array per bucket posting list (round 12, see band_candidates)
+    with the batch restriction applied inside the array, so
+    base-x-base pairs never become rows and the distinct shuffle
+    carries only the incremental slice. Bucket caps apply to the
+    SAME full key frame as the full run (cap first, then restrict)
+    so capping decisions — and therefore recall — are bit-identical
+    to dedup_minhash_lsh.
 
     Hash-oracled since round 11: by the slice equivalence above,
     under the same perfect-recall contract as dedup_minhash_lsh the
@@ -1594,15 +1647,19 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
     ensure_session_conf(spark)
     minhash = minhash_from_gram_hashes_udf()
     raw = fan_out(read_table(spark, sf_dir, "documents"))
-    is_batch = F.pmod("doc_id", F.lit(INCR_MOD)) == 0
     groups = collapse_exact_groups(raw, "doc_id", "text")
-    star = (star_pairs(raw, groups, "doc_id", "text")
+    # fp/n_copies ride the persisted gram cache (round 12) so the
+    # star join's dup reps come from cache, not a second collapse.
+    docs = groups.select(
+        "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"),
+        "fp", "n_copies")
+    docs = docs.persist()
+    # Eager fill before concurrent consumers (see dedup_minhash_lsh).
+    docs.count()
+    star = (star_pairs(raw, docs, "doc_id", "text")
             .withColumn("jaccard", F.lit(1.0))
             .filter((F.pmod("a_id", F.lit(INCR_MOD)) == 0)
                     | (F.pmod("b_id", F.lit(INCR_MOD)) == 0)))
-    docs = groups.select(
-        "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"))
-    docs = docs.persist()
     sig = docs.select("doc_id", "grams", minhash("grams").alias("sig"))
 
     # same banding + SAME capping universe as the full run, so the
@@ -1620,15 +1677,32 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     bands = cap_bucket_members(bands, ["band", "bucket"], "doc_id",
-                               BUCKET_CAP).persist()
-    probe = (bands.filter(is_batch)
-             .select(F.col("doc_id").alias("p_id"), "band", "bucket"))
-    index = bands.select(F.col("doc_id").alias("i_id"), "band", "bucket")
+                               BUCKET_CAP)
+    # Round 12: in-array pair enumeration over per-bucket posting
+    # lists replaces the probe-x-index self-join (see
+    # band_candidates), with the batch restriction applied INSIDE
+    # the array — pairs touching no batch doc are dropped before
+    # they ever become rows, so the distinct shuffle still carries
+    # only the incremental slice. The bands persist went with the
+    # join: the posting aggregate is the single consumer.
+    members = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    touches_batch = (
+        lambda p: (F.pmod(p["a_id"], F.lit(INCR_MOD)) == 0)
+        | (F.pmod(p["b_id"], F.lit(INCR_MOD)) == 0))
+    cand = F.flatten(F.transform(
+        F.col("m"),
+        lambda a, i: F.filter(
+            F.transform(
+                F.slice(F.col("m"), i + F.lit(2), F.size("m")),
+                lambda b: F.struct(a.alias("a_id"), b.alias("b_id"))),
+            touches_batch)))
     candidates = (
-        probe.join(index, ["band", "bucket"])
-        .filter(F.col("p_id") != F.col("i_id"))
-        .select(F.least("p_id", "i_id").alias("a_id"),
-                F.greatest("p_id", "i_id").alias("b_id"))
+        members.select(F.explode(cand).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct())
 
     a = docs.select(F.col("doc_id").alias("a_id"),
@@ -1649,7 +1723,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
         .persist())
     pairs.count()
     docs.unpersist()
-    bands.unpersist()
     return pairs
 
 

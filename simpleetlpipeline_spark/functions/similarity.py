@@ -365,14 +365,13 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     near-identical (non-bit-identical) skew is bounded by the
     bucket_cap membership cap.
 
-    The band frame is persisted (cache.track-governed): the
-    self-join consumes it twice, and without the cache each side
-    re-runs the SRP kernel over the whole corpus. It is also the
-    NARROW frame (vec_id, band-bucket) — the candidate self-join
-    shuffles 16 bytes per row per band, never the 64-dim payload;
-    the 64-dim vectors are consulted only for the exact-cosine
-    verify of the surviving candidate pairs (broadcast matrix below
-    the size gate, id-joins above it).
+    Candidates enumerate in-array per bucket posting list (round 12,
+    see dedup.band_candidates): one SRP-kernel pass, one exchange on
+    the band key, no self-join. The band frame stays the NARROW one
+    (vec_id, band-bucket) — 16 bytes per row per band, never the
+    64-dim payload; the 64-dim vectors are consulted only for the
+    exact-cosine verify of the surviving candidate pairs (broadcast
+    matrix below the size gate, id-joins above it).
     """
     ensure_session_conf(spark)
     from simpleetlpipeline_spark.cache import track
@@ -380,13 +379,15 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     small = _table_bytes(sf_dir, "embeddings") <= EXACT_NEARDUP_MAX_BYTES
     raw = fan_out(read_table(spark, sf_dir, "embeddings"))
     groups = collapse_exact_groups(raw, "vec_id", "embedding")
+    # fp rides the persisted cache (round 12) so star_pairs reads its
+    # dup reps from here instead of re-running the collapse subtree.
     vecs_n = track(
         groups.select("vec_id",
                       as_double_vec(F.col("embedding")).alias("e"),
-                      "n_copies")
+                      "fp", "n_copies")
         .withColumn("nrm", l2_norm(F.col("e")))
         .persist())
-    vecs = vecs_n.drop("n_copies")
+    vecs = vecs_n.drop("fp", "n_copies")
     pdf = None
     if small:
         # One materialization feeds everything below the gate: the
@@ -400,7 +401,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
         has_exact_dups = bool((pdf["n_copies"] > 1).any())
     else:
         has_exact_dups = True  # unknown without a pass; keep the join
-    star = (star_pairs(raw, groups, "vec_id", "embedding")
+        # Eager cache fill: the band build, verify joins and star
+        # broadcast below launch concurrently, and concurrent first
+        # readers of an unbuilt cache each recompute the collapse
+        # subtree (the small path's toPandas() already fills it).
+        vecs_n.count()
+    star = (star_pairs(raw, vecs_n, "vec_id", "embedding")
             .withColumn("cosine_sim", F.lit(1.0))
             if has_exact_dups else None)
     # Constant-occupancy band width (see LSH_TARGET_OCCUPANCY): the
@@ -408,17 +414,32 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     # instead of n^2/B at any fixed width.
     bits = _lsh_bits_for(_table_rows(spark, sf_dir, "embeddings"))
     bucketer = _lsh_bucket_udf(planes=LSH_BANDS * bits, bands=LSH_BANDS)
-    bands = track(
-        cap_bucket_members(
-            vecs.select("vec_id",
-                        F.explode(bucketer(F.col("e"))).alias("bb")),
-            ["bb"], "vec_id", bucket_cap)
-        .persist())
+    bands = cap_bucket_members(
+        vecs.select("vec_id",
+                    F.explode(bucketer(F.col("e"))).alias("bb")),
+        ["bb"], "vec_id", bucket_cap)
+    # Round 12: in-array pair enumeration over per-bucket posting
+    # lists replaces the band self-join (Catalyst cannot share a
+    # subtree across a self-join's sides, so the SRP kernel ran once
+    # per side — the persist that used to mask that is gone with the
+    # join; the posting aggregate is the single consumer and reuses
+    # the cap window's partitioning). Same pair multiset: one row per
+    # shared bucket, a < b by the sorted array, no distinct here —
+    # the small path dedups AFTER the threshold filter, the big path
+    # right below.
+    members = (
+        bands.groupBy("bb")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
     raw_pairs = (
-        bands.select(F.col("vec_id").alias("a_id"), "bb")
-        .join(bands.select(F.col("vec_id").alias("b_id"), "bb"), "bb")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        members.select(F.explode(F.flatten(F.transform(
+            F.col("m"),
+            lambda a, i: F.transform(
+                F.slice(F.col("m"), i + F.lit(2), F.size("m")),
+                lambda b: F.struct(a.alias("a_id"), b.alias("b_id")))))
+        ).alias("p"))
+        .select("p.a_id", "p.b_id")
     )
     if small:
         # Broadcast-matrix verify (the round-5 treatment that made

@@ -236,11 +236,13 @@ def test_asof_join_strict_semantics(spark):
     assert out[13]["micros_since_purchase"] == 3_000_000
 
 
-def test_minhash_band_join_is_equi_join(spark):
-    """The LSH candidate self-join must shuffle on (band, bucket) —
-    an equi-join — never degrade to a cartesian/nested-loop over doc
-    pairs, which is the difference between linear and quadratic at
-    corpus scale."""
+def test_minhash_band_candidates_plan_is_joinless(spark):
+    """LSH candidate generation must stay linear at corpus scale:
+    one exchange keyed on (band, bucket), per-bucket posting arrays,
+    in-array pair enumeration — no join of ANY kind (the round-12
+    rewrite; the old self-equi-join re-ran the signature subtree
+    once per side), and certainly never a cartesian/nested-loop
+    over doc pairs."""
     from simpleetlpipeline_spark.functions.dedup import band_candidates
 
     sig = spark.createDataFrame(
@@ -249,10 +251,10 @@ def test_minhash_band_join_is_equi_join(spark):
     plan = _plan(band_candidates(sig))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, \
+        "candidate generation must be join-free (in-array pairs)"
     assert "band" in plan and "bucket" in plan
-    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-            or "BroadcastHashJoin" in plan), \
-        "band join must be an equi-join on the band keys"
+    assert "Generate" in plan, "pairs must explode from posting arrays"
 
 
 def test_ann_topk_plan_broadcast_probes_salted_topk(spark, sf_dir):
