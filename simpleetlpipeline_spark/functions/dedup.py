@@ -519,13 +519,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str,
         "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"),
         "fp", "n_copies")
     docs = docs.persist()
-    # Materialize the cache BEFORE the consumers launch: pairs.count()
-    # spawns the candidate join, both verify sides and the star
-    # broadcast as CONCURRENT jobs, and concurrent first-readers of an
-    # unbuilt cache each recompute the scan+collapse+gram subtree
-    # (profiled round 12: 9 full-corpus passes -> 1). One narrow count
-    # job orders the fill ahead of them.
-    docs.count()
     star = star_pairs(raw, docs, "doc_id", "text").withColumn(
         "jaccard", F.lit(1.0))
     sig = docs.select("doc_id", "grams", minhash("grams").alias("sig"))
@@ -617,8 +610,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str,
     ).select("doc_id", simhash("hs").alias("sh"), "grams",
              "fp", "n_copies")
     docs = docs.persist()
-    # Eager fill before concurrent consumers (see dedup_minhash_lsh).
-    docs.count()
     star = star_pairs(raw, docs, "doc_id", "text").withColumn(
         "jaccard", F.lit(1.0))
 
@@ -1654,8 +1645,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str,
         "doc_id", word_ngram_hashes_col(F.col("text")).alias("grams"),
         "fp", "n_copies")
     docs = docs.persist()
-    # Eager fill before concurrent consumers (see dedup_minhash_lsh).
-    docs.count()
     star = (star_pairs(raw, docs, "doc_id", "text")
             .withColumn("jaccard", F.lit(1.0))
             .filter((F.pmod("a_id", F.lit(INCR_MOD)) == 0)

@@ -401,11 +401,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
         has_exact_dups = bool((pdf["n_copies"] > 1).any())
     else:
         has_exact_dups = True  # unknown without a pass; keep the join
-        # Eager cache fill: the band build, verify joins and star
-        # broadcast below launch concurrently, and concurrent first
-        # readers of an unbuilt cache each recompute the collapse
-        # subtree (the small path's toPandas() already fills it).
-        vecs_n.count()
+        # No eager cache fill: concurrent first readers of the unbuilt
+        # cache serialize per-partition on the block write locks, so
+        # the collapse subtree still computes once — and a prefill
+        # count() only SERIALIZES a pass ahead of work that overlaps
+        # it (measured round 12 on the dedup family: the prefill cost
+        # +0.4-0.7s per query at sf0.1 with zero recompute saved).
     star = (star_pairs(raw, vecs_n, "vec_id", "embedding")
             .withColumn("cosine_sim", F.lit(1.0))
             if has_exact_dups else None)
