@@ -1419,6 +1419,10 @@ def item_cooccurrence_cf(spark: SparkSession, sf_dir: str,
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    # Although the two broadcast subtrees are written twice, AQE's
+    # runtime stage reuse canonicalizes them to one BroadcastExchange
+    # (verified round 12: executed final plan carries ReusedExchange;
+    # the per-side rename projects do not defeat canonicalization).
     ca = F.broadcast(item_counts.select(
         F.col("l_partkey").alias("part_a"),
         F.col("n_orders").alias("n_a")))
@@ -1519,17 +1523,27 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str,
              .groupBy("pa", "pb")
              .agg(F.count(F.lit(1)).alias("n_ab"))
              .filter(F.col("n_ab") >= min_orders))
-    # both rule directions from the a<b pair table
-    rules = (pairs.select(F.col("pa").alias("antecedent"),
-                          F.col("pb").alias("consequent"), "n_ab")
-             .unionAll(pairs.select(F.col("pb").alias("antecedent"),
-                                    F.col("pa").alias("consequent"),
-                                    "n_ab")))
+    # Both rule directions from the a<b pair table — emitted by an
+    # in-row explode, NOT a unionAll of two selects over `pairs`
+    # (round 12, guide §2.4): Catalyst cannot share a subtree across
+    # union branches in the compiled plan, so the union form carried
+    # the whole basket-shuffle + pair-aggregate pipeline twice
+    # (static plan: 10 parquet scans / 26 exchanges → 8 / 22; AQE
+    # stage reuse could recover the duplicate at runtime, but the
+    # narrow explode needs no recovery and plans one subtree always).
+    rules = (pairs.select(F.explode(F.array(
+        F.struct(F.col("pa").alias("antecedent"),
+                 F.col("pb").alias("consequent"), F.col("n_ab")),
+        F.struct(F.col("pb").alias("antecedent"),
+                 F.col("pa").alias("consequent"), F.col("n_ab")),
+    )).alias("r")).select("r.antecedent", "r.consequent", "r.n_ab"))
     item_counts = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_orders")))
+    # Written as two broadcasts, executed as one: AQE runtime stage
+    # reuse (see item_cooccurrence_cf).
     ca = F.broadcast(item_counts.select(
         F.col("l_partkey").alias("antecedent"),
         F.col("n_orders").alias("n_a")))
