@@ -56,9 +56,30 @@ def _rand(seed_offset: int) -> Column:
     return F.rand(SEED + seed_offset)
 
 
+#: Target rows per generation task (round 12, guide §2.2/§6):
+#: spark.range defaults to one partition per core, so a 50k-row
+#: source table generated on local[32] became 32 ~1,500-row tasks,
+#: 32 tiny CSV files, and 32-task scan/write/dup-count jobs all the
+#: way down the per-table load chain — pure scheduling overhead at
+#: bench scale (28 jobs x 32 tasks for ~36 MB of data). Sizing the
+#: range by ROWS instead makes the partitioning scale-adaptive in
+#: both directions: each task emits a several-MB CSV shard, the
+#: downstream extract reads that many splits, and a 100-TB-sized n
+#: still fans out to every core (the core count stays the cap, so
+#: the driver's low-core bench runs keep their parallelism
+#: semantics).
+GEN_ROWS_PER_TASK = 100_000
+
+
+def _gen_partitions(spark: SparkSession, n_rows: int) -> int:
+    cap = spark.sparkContext.defaultParallelism
+    return max(1, min(-(-n_rows // GEN_ROWS_PER_TASK), cap))
+
+
 def gen_customers(spark: SparkSession, n: int = 2000) -> DataFrame:
     """Reference main.py:266-286. ~2% of emails are invalid."""
-    ids = spark.range(1, n + 1).withColumnRenamed("id", "customer_id")
+    ids = (spark.range(1, n + 1, 1, _gen_partitions(spark, n))
+           .withColumnRenamed("id", "customer_id"))
     first = _pick(F.col("customer_id"), 1,
                   "James", "Mary", "John", "Patricia", "Robert", "Jennifer",
                   "Michael", "Linda", "David", "Elizabeth")
@@ -97,7 +118,8 @@ def gen_customers(spark: SparkSession, n: int = 2000) -> DataFrame:
 
 def gen_products(spark: SparkSession, n: int = 500) -> DataFrame:
     """Reference main.py:288-311. ~5% negative stock (clamped later)."""
-    ids = spark.range(1, n + 1).withColumnRenamed("id", "product_id")
+    ids = (spark.range(1, n + 1, 1, _gen_partitions(spark, n))
+           .withColumnRenamed("id", "product_id"))
     unit_price = F.round(_rand(11) * 495 + 5, 2)
     return ids.select(
         "product_id",
@@ -152,9 +174,9 @@ def gen_orders(spark: SparkSession, n: int = 1500,
     legitimately vary with this value; the consistency-fraction
     regression test generates under two different values to assert
     the draw/derived-column sync holds under any partitioning."""
-    ids = (spark.range(1, n + 1, 1, num_partitions)
-           if num_partitions else spark.range(1, n + 1)
-           ).withColumnRenamed("id", "order_id")
+    ids = spark.range(
+        1, n + 1, 1, num_partitions or _gen_partitions(spark, n)
+    ).withColumnRenamed("id", "order_id")
     draws = ids.select(
         "order_id",
         _rand(21).alias("r_sub"), _rand(22).alias("r_ship"),
@@ -203,8 +225,9 @@ def gen_order_items(spark: SparkSession, n_orders: int = 1500,
     num_partitions: see gen_orders — pins the source-range
     parallelism so tests can vary the per-partition rand streams."""
     base = (
-        (spark.range(1, n_orders + 1, 1, num_partitions)
-         if num_partitions else spark.range(1, n_orders + 1))
+        # explode emits ~3 items/order: size the range by OUTPUT rows
+        spark.range(1, n_orders + 1, 1,
+                    num_partitions or _gen_partitions(spark, n_orders * 3))
         .withColumnRenamed("id", "order_id")
         .select("order_id",
                 F.explode(F.sequence(
