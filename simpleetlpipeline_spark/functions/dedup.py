@@ -864,10 +864,22 @@ def connected_components(edges: DataFrame, a: str = "a_id",
                     parent[rd] = rs
                 else:
                     parent[rs] = rd
-        out = [(n, find(n)) for n in parent]
+        # Arrow re-entry (round 12, guide §4/§6): createDataFrame over
+        # a plain Python list takes the pickled-RDD path — the label
+        # table parallelized into one slice PER CORE and pushed through
+        # 32 Python-worker tasks (profiled: 1.56s of a 1.5s-total
+        # query for ~700 rows). A pandas frame rides the Arrow path:
+        # one batch, one partition, no Python workers.
+        import pandas as pd
+
         spark = edges.sparkSession
         edges_p.unpersist()
-        return spark.createDataFrame(out, "node long, component long")
+        nodes = list(parent)
+        out_pdf = pd.DataFrame(
+            {"node": pd.Series(nodes, dtype="int64"),
+             "component": pd.Series([find(n) for n in nodes],
+                                    dtype="int64")})
+        return spark.createDataFrame(out_pdf)
 
     # Distributed regime: every propagation round joins against the
     # symmetric edge list, so IT carries the persist from here on

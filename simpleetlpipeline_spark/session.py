@@ -28,6 +28,16 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-plan (coalesce/skew-split) INSIDE persisted plans
+    # too: off, every .persist() materializes with the static
+    # partition count — the dedup pair cache landed as 106 near-empty
+    # cached partitions that every downstream count/toPandas/groupBy
+    # re-enumerated (round 12, guide §2.2). The historical risk the
+    # default guards against (a reused cache changing its output
+    # partitioning between consumers) doesn't bite this engine: no
+    # consumer relies on a cache's physical partitioning, only on its
+    # contents.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Prefer shuffled-hash over sort-merge where the planner's own
