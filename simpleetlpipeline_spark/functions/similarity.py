@@ -756,13 +756,18 @@ def _centroid_cells(vecs: DataFrame) -> DataFrame:
     same state in one pass. Values are bit-identical per position
     (same rows, same avg machinery), verified by the unchanged
     ann_ivf_topk value-hash oracle."""
+    # One F.expr string instead of 64 unrolled F.avg(F.col(...)[i])
+    # Column builds (round 12, guide §1): every Column operation is a
+    # py4j round-trip, and this constructor's ~130 of them cost
+    # ~0.45s of DRIVER time per query construction (measured —
+    # ann_ivf_topk and ann_recall_report both pay it). The parsed
+    # expression is the same array-of-avg aggregate; values are
+    # bit-identical (attested by the unchanged value-hash oracle).
     cents = (
         vecs.groupBy(F.col("label").alias("cell"))
-        .agg(*[F.avg(F.col("e")[i]).alias(f"_c{i}")
-               for i in range(EMB_DIM)])
-        .select("cell",
-                F.array(*[F.col(f"_c{i}")
-                          for i in range(EMB_DIM)]).alias("c"))
+        .agg(F.expr(
+            "array(" + ",".join(f"avg(e[{i}])" for i in range(EMB_DIM))
+            + ")").alias("c"))
         .withColumn("c_nrm", l2_norm(F.col("c")))
     )
     return cents
