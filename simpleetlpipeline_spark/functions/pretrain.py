@@ -347,18 +347,24 @@ def kmeans_assign(spark: SparkSession, sf_dir: str,
 
             return df.withColumn("cluster", nearest("e"))
 
+        # Centroid update: ONE hash aggregate with `dim` positional
+        # avg buffers per cluster (round 12, guide §2.3 — the same
+        # rewrite as similarity._centroid_cells). The previous form
+        # posexploded to n x dim rows, shuffled them on (cluster, dim)
+        # and reassembled arrays with a second aggregate — dim x the
+        # shuffle volume and an extra exchange per round for the same
+        # per-position avg values. Built as one parsed expression so
+        # construction is one py4j call, not ~130. The width comes
+        # from the init centroids just collected (fixtures use small
+        # dims; the embeddings table contract is EMB_DIM=64).
+        dim = len(next(iter(cents.values())))
+        mean_arr = F.expr(
+            "array(" + ",".join(
+                f"round(avg(e[{i}]), {_KMEANS_ROUND})"
+                for i in range(dim)) + ")")
         for it in range(iters - 1):
             assigned = _assign(emb)
-            means = (
-                assigned.select("cluster",
-                                F.posexplode("e").alias("dim", "v"))
-                .groupBy("cluster", "dim")
-                .agg(F.round(F.avg("v"), _KMEANS_ROUND).alias("m"))
-                .groupBy("cluster")
-                .agg(F.array_sort(
-                    F.collect_list(F.struct("dim", "m"))).alias("dm"))
-                .select("cluster", F.col("dm.m").alias("c"))
-            )
+            means = assigned.groupBy("cluster").agg(mean_arr.alias("c"))
             for r in means.collect():
                 cents[r["cluster"]] = list(r["c"])
         return _assign(emb).select("vec_id", "label", "cluster")
