@@ -1394,21 +1394,27 @@ def gains_lift_table(spark: SparkSession, sf_dir: str,
     on custkey); rates/gains/lift are single double divisions over
     exact integers, floored at micro.
 
-    Shape: one orders scan feeds both sides (pre-cutoff spend agg,
-    post-cutoff repeat flags — the same persisted-split pattern as
-    cf_holdout_hitrate's all_items); the ranked frame is customer-
-    tier and never crosses an unpartitioned window; the readout is
-    n_bins rows."""
-    from simpleetlpipeline_spark.cache import track
+    Shape: cheap columnar orders scans feed both sides (pre-cutoff
+    spend agg, post-cutoff repeat flags); the ranked frame is
+    customer-tier and never crosses an unpartitioned window; the
+    readout is n_bins rows. The split scan is deliberately NOT
+    persisted (round 12, guide §5): the ranking stack's scalar-
+    subquery jobs launch concurrently and race an unbuilt cache —
+    profiled with the persist, the scan materialized 8x anyway
+    (in=2.4MB per subquery job) while the cache write defeated
+    column pruning; without it the same subqueries read pruned
+    columns (jobs 35 → 14, interleaved A/B 2.1-2.6s → 1.0-1.8s).
+    Persisting IS still right when the cached derivation is
+    expensive (quality_bins' tokenized scores); a raw projected
+    scan is cheaper to rescan than to cache-and-race."""
     from simpleetlpipeline_spark.operators.aggregates import (
         ntile_from_rank, two_pass_global_window)
 
     ensure_session_conf(spark)
-    orders = track(
+    orders = (
         read_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_totalprice",
-                (F.col("o_orderdate") < ts_lit(cutoff)).alias("is_pre"))
-        .persist())
+                (F.col("o_orderdate") < ts_lit(cutoff)).alias("is_pre")))
     spend = (orders.filter("is_pre")
              .groupBy("o_custkey")
              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -1633,11 +1639,10 @@ def calibration_reliability(spark: SparkSession, sf_dir: str,
         ntile_from_rank, two_pass_global_window)
 
     ensure_session_conf(spark)
-    orders = track(
+    orders = (
         read_table(spark, sf_dir, "orders")
         .select("o_custkey", "o_totalprice",
-                (F.col("o_orderdate") < ts_lit(cutoff)).alias("is_pre"))
-        .persist())
+                (F.col("o_orderdate") < ts_lit(cutoff)).alias("is_pre")))
     spend = (orders.filter("is_pre")
              .groupBy("o_custkey")
              .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
