@@ -1347,20 +1347,6 @@ PQ_N_PROBES = 10
 PQ_TOP_K = 10
 
 
-def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """Deterministic PQ codebook: the PQ_K lowest-vec_id embeddings,
-    split into PQ_M sub-vectors each — the k-means-free quantizer
-    (codebook TRAINING plugs the kmeans_assign machinery in here;
-    the assignment/ADC mechanics below are what PQ is about and are
-    identical either way). Tiny driver state, like kmeans' kxdim
-    centroids."""
-    rows = (read_table(spark, sf_dir, "embeddings")
-            .orderBy("vec_id").limit(PQ_K)
-            .select(as_double_vec(F.col("embedding")).alias("e"))
-            .collect())
-    return [list(r["e"]) for r in rows]
-
-
 def pq_ann_topk(spark: SparkSession, sf_dir: str,
                 n_probes: int = PQ_N_PROBES,
                 k: int = PQ_TOP_K) -> DataFrame:
@@ -1381,13 +1367,22 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str,
     summed exactly — rank order can't wobble with partitioning.
 
     Plan: codes are one Arrow-batched pass over the corpus (narrow,
-    no shuffle); the probe tables are driver-built literals
-    (probes x 8 x 16 doubles); scoring is a broadcast crossJoin +
-    in-order JVM fold; top-k is a per-probe window over n_probes
-    tiny groups.
+    no shuffle); the probe ADC tables ride as ONE parsed literal
+    array exploded in-row (round 13, guide §2.4/§5 — the previous
+    crossJoin(broadcast(createDataFrame(rows))) paid a 32-task
+    pickled-RDD job to ship 10 driver rows plus a BroadcastExchange
+    job, both pure fixed cost); top-k is a per-probe window over
+    n_probes tiny groups. The codebook and probe collects share one
+    TakeOrdered job: every vec_id < n_probes row is by construction
+    among the PQ_K lowest vec_ids (unique ids, n_probes <= PQ_K).
     """
     ensure_session_conf(spark)
-    cb = _pq_codebook(spark, sf_dir)  # PQ_K x 64
+    assert n_probes <= PQ_K, "probe rows must lie within the codebook rows"
+    head = (read_table(spark, sf_dir, "embeddings")
+            .orderBy("vec_id").limit(PQ_K)
+            .select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
+            .collect())
+    cb = [list(r["e"]) for r in head]  # PQ_K x 64
 
     emb = fan_out(read_table(spark, sf_dir, "embeddings")).filter(
         F.col("vec_id") >= PQ_K)
@@ -1414,14 +1409,10 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str,
         F.col("vec_id").alias("b_id"),
         encode(as_double_vec(F.col("embedding"))).alias("codes"))
 
-    probes = (read_table(spark, sf_dir, "embeddings")
-              .filter(F.col("vec_id") < n_probes)
-              .orderBy("vec_id")
-              .select("vec_id",
-                      as_double_vec(F.col("embedding")).alias("e"))
-              .collect())
     table_rows = []
-    for p in probes:
+    for p in head:
+        if p["vec_id"] >= n_probes:
+            continue
         pe = list(p["e"])
         flat = []
         for m in range(PQ_M):
@@ -1433,8 +1424,14 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str,
                     d = d + x * x
                 flat.append(int(math.floor(d * 1e9)))
         table_rows.append((p["vec_id"], flat))
-    tables = spark.createDataFrame(
-        table_rows, "a_id long, t array<long>")
+    # One parsed literal (a single py4j round-trip, like the kmeans
+    # positional-avg aggregate): n_probes structs of (a_id, 128-long
+    # ADC table), exploded per corpus row — the in-row form of the
+    # former broadcast crossJoin.
+    tables_lit = F.expr("array(" + ",".join(
+        "named_struct('a_id', {}L, 't', array({}))".format(
+            aid, ",".join(f"{v}L" for v in flat))
+        for aid, flat in table_rows) + ")")
 
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
@@ -1444,7 +1441,10 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str,
                          + F.element_at(F.col("codes"), m + 1)
                          + 1).cast("int")))
     scored = (
-        codes.crossJoin(F.broadcast(tables))
+        codes.select("b_id", "codes",
+                     F.explode(tables_lit).alias("__p"))
+        .select(F.col("__p.a_id").alias("a_id"), "b_id",
+                F.col("__p.t").alias("t"), "codes")
         .select("a_id", "b_id", adc.alias("dist9"))
     )
     w = Window.partitionBy("a_id").orderBy(F.asc("dist9"), F.asc("b_id"))
