@@ -463,12 +463,19 @@ def etl_pipeline_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "records_failed", "data_quality_score")
     # The lineage result is one row per table; materialize it so the
     # throwaway warehouse can be deleted (repeated bench/driver runs
-    # otherwise accumulate scratch dirs in /tmp).
+    # otherwise accumulate scratch dirs in /tmp). Re-entry goes
+    # through pandas/Arrow: createDataFrame(list-of-Rows) pickles
+    # through one RDD slice per core — a 32-task job (~1.5s cold,
+    # ~0.4s warm) to ship 4 driver rows (round 13, guide §6).
     import shutil
+
+    import pandas as pd
 
     rows, schema = out.collect(), out.schema
     shutil.rmtree(td, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    pdf = pd.DataFrame([r.asDict() for r in rows],
+                       columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf, schema)
 
 
 def prune_metadata(spark: SparkSession, config: ETLConfig,
