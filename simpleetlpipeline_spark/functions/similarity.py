@@ -144,15 +144,35 @@ def cosine(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
     return F.floor(dot(a, b) / (a_norm * b_norm) * 10000) / 10000
 
 
+#: Session-scoped memo of the parsed-vector frame, keyed on
+#: (applicationId, sf_dir). Ten ANN/embedding catalog entries each
+#: re-derived scan -> fan_out -> 64-way cast -> norm (several times
+#: per query where probe/corpus branches fork); the frame is one
+#: registry-tracked persist built lazily by the family's first
+#: consumer inside its own timed region (round 13, guide §5 — no
+#: eager prefill, per the round-12 lesson; release_caches unpersists
+#: it, after which a memo hit just recomputes).
+_VECTORS_MEMO: dict = {}
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: every consumer runs an O(dim) interpreted fold per pair
     # downstream of this scan, usually on the streamed side of a
-    # broadcast join — i.e. at the scan's own parallelism.
-    return (
-        fan_out(read_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", as_double_vec(F.col("embedding")).alias("e"))
-        .withColumn("nrm", l2_norm(F.col("e")))
-    )
+    # broadcast join — i.e. at the scan's own parallelism. label
+    # rides along so the IVF coarse quantizer can share the cache.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _VECTORS_MEMO.get(key)
+    if got is None:
+        from simpleetlpipeline_spark.cache import track
+
+        got = track(
+            fan_out(read_table(spark, sf_dir, "embeddings"))
+            .select("vec_id", "label",
+                    as_double_vec(F.col("embedding")).alias("e"))
+            .withColumn("nrm", l2_norm(F.col("e")))
+            .persist())
+        _VECTORS_MEMO[key] = got
+    return got
 
 
 def _topk_per_probe(scored: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -830,12 +850,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     saves, so the rescans stay.
     """
     ensure_session_conf(spark)
-    vecs = (
-        fan_out(read_table(spark, sf_dir, "embeddings"))
-        .select("vec_id", "label",
-                as_double_vec(F.col("embedding")).alias("e"))
-        .withColumn("nrm", l2_norm(F.col("e")))
-    )
+    vecs = _vectors(spark, sf_dir)
     cents = _centroid_cells(vecs)
     corpus_cells = _assign_cells(vecs, cents, nprobe=1).select(
         F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"),
@@ -1384,8 +1399,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str,
             .collect())
     cb = [list(r["e"]) for r in head]  # PQ_K x 64
 
-    emb = fan_out(read_table(spark, sf_dir, "embeddings")).filter(
-        F.col("vec_id") >= PQ_K)
+    emb = _vectors(spark, sf_dir).filter(F.col("vec_id") >= PQ_K)
 
     @F.pandas_udf("array<int>")
     def encode(e: pd.Series) -> pd.Series:
@@ -1407,7 +1421,7 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str,
 
     codes = emb.select(
         F.col("vec_id").alias("b_id"),
-        encode(as_double_vec(F.col("embedding"))).alias("codes"))
+        encode(F.col("e")).alias("codes"))
 
     table_rows = []
     for p in head:
