@@ -467,10 +467,14 @@ def quality_bins(spark: SparkSession, sf_dir: str,
     stats = track(
         doc_stats(spark, sf_dir).select("doc_id", "quality_score")
         .persist())
+    # quality_score is min(1, len/50)*(1-stop_ratio) floored at 4dp —
+    # statically in [0, 1], so key_bounds skips the min/max scalar
+    # pass over the cached stats (two fewer jobs; round 13).
     ranked = two_pass_global_window(
         stats, "quality_score",
         [F.col("quality_score"), F.col("doc_id")],
-        rank_out="__r", total_rows_out="__n")
+        rank_out="__r", total_rows_out="__n",
+        key_bounds=(0.0, 1.0))
     return ranked.select(
         "doc_id", "quality_score",
         ntile_from_rank(F.col("__r"), F.col("__n"), n_bins)

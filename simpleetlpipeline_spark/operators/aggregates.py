@@ -165,6 +165,7 @@ def two_pass_global_window(df: DataFrame, key_col: str,
                            cum_out: str | list[str] | None = None,
                            total_rows_out: str | None = None,
                            total_value_out: str | list[str] | None = None,
+                           key_bounds: tuple[float, float] | None = None,
                            ) -> DataFrame:
     """Distributed global row_number / inclusive prefix sum — the
     two-pass replacement for an UNPARTITIONED window over a row-tier
@@ -208,6 +209,16 @@ def two_pass_global_window(df: DataFrame, key_col: str,
     full two-pass stack per measure (round-12 optimization; the
     order_value_ks_drift caller needed two cumulative sums and paid
     the spine machinery twice).
+
+    ``key_bounds=(lo, hi)`` (round 13, guide §2.4): when the caller
+    KNOWS the key's domain statically (e.g. a z-value interleaving
+    b-bit fields lives in [0, 2^2b)), the min/max scalar pass — a
+    full extra evaluation of the input — is skipped and the bucket
+    function uses the given bounds. Ranks are exact for ANY monotone
+    disjoint bucketing (offsets come from actual counts), so bounds
+    only have to CONTAIN the keys; a clustered distribution just
+    spreads unevenly across buckets, the hot-key caveat that already
+    applies to the measured min/max.
     """
     from pyspark.sql import Window
 
@@ -234,9 +245,12 @@ def two_pass_global_window(df: DataFrame, key_col: str,
             raise ValueError(f"two_pass_global_window temp column "
                              f"{c!r} collides with input")
 
-    mm = df.agg(F.min(key_col).cast("double").alias(mn_c),
-                F.max(key_col).cast("double").alias(mx_c))
-    span = F.col(mx_c) - F.col(mn_c)
+    if key_bounds is not None:
+        lo, hi = (float(key_bounds[0]), float(key_bounds[1]))
+        mn_e, mx_e = F.lit(lo), F.lit(hi)
+    else:
+        mn_e, mx_e = F.col(mn_c), F.col(mx_c)
+    span = mx_e - mn_e
     # NULL keys land in bucket 0: min/max ignore NULLs, so a NULL key
     # would otherwise get a NULL bucket and silently drop out of the
     # spine equi-join. ASC window ordering ranks NULLs FIRST, and
@@ -246,12 +260,19 @@ def two_pass_global_window(df: DataFrame, key_col: str,
     # tests/test_plans.py::test_two_pass_window_null_keys).
     bucket = F.when(F.col(key_col).isNull(), F.lit(0)).otherwise(
         F.when(span <= 0, F.lit(0)).otherwise(
-            F.least(
-                F.floor((F.col(key_col).cast("double") - F.col(mn_c))
-                        / span * n_buckets),
-                F.lit(n_buckets - 1)))).cast("int")
-    keyed = (df.crossJoin(F.broadcast(mm))
-             .withColumn(b_c, bucket).drop(mn_c, mx_c))
+            F.greatest(  # clamp keys outside declared key_bounds:
+                F.least(  # monotone, ties stay co-bucketed
+                    F.floor((F.col(key_col).cast("double") - mn_e)
+                            / span * n_buckets),
+                    F.lit(n_buckets - 1)),
+                F.lit(0)))).cast("int")
+    if key_bounds is not None:
+        keyed = df.withColumn(b_c, bucket)
+    else:
+        mm = df.agg(F.min(key_col).cast("double").alias(mn_c),
+                    F.max(key_col).cast("double").alias(mx_c))
+        keyed = (df.crossJoin(F.broadcast(mm))
+                 .withColumn(b_c, bucket).drop(mn_c, mx_c))
 
     aggs = [F.count(F.lit(1)).alias(cnt_c)]
     for vc, vs_c in zip(value_cols, vs_cs):

@@ -998,6 +998,36 @@ def test_two_pass_window_null_keys(spark):
         [(1, 1), (2, 2), (3, 3)]
 
 
+def test_two_pass_window_key_bounds_identity(spark):
+    """key_bounds (static-domain fast path, round 13) must produce
+    the exact ranks of both the measured-min/max form and the plain
+    unpartitioned window — including NULL keys and keys OUTSIDE the
+    declared bounds (clamped monotonically into the edge buckets) —
+    and must not add a min/max scalar subtree to the plan."""
+    from pyspark.sql import Window
+
+    from simpleetlpipeline_spark.operators.aggregates import (
+        two_pass_global_window,
+    )
+
+    rows = [(None, 10), (5, 1), (-3, 7), (120, 8), (None, 20),
+            (1, 2), (9, 3), (1, 4), (64, 5), (100, 6)]
+    df = spark.createDataFrame(rows, "k int, uid int")
+    got = two_pass_global_window(
+        df, "k", order_cols=[F.col("k"), F.col("uid")],
+        n_buckets=4, rank_out="r", key_bounds=(0.0, 100.0))
+    want = df.select(
+        "k", "uid",
+        F.row_number().over(
+            Window.orderBy(F.asc("k"), F.asc("uid"))).cast("long")
+        .alias("r"))
+    assert ({r.uid: (r.k, r.r) for r in got.collect()}
+            == {r.uid: (r.k, r.r) for r in want.collect()})
+    # the min/max scalar aggregate must be gone from the plan
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "__mn" not in plan and "__mx" not in plan
+
+
 def test_ts_lit_predicates_push_to_parquet(spark, sf_dir):
     """ts_lit builds timestamp literals via timestamp_micros, which
     Catalyst must constant-fold so range predicates still reach the
