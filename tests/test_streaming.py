@@ -108,6 +108,45 @@ def test_watermark_drops_late_data_across_microbatches(spark, tmp_path):
     assert batch == 3
 
 
+def test_runner_keeps_nodata_batch_for_append_aggregates(spark, tmp_path):
+    """run_stream_to_df disables the trailing no-data micro-batch as
+    a replay optimization; for an APPEND-mode watermarked aggregate
+    that batch is load-bearing (windows older than the final
+    watermark emit only when it advances), so the round-13 guard must
+    keep it enabled there — a future append-mode consumer routed
+    through the runner must not silently lose its last windows."""
+    import datetime as dt
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "append_src"
+    d.mkdir()
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    tbl = pa.table({
+        "ts": pa.array([t(9, 10), t(9, 20), t(12)],
+                       type=pa.timestamp("us")),
+        "v": pa.array([1.0, 1.0, 1.0], type=pa.float64()),
+    })
+    pq.write_table(tbl, str(d / f"a_{_uuid.uuid4().hex[:6]}.parquet"))
+
+    sdf = (spark.readStream.schema("ts timestamp, v double")
+           .parquet(str(d)))
+    agg = (sdf.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.col("window.start").alias("ws"), "n"))
+    assert W._needs_nodata_batch(agg, "append")
+    assert not W._needs_nodata_batch(agg, "complete")
+    got = {r["ws"]: r["n"]
+           for r in W.run_stream_to_df(agg, output_mode="append").collect()}
+    # the single data batch ends with watermark 11:00: the 09:00
+    # window emits ONLY via the trailing no-data batch
+    assert got.get(t(9)) == 2, f"final window lost: {got}"
+
+
 def test_totals_sink_restart_resume_idempotent(spark, tmp_path):
     """The foreachBatch sink's crash-retry window: batch N's snapshot
     commit lands (pointer swap + _META batch stamp) but the streaming
