@@ -113,14 +113,23 @@ def noise_fields(start: dict, end: dict,
       and the total wall time the re-measurement removed (first-sum
       vs min-sum) — large gains mean the first pass kept landing on
       contended slices, i.e. a noisy host. Caveat: the second pass
-      also removes residual per-query warm-up, so on micro-scale
-      runs (sf0.001, ~0.1s queries) this fraction runs hot even on
-      a quiet host — steal/loadavg are the authoritative EXTERNAL
-      signals; the gain threshold is set above the measured
-      quiet-host warm-up floor.
-    - noise_suspect: True when any single signal says the window was
-      contended (steal >2%, pre-run external load >4 on this 32-cpu
-      box, or best-of-2 shaved >30% off first-pass totals).
+      also removes STRUCTURAL first-run costs — registry-tracked
+      family caches, fixture builds, codegen of big plans — and in
+      multi-pass mode only the heavy tail (> RETRY_SEC) is even
+      retried, a population dominated by exactly those builders
+      (measured on a pristine host: median per-query retry gain 0.31,
+      total 0.42, steal 0.08%, loadavg 0.02). Retry gain therefore
+      cannot distinguish noise from cache amortization BY ITSELF.
+    - noise_suspect (recalibrated round 13, prior verdict task #8):
+      the EXTERNAL signals remain sufficient alone (steal >2%,
+      pre-run external load >4 on this 32-cpu box); the retry-gain
+      signal (>30%) now also requires external CORROBORATION — mild
+      steal (>0.5%), elevated pre-run load (>2), or an end-of-run
+      loadavg beyond what this 32-thread harness generates by itself
+      (>16; measured ~5 self-load on a quiet host) — so a flag that
+      fired on every pristine run because warm caches got faster is
+      readable again. retry_gain_corroborated records which way the
+      gate went.
     """
     out: dict = {
         "loadavg_start": start.get("loadavg"),
@@ -142,10 +151,16 @@ def noise_fields(start: dict, end: dict,
         out["retry_improved"] = sum(
             1 for p in sample_pairs.values() if len(p) > 1 and min(p) < p[0])
         out["retry_gain_frac"] = round(gain_frac, 4)
+    corroborated = bool(
+        (steal_frac is not None and steal_frac > 0.005)
+        or (out["loadavg_start"] or 0) > 2.0
+        or (out["loadavg_end"] or 0) > 16.0)
+    if sample_pairs:
+        out["retry_gain_corroborated"] = corroborated
     out["noise_suspect"] = bool(
         (steal_frac is not None and steal_frac > 0.02)
         or (out["loadavg_start"] or 0) > 4.0
-        or gain_frac > 0.30)
+        or (gain_frac > 0.30 and corroborated))
     return out
 
 
