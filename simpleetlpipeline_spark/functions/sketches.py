@@ -25,6 +25,7 @@ the engine per the build brief's scale mandate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -174,10 +175,22 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str,
         sketch = set(
             events.select("user_id").stat.freqItems(
                 ["user_id"], support).collect()[0][0])
-        ok = F.col("user_id").isin(sketch)
     else:
-        ok = F.lit(True)
-    return top.select("user_id", "n_events", ok.alias("sketch_ok"))
+        sketch = None
+    # The k result rows are already on the driver (the sanctioned
+    # small collect above); returning `top` would re-run the whole
+    # groupBy + TakeOrdered when the caller acts on it (round 13,
+    # guide §1 — two jobs re-deriving 10 known rows). Re-enter
+    # through pandas/Arrow and check sketch membership in Python —
+    # identical rows, identical sketch_ok semantics.
+    pdf = pd.DataFrame({
+        "user_id": [r["user_id"] for r in top_rows],
+        "n_events": [r["n_events"] for r in top_rows],
+        "sketch_ok": [sketch is None or r["user_id"] in sketch
+                      for r in top_rows],
+    })
+    return spark.createDataFrame(
+        pdf, "user_id long, n_events long, sketch_ok boolean")
 
 
 QUERIES["heavy_hitter_users"] = heavy_hitter_users
