@@ -1838,10 +1838,12 @@ def embedding_pca_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(np.floor(cum * 1e6) / 1e6),
             int(np.argmax(np.abs(evecs[:, k]))),
         ))
-    return spark.createDataFrame(
-        rows, "component int, eigenvalue double, "
-              "explained_ratio double, cumulative_ratio double, "
-              "top_loading_dim int")
+    from simpleetlpipeline_spark.io import driver_rows_df
+
+    return driver_rows_df(
+        spark, rows, "component int, eigenvalue double, "
+                     "explained_ratio double, cumulative_ratio double, "
+                     "top_loading_dim int")
 
 
 QUERIES["embedding_pca_report"] = embedding_pca_report  # rows-only

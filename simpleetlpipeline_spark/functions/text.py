@@ -2079,9 +2079,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str,
                       F.lit(f"{g}{a}{b}{g}")).alias("s"),
             "freq")
     base.unpersist()
-    return spark.createDataFrame(
-        learned, "rank int, left string, right string, "
-                 "merged string, pair_freq long")
+    from simpleetlpipeline_spark.io import driver_rows_df
+
+    return driver_rows_df(
+        spark, learned, "rank int, left string, right string, "
+                        "merged string, pair_freq long")
 
 
 QUERIES["bpe_train_merges"] = bpe_train_merges

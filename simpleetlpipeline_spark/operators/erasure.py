@@ -96,7 +96,10 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, table_root, schema=schema).count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    from simpleetlpipeline_spark.io import driver_rows_df
+
+    return driver_rows_df(
+        spark,
         [("events", int(target_id), rows_before,
           rows_before - rows_after, rows_after, 1, 2)], AUDIT_SCHEMA)
 

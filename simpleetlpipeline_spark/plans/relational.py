@@ -650,7 +650,9 @@ def compaction_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, schema = out.collect(), out.schema
     finally:
         shutil.rmtree(td, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    from simpleetlpipeline_spark.io import driver_rows_df
+
+    return driver_rows_df(spark, rows, schema)
 
 
 QUERIES["compaction_invariant"] = compaction_invariant

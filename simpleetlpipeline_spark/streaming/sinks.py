@@ -115,7 +115,9 @@ def streaming_totals_to_table(spark: SparkSession, sf_dir: str,
 
     rows, schema = out.collect(), out.schema
     shutil.rmtree(table_root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    from simpleetlpipeline_spark.io import driver_rows_df
+
+    return driver_rows_df(spark, rows, schema)
 
 
 
@@ -196,7 +198,9 @@ def streaming_distinct_users_hll(spark: SparkSession, sf_dir: str,
 
     rows, schema = out.collect(), out.schema
     shutil.rmtree(table_root, ignore_errors=True)
-    return spark.createDataFrame(rows, schema).orderBy("event_type")
+    from simpleetlpipeline_spark.io import driver_rows_df
+
+    return driver_rows_df(spark, rows, schema).orderBy("event_type")
 
 
 QUERIES = {
