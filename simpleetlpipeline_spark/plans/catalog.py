@@ -802,6 +802,40 @@ ORACLE_SQL["table_stats_profile"] = """
 # (date_axis_canary permanent, int128_fetch_probe, cdc_latest_state,
 # user_erasure_audit, hll_audience_overlap,
 # streaming_user_totals_stateful) stay put.
+# Fourteenth-wave rotation (round 13, an OPTIMIZATION round): the
+# policy's "rewritten queries stay in-window for re-attestation of
+# the changed code" clause is the driver here — this round rewrote
+# eleven hash-oracled queries that were NOT in the window (kmeans
+# Lloyd-cache memo: kmeans_assign; ADC-literal rewrite: pq_ann_topk;
+# key_bounds fast path: zorder_layout_manifest, quality_bins; Arrow
+# result re-entry: heavy_hitter_users, streaming_totals_to_table;
+# shared _vectors cache consumers: ann_topk, ann_ivf_topk,
+# embedding_neardup, hybrid_rrf_search, semantic_decontaminate).
+# All eleven re-ran the ladder this session (sf0.01 + sf0.1 oracle,
+# BOTH fetch modes, full-suite hostile-TZ harness) before rotating
+# in. They take the slots of eleven strict-bar retirees, each
+# holding r11+r12 full driver green (recomputed from
+# CORRECTNESS_r11/r12) and each leaving family representation:
+# events_dow_hour_heatmap + events_value_histogram (events family
+# keeps events_anomaly, events_dedup_batch, event_pattern_
+# conversions, top_events_per_user), daily_revenue_stl +
+# revenue_trend_ols (revenue keeps monthly_seasonality_index,
+# revenue_attribution, revenue_concentration), token_weighted_sample
+# + priority_sample_docs (sampling keeps language_sampling_weights,
+# source_mix_report, token_char_correlation), large_volume_orders +
+# linestatus_priority_mix (relational keeps open_orders_timeline,
+# surplus_stock_suppliers, copurchase_pairs, basket_lift_rules),
+# customer_retention_set_ops (set-ops keeps order_percentile_ranks
+# and the retention surface stays via customer-family entries),
+# user_value_twap (advanced keeps user_value_ewma), segment_dedup
+# (dedup keeps dedup_minhash_lsh, dedup_clusters,
+# dedup_minhash_incremental, corpus_curate_neardup,
+# dedup_shared_windows). The six one-green thirteenth-wave
+# rotate-ins and the diagnostic anchors stay put; rewritten
+# in-window veterans (bpe_train_merges, compaction_invariant,
+# etl_pipeline_run, kmeans_cluster_purity, semantic_dedup_clusters,
+# ann_incremental_topk, embedding_quantize, user_erasure_audit)
+# stay for re-attestation of this round's changes.
 GATE_PREFIX = (
     "date_axis_canary",
     "int128_fetch_probe",
@@ -810,11 +844,8 @@ GATE_PREFIX = (
     "hll_audience_overlap",
     "streaming_user_totals_stateful",
     "events_anomaly", "events_dedup_batch",
-    "events_dow_hour_heatmap", "events_value_histogram",
     "event_pattern_conversions",
-    "daily_revenue_stl", "revenue_trend_ols",
     "monthly_seasonality_index",
-    "customer_retention_set_ops",
     "semantic_dedup_clusters", "source_overlap_matrix",
     "bpe_merge_pairs", "ann_incremental_topk",
     "order_percentile_ranks", "revenue_attribution",
@@ -828,14 +859,19 @@ GATE_PREFIX = (
     "basket_lift_rules", "bpe_train_merges",
     "categorical_entropy_profile", "copurchase_pairs",
     "dedup_shared_windows", "embedding_quantize",
-    "language_sampling_weights", "large_volume_orders",
-    "linestatus_priority_mix", "media_decode_report",
+    "language_sampling_weights", "media_decode_report",
     "negative_samples", "open_orders_timeline",
-    "priority_sample_docs", "revenue_concentration",
-    "segment_dedup", "source_mix_report",
+    "revenue_concentration", "source_mix_report",
     "surplus_stock_suppliers", "token_char_correlation",
-    "token_weighted_sample", "top_events_per_user",
-    "user_value_ewma", "user_value_twap",
+    "top_events_per_user", "user_value_ewma",
+    # Fourteenth-wave rotate-ins (round 13): the eleven rewritten
+    # hash-oracled queries, in for re-attestation of changed code.
+    "kmeans_assign", "pq_ann_topk",
+    "zorder_layout_manifest", "quality_bins",
+    "heavy_hitter_users", "streaming_totals_to_table",
+    "ann_topk", "ann_ivf_topk",
+    "embedding_neardup", "hybrid_rrf_search",
+    "semantic_decontaminate",
 )
 
 
