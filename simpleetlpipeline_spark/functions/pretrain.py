@@ -1665,11 +1665,11 @@ def calibration_reliability(spark: SparkSession, sf_dir: str,
     (p_micro - 1e6*y)^2 fold as integers/DECIMAL(38,0) — no float
     ever enters an aggregation.
 
-    Shape: the gains_lift skeleton — persisted split scan, two-pass
-    distributed rank (never an unpartitioned window over the
-    customer tier), ntile_from_rank deciles, one n_bins-row hash
-    aggregate."""
-    from simpleetlpipeline_spark.cache import track
+    Shape: the gains_lift skeleton — unpersisted split scan (cheap
+    projected columnar reads; the round-12 raw-scan persist raced
+    its own subqueries and was removed), two-pass distributed rank
+    (never an unpartitioned window over the customer tier),
+    ntile_from_rank deciles, one n_bins-row hash aggregate."""
     from simpleetlpipeline_spark.operators.aggregates import (
         ntile_from_rank, two_pass_global_window)
 

@@ -94,7 +94,15 @@ def _parse_jsonl_arrow(path: str, day: str | None,
     are skipped, integral `value` literals land as double via the
     schema, malformed lines still raise. The absorbed event_type
     pushdown becomes one vectorized is_in kernel instead of a per-row
-    set probe."""
+    set probe.
+
+    Memory note (round-12 advice): this parses the WHOLE file into an
+    Arrow table before yielding batches — per-task memory is O(file
+    size), vs the old line-iterator's O(1). Rotated log files are
+    bounded by the writer (one file per producing task), so the
+    assumption holds for this source's own output; a deployment
+    ingesting unbounded foreign log files should split by byte range
+    in partitions() or switch to pyarrow's streaming open_json."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.json as pj
